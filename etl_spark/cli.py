@@ -1,0 +1,119 @@
+"""spark-submit entrypoint: generate / replay / status.
+
+Replaces the reference's interactive step-prompt driver (src/main.py:100-154)
+with a non-interactive CLI, per SURVEY §3.1. Run as::
+
+    spark-submit --py-files etl_spark.zip -m ... OR python -m etl_spark.cli
+    python -m etl_spark.cli gen    --out /tmp/stream --events 100000 --epochs 4
+    python -m etl_spark.cli replay --stream /tmp/stream --table /tmp/table
+    python -m etl_spark.cli status --table /tmp/table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic change-stream")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--repos", type=int, default=100)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--metadata-from-epoch", type=int, default=None)
+    _add_spark_args(g)
+
+    r = sub.add_parser("replay", help="replay pending segments into the table")
+    r.add_argument("--stream", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--max-epoch", type=int, default=None)
+    _add_spark_args(r)
+
+    s = sub.add_parser("status", help="print table snapshot + lineage summary")
+    s.add_argument("--table", required=True)
+    _add_spark_args(s)
+
+    args = ap.parse_args(argv)
+
+    from etl_spark.session import get_spark
+
+    spark = get_spark(f"etl_spark-{args.cmd}", master=args.master)
+
+    if args.cmd == "gen":
+        from etl_spark.datagen import change_stream, write_segments
+
+        df = change_stream(
+            spark,
+            args.events,
+            n_repos=args.repos,
+            events_per_epoch=max(1, args.events // args.epochs),
+            seed=args.seed,
+            with_metadata_from_epoch=args.metadata_from_epoch,
+        )
+        write_segments(df, args.out)
+        print(json.dumps({"written": args.out, "events": args.events, "epochs": args.epochs}))
+        return 0
+
+    if args.cmd == "replay":
+        from etl_spark.pipeline import IngestPipeline
+
+        pipe = IngestPipeline(spark, args.table, n_buckets=args.buckets)
+        stats = pipe.replay(args.stream, max_epoch=args.max_epoch)
+        for st in stats:
+            print(json.dumps(st.as_dict()))
+        total = sum(s.events_read for s in stats)
+        secs = sum(s.seconds for s in stats)
+        print(
+            json.dumps(
+                {
+                    "epochs_applied": len([s for s in stats if not s.skipped]),
+                    "events_read": total,
+                    "seconds": round(secs, 3),
+                    "events_per_sec": round(total / secs, 1) if secs else None,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "status":
+        from etl_spark.checkpoint import CheckpointLog
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        m = t.manifest()
+        if m is None:
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        log = CheckpointLog(spark, f"{args.table}/_checkpoint").read()
+        print(
+            json.dumps(
+                {
+                    "table": args.table,
+                    "version": m["version"],
+                    "applied_epochs": m["applied_epochs"],
+                    "files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                    "bytes": sum(f["bytes"] for f in m["files"]),
+                    "schema_cols": [f["name"] for f in m["schema"]["fields"]],
+                    "lineage_rows": log.count(),
+                }
+            )
+        )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

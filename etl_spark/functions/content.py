@@ -1,0 +1,136 @@
+"""Vectorized content transforms — the engine's scalar-function surface.
+
+Replaces the reference's scalar layer (SURVEY §2.7) with functions appropriate
+to a source-code change stream. Two tiers, fastest first:
+
+1. JVM built-ins (whole-stage codegen, zero Python) — used on the hot path.
+2. Arrow-batched pandas UDFs — only where no built-in exists. Never
+   row-at-a-time Python (the reference's own discipline: "avoid row-by-row
+   processing", .github/copilot-instructions.md:200-208).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- sha256: the per-row correctness invariant -------------------------------
+
+def content_sha256(col) -> Column:
+    """Hex sha256 of a string column — JVM-side (`sha2`), codegen'd.
+
+    This is the hot-path variant: stays inside whole-stage codegen, no
+    Python/Arrow hop at all.
+    """
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+@F.pandas_udf(T.StringType())
+def content_sha256_pandas(content: pd.Series) -> pd.Series:
+    """Arrow-batched pandas sha256 (hashlib) — differential check vs `sha2`.
+
+    Kept to prove the vectorized-pandas/Arrow-UDF path mandated by the input
+    hint; the pipeline itself uses the strictly-faster JVM `sha2`. Tests assert
+    bit-equality between the two.
+    """
+    return content.map(
+        lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
+    )
+
+
+# --- lang normalization -------------------------------------------------------
+
+_LANG_CANON = {
+    "python": "python", "py": "python",
+    "rust": "rust", "rs": "rust",
+    "go": "go", "golang": "go",
+    "c++": "cpp", "cpp": "cpp", "cxx": "cpp",
+    "javascript": "javascript", "js": "javascript",
+    "typescript": "typescript", "ts": "typescript",
+    "java": "java",
+    "c": "c",
+    "markdown": "markdown", "md": "markdown",
+    "text": "text", "txt": "text",
+}
+
+
+def normalize_lang(col) -> Column:
+    """Canonical lowercase language label; unknown/empty -> 'unknown'.
+
+    JVM-side map lookup (create_map + element_at): vectorized, codegen'd —
+    no Python. Generalizes the reference's enum normalization (F3,
+    transponder_type; create_duckdb_points.py:147).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pairs: list[Column] = []
+    for k, v in _LANG_CANON.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    m = F.create_map(*pairs)
+    key = F.lower(F.trim(c))
+    return F.coalesce(F.element_at(m, key), F.lit("unknown"))
+
+
+# --- text analysis (training-data pipeline ops) -------------------------------
+
+def token_count(col) -> Column:
+    """Whitespace token count — JVM-side (split + size). 0 for empty/null."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+def quality_score(col) -> Column:
+    """Heuristic doc-quality score in [0,1]: length, alpha ratio, stopword hit.
+
+    All JVM built-ins (length / regexp_count / split), no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(c, F.lit(""))
+    n = F.length(s)
+    alpha = F.regexp_count(s, F.lit(r"[A-Za-z]"))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    stop_re = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    stop_hits = F.regexp_count(s, F.lit(stop_re))
+    len_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(20.0), F.lit(1.0))
+    return F.round((len_score + alpha_ratio + stop_score) / 3.0, 6)
+
+
+def lang_id_heuristic(col) -> Column:
+    """Cheap natural-language id: 'en' if common-English-stopword density is
+    high, 'code' if symbol density is high, else 'other'. Pure JVM regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(c, F.lit(""))
+    n = F.greatest(F.length(s), F.lit(1))
+    stop_re = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    stop_density = F.regexp_count(s, F.lit(stop_re)) / (token_count(c) + F.lit(1))
+    sym_density = F.regexp_count(s, F.lit(r"[{}();=<>/\\\[\]]")) / n
+    return (
+        F.when(sym_density > 0.05, F.lit("code"))
+        .when(stop_density > 0.12, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def doc_fingerprint(col) -> Column:
+    """Normalization-stable document fingerprint: md5 of lowercased,
+    whitespace-collapsed, punctuation-stripped text. JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.md5(norm)

@@ -1,0 +1,287 @@
+"""SnapshotTable — a minimal Iceberg-shaped lakehouse table on plain parquet.
+
+No Iceberg/Delta jars ship in this environment (verified: none under
+pyspark/jars, no network), so the exactly-once MERGE sink is implemented
+directly on the same design Iceberg uses, kept adapter-compatible so a real
+Iceberg catalog can be slotted in where available:
+
+- **Snapshot manifests**: ``_meta/v{N}.json`` lists the table's data files,
+  schema, and summary. Readers resolve the highest committed version; writers
+  commit a new manifest atomically via ``os.link`` (fails if the version
+  already exists -> optimistic concurrency, like Iceberg's atomic swap).
+- **Copy-on-write MERGE at bucket granularity**: rows are hash-bucketed on the
+  key (``pmod(xxhash64(repo, path), n_buckets)``); an upsert rewrites only the
+  buckets its keys touch and carries every other data file over untouched.
+  This is Iceberg's COW MERGE with buckets playing the role of file groups —
+  at 100 TB an epoch touching 1% of keys rewrites ~1% of the table.
+- **Exactly-once**: each commit stamps the applied epoch id into the manifest
+  summary (Iceberg: snapshot summary properties). Re-applying a committed
+  epoch is a metadata-only no-op. Crash *after* data files are written but
+  *before* the manifest link leaves only unreferenced orphan files — never a
+  partial table (the reference heals the same window with its anti-join;
+  create_duckdb_points.py:269-275 / SURVEY §2.9).
+- **Additive schema evolution**: new columns widen the manifest schema; old
+  files are never rewritten; readers get nulls for columns missing in old
+  files (reference analog: staging schema inference, create_duckdb_points.py:
+  110-113). Type changes and drops are rejected.
+
+The deduped-upsert semantics themselves (latest commit per key wins, including
+against rows already in the table) generalize the reference's
+DISTINCT-ON + anti-join insert (create_duckdb_points.py:151-173).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.operators.dedupe import latest_by_key
+
+MANIFEST_DIR = "_meta"
+DATA_DIR = "data"
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Additive-only schema union: old column order preserved, new columns
+    appended; a type change or implicit drop raises."""
+    old_by_name = {f.name: f for f in old.fields}
+    fields = list(old.fields)
+    for f in new.fields:
+        prev = old_by_name.get(f.name)
+        if prev is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        elif prev.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: type change {prev.dataType} -> {f.dataType} "
+                "is not additive"
+            )
+    return T.StructType(fields)
+
+
+class SnapshotTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        order_col: str = "commit",
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.key_cols = tuple(key_cols)
+        self.order_col = order_col
+        self.n_buckets = n_buckets
+        (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+        (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
+
+    # ---- manifest plumbing ---------------------------------------------------
+
+    def current_version(self) -> int | None:
+        versions = [
+            int(p.stem[1:])
+            for p in (self.root / MANIFEST_DIR).glob("v*.json")
+            if p.stem[1:].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self) -> dict[str, Any] | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(self.root / MANIFEST_DIR / f"v{v:012d}.json") as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def applied_epochs(self) -> set[int]:
+        m = self.manifest()
+        return set(m["applied_epochs"]) if m else set()
+
+    def schema(self) -> T.StructType | None:
+        m = self.manifest()
+        return T.StructType.fromJson(m["schema"]) if m else None
+
+    def _commit_manifest(self, manifest: dict[str, Any], base_version: int | None = None) -> int:
+        """Atomically publish a manifest as the next version.
+
+        write tmp -> fsync -> hard-link to the final name -> unlink tmp.
+        The target version is pinned to ``base_version + 1`` (the snapshot the
+        writer planned against); if a concurrent writer committed first, the
+        link raises FileExistsError and the caller must re-plan — Iceberg's
+        optimistic-concurrency swap.
+        """
+        if base_version is None:
+            base_version = self.current_version() or 0
+        version = base_version + 1
+        manifest["version"] = version
+        manifest["committed_at"] = time.time()
+        final = self.root / MANIFEST_DIR / f"v{version:012d}.json"
+        tmp = self.root / MANIFEST_DIR / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic create-if-absent
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # ---- read ----------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Current table state. Old files missing newly-added columns read as
+        null (explicit manifest schema drives the scan)."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        schema = T.StructType.fromJson(m["schema"])
+        files = [f["path"] for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _read_files(self, files: list[dict], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+
+    # ---- write / merge ---------------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _write_bucketed(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Write df as bucket-pure parquet files under data/; return file infos.
+
+        One shuffle, partitioned on the bucket column, so every output file
+        holds exactly one bucket — later merges prune at file granularity.
+        """
+        staging = self.root / f"_staging-{uuid.uuid4().hex}"
+        (
+            df.withColumn("_bucket", self._bucket_expr())
+            .repartition(self.n_buckets, "_bucket")
+            .sortWithinPartitions(*self.key_cols)  # cluster-order on write (P7)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(str(staging))
+        )
+        infos: list[dict[str, Any]] = []
+        for bdir in sorted(staging.glob("_bucket=*")):
+            bucket = int(bdir.name.split("=")[1])
+            for part in sorted(bdir.glob("*.parquet")):
+                dest = self.root / DATA_DIR / f"{uuid.uuid4().hex}.parquet"
+                os.replace(part, dest)
+                meta = pq.read_metadata(dest)
+                infos.append(
+                    {
+                        "path": str(dest),
+                        "bucket": bucket,
+                        "rows": meta.num_rows,
+                        "bytes": dest.stat().st_size,
+                    }
+                )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return infos
+
+    def merge_epoch(
+        self,
+        updates: DataFrame,
+        epoch_id: int,
+        *,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Idempotent keyed upsert of one epoch (MERGE INTO semantics).
+
+        ``updates`` must already be deduped to one row per key (the pipeline's
+        dedupe stage guarantees it). Latest ``order_col`` wins against rows
+        already in the table. Returns commit stats; a replay of a committed
+        epoch returns ``{"skipped": True}`` without touching data.
+        """
+        if epoch_id in self.applied_epochs():
+            return {"skipped": True, "epoch": epoch_id}
+
+        m = self.manifest()
+        drop_aux = [c for c in ("epoch",) if c in updates.columns]
+        updates = updates.drop(*drop_aux) if drop_aux else updates
+
+        if m is None:
+            new_files = self._write_bucketed(updates)
+            manifest = {
+                "schema": updates.schema.jsonValue(),
+                "files": new_files,
+                "applied_epochs": [epoch_id],
+                "key_cols": list(self.key_cols),
+                "order_col": self.order_col,
+                "n_buckets": self.n_buckets,
+                "summary": extra_summary or {},
+                "parent": None,
+            }
+            version = self._commit_manifest(manifest, base_version=0)
+            return {
+                "skipped": False,
+                "epoch": epoch_id,
+                "version": version,
+                "rewritten_buckets": sorted({f["bucket"] for f in new_files}),
+                "rows_written": sum(f["rows"] for f in new_files),
+            }
+
+        old_schema = T.StructType.fromJson(m["schema"])
+        merged_schema = _merge_schemas(old_schema, updates.schema)
+
+        # Bucket pruning: only buckets named by the updates are rewritten.
+        touched = sorted(
+            r["_b"]
+            for r in updates.select(self._bucket_expr().alias("_b")).distinct().collect()
+        )
+        touched_set = set(touched)
+        old_touched = [f for f in m["files"] if f["bucket"] in touched_set]
+        carried = [f for f in m["files"] if f["bucket"] not in touched_set]
+
+        existing = self._read_files(old_touched, merged_schema)
+        merged = latest_by_key(
+            existing.unionByName(updates, allowMissingColumns=True),
+            keys=self.key_cols,
+            order_col=self.order_col,
+        )
+        new_files = self._write_bucketed(merged)
+
+        manifest = {
+            "schema": merged_schema.jsonValue(),
+            "files": carried + new_files,
+            "applied_epochs": sorted(self.applied_epochs() | {epoch_id}),
+            "key_cols": list(self.key_cols),
+            "order_col": self.order_col,
+            "n_buckets": self.n_buckets,
+            "summary": extra_summary or {},
+            "parent": m["version"],
+        }
+        version = self._commit_manifest(manifest, base_version=m["version"])
+        return {
+            "skipped": False,
+            "epoch": epoch_id,
+            "version": version,
+            "rewritten_buckets": touched,
+            "carried_files": len(carried),
+            "rows_written": sum(f["rows"] for f in new_files),
+        }

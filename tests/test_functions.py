@@ -1,0 +1,87 @@
+"""Unit tests for the vectorized scalar-function surface (SURVEY §2.7 analog)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_spark.functions.content import (
+    content_sha256,
+    content_sha256_pandas,
+    doc_fingerprint,
+    normalize_lang,
+    token_count,
+)
+from etl_spark.functions.vectors import cosine_similarity, dot
+
+
+def test_sha256_jvm_matches_hashlib_and_pandas_udf(spark):
+    rows = [("hello world",), ("",), ("// repo_0001/a.py@c000000000001\nabc\n",)]
+    df = spark.createDataFrame(rows, ["content"])
+    got = (
+        df.select(
+            "content",
+            content_sha256("content").alias("jvm"),
+            content_sha256_pandas("content").alias("pandas"),
+        )
+        .orderBy("content")
+        .collect()
+    )
+    for r in got:
+        expect = hashlib.sha256(r["content"].encode()).hexdigest()
+        assert r["jvm"] == expect
+        assert r["pandas"] == expect
+
+
+def test_normalize_lang(spark):
+    cases = {
+        "Python": "python",
+        "py": "python",
+        "PYTHON": "python",
+        " Rust ": "rust",
+        "rs": "rust",
+        "Go": "go",
+        "c++": "cpp",
+        "cpp": "cpp",
+        "": "unknown",
+        "brainfuck": "unknown",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["lang"])
+    got = {r["lang"]: r["norm"] for r in df.select("lang", normalize_lang("lang").alias("norm")).collect()}
+    for k, v in cases.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_normalize_lang_null(spark):
+    df = spark.createDataFrame([(None,)], "lang string")
+    assert df.select(normalize_lang("lang").alias("n")).first()["n"] == "unknown"
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), (None,), ("one",)], "text string"
+    )
+    got = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert got == [3, 0, 0, 0, 1]
+
+
+def test_doc_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",), ("HELLO world.",)], "t string"
+    )
+    fps = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(
+        dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")
+    ).collect()
+    assert abs(got[0]["c"]) < 1e-12 and got[0]["d"] == 0.0
+    assert abs(got[1]["c"] - 1.0) < 1e-12 and abs(got[1]["d"] - 5.0) < 1e-12
+    assert got[2]["c"] == 0.0  # zero-norm guard
