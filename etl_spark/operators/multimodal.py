@@ -1,0 +1,156 @@
+"""Multimodal (image/audio/video) column plumbing for training-data pipelines.
+
+Media items are opaque ``binary`` columns plus a typed metadata struct — the
+same pattern the reference uses for geometry (WKB bytes shuttled across the
+process boundary, SURVEY §1.2; core/points_to_ls_poly.py:35-40): bytes stay
+opaque to the engine, structure lives in typed side columns.
+
+The *decode* step (PIL/librosa/ffmpeg) is STUBBED — those libraries are not in
+this container — behind ``_decode_image_real`` which raises
+``NotImplementedError``. Everything Spark-side is real and tested: the schema,
+the ``mapInPandas`` batch shape (Arrow record batches in/out), partition-count
+preservation, and the deterministic fake decode used by tests.
+
+At scale: media bytes dominate row size, so ``maxPartitionBytes`` governs
+batch memory; feature extraction is embarrassingly parallel with zero shuffle
+(mapInPandas preserves partitioning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("media", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("byte_len", T.IntegerType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table — JVM-generated binary payloads.
+
+    Bytes = repeated unhex(md5(id)) so payload sizes vary and content is
+    reproducible with no Python in the generation path.
+    """
+    mods = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    df = (
+        spark.range(n)
+        .withColumn("media_id", F.col("id"))
+        .withColumn(
+            "modality",
+            F.element_at(mods, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")),
+        )
+        .withColumn(
+            "media",
+            F.unhex(
+                F.repeat(
+                    F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))),
+                    (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(16)) + 1).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "meta",
+            F.struct(
+                F.concat(F.lit("x-fake/"), F.col("modality")).alias("mime"),
+                (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(1920)) + 1).cast("int").alias("width"),
+                (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(1080)) + 1).cast("int").alias("height"),
+                (F.pmod(F.xxhash64("id", F.lit(seed + 4)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+            ),
+        )
+        .select("media_id", "modality", "media", "meta")
+    )
+    return df
+
+
+def _decode_image_real(data: bytes) -> "object":
+    """Real image decode — requires PIL, not shipped in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/pillow; install on a real cluster and "
+        "swap this stub (plumbing in extract_media_features is decode-agnostic)"
+    )
+
+
+def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector: bytes of sha256 scaled to [0,1).
+
+    Stands in for an embedding model / mel spectrogram / frame histogram; the
+    Spark-side contract (binary in, fixed-dim float array out, Arrow-batched)
+    is identical to the real thing.
+    """
+    h = hashlib.sha256(data or b"").digest()
+    return [b / 256.0 for b in h[:dim]]
+
+
+def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Batch feature extraction over media bytes via ``mapInPandas``.
+
+    Zero-shuffle: runs on existing partitions; each Arrow batch becomes one
+    pandas frame. Real deployments replace ``_fake_feature`` with the decode
+    stack (see ``_decode_image_real``) without touching the plumbing.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": media.map(lambda b: len(b) if b is not None else 0).astype(
+                        "int32"
+                    ),
+                    "content_sha256": media.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": media.map(lambda b: _fake_feature(b, feature_dim)),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp.
+
+    The frame *extraction* itself is part of the stubbed decode; the plan-side
+    explode (row-per-frame with its timestamp, partition-preserving until the
+    explode) is the real, tested piece.
+    """
+    frames = F.sequence(
+        F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        df.where(F.col("modality") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ms"))
+    )

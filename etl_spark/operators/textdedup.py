@@ -1,0 +1,318 @@
+"""Document deduplication for training-data pipelines.
+
+Five dedup strategies over a ``documents(doc_id, text, ...)`` table, fastest
+first. All tokenization/hashing primitives are chosen to be bit-reproducible
+in ANSI SQL (DuckDB oracle) so every operator is verifiable end-to-end:
+md5-based hashing, deterministic word tokenization.
+
+Scale notes (100 TB): exact/fingerprint dedupe are one shuffle on a 32-byte
+hash — trivially scalable. MinHash-LSH is the scale path for near-dup: cost is
+O(docs x num_hashes) map-side + a shuffle per band on 32-byte bucket keys;
+candidate verification touches only colliding pairs. The all-pairs n-gram
+Jaccard join is quadratic in the worst case (shared shingle hubs) and is kept
+for small corpora / verification; ``stop_shingle_limit`` caps hub explosion
+the same way the reference caps per-key work with batching (SURVEY P4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.functions.content import doc_fingerprint
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- tokenization / shingles (oracle-reproducible) ---------------------------
+
+def norm_tokens(col) -> Column:
+    """Lowercase, strip non-alphanumerics, split on whitespace. Empty -> []."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"[^a-z0-9\s]", " ")
+    )
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, r"\s+")
+    )
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Distinct word ``k``-grams (space-joined). Docs with < k tokens yield one
+    shingle = the whole token string, so short docs still participate."""
+    toks = norm_tokens(col)
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, kgrams).otherwise(whole))
+
+
+# --- exact / fingerprint dedupe ----------------------------------------------
+
+def exact_dedupe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact content hash (md5).
+
+    One shuffle on the hash; min_by gets map-side partial aggregation, so a
+    pathological 10^9-copy document costs O(partitions), not O(rows).
+    """
+    hashed = df.withColumn("_h", F.md5(F.coalesce(_c(text_col), F.lit(""))))
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, [id_col, "_h"], "left_semi")
+        .drop("_h")
+    )
+
+
+def fingerprint_dedupe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedupe on the normalization-stable fingerprint
+    (lowercased / punctuation-stripped / whitespace-collapsed md5)."""
+    hashed = df.withColumn("_h", doc_fingerprint(text_col))
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, [id_col, "_h"], "left_semi").drop("_h")
+
+
+# --- n-gram Jaccard all-pairs ------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    stop_shingle_limit: int | None = 1000,
+) -> DataFrame:
+    """Pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    explode -> self-join on shingle -> count common -> |A|+|B|-common.
+    ``stop_shingle_limit`` drops shingles shared by more than N docs (hub
+    terms) before the join — the standard guard against quadratic blowup.
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 places.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, k)).alias("_s"))
+        .distinct()
+    )
+    if stop_shingle_limit is not None:
+        hubs = sh.groupBy("_s").count().where(F.col("count") > stop_shingle_limit)
+        sh = sh.join(hubs.select("_s"), "_s", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex digests.
+
+    Hash family h_i(s) = md5(i || '|' || s); the signature element i is the
+    lexicographic min over the doc's shingles — a valid MinHash because md5
+    orders shingles pseudo-randomly per seed. md5 is used (not xxhash64) so a
+    SQL oracle reproduces signatures bit-for-bit.
+    """
+    sh = shingles(col, k)
+
+    def hasher(seed: int):
+        # NB: the lambda must take exactly one arg — F.transform passes the
+        # array index as a second positional arg to 2-ary callables.
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    elems = [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    return F.array(*elems)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Signature split into ``num_hashes/band_size`` bands; docs sharing any
+    band's md5(bucket) collide. Candidates are then verified with estimated
+    Jaccard = fraction of agreeing signature positions (>= verify_threshold,
+    skipped if None). Shuffle cost: one explode x num_bands + a self-join on
+    32-byte band keys — no all-pairs stage.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(text_col, num_hashes, k).alias("_sig")
+    )
+    bands = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", F.slice(F.col("_sig"), b * band_size + 1, band_size))
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", "_sig", "_bb.band", "_bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_hashes)),
+            6,
+        ),
+    ).select("id_a", "id_b", "est_jaccard")
+    if verify_threshold is not None:
+        est = est.where(F.col("est_jaccard") >= verify_threshold)
+    return est
+
+
+# --- SimHash -----------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over normalized word tokens — Arrow-batched, numpy inner
+    loop (no per-row Python beyond tokenization).
+
+    Token hash = first 8 bytes of md5 (stable across platforms). Each token
+    votes +1/-1 per bit; the sign vector is the fingerprint. Near-dups have
+    small Hamming distance. Signed 64-bit (top bit folded) to stay in LongType.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    norm = (
+        text.fillna("")
+        .str.lower()
+        .str.replace(r"[^a-z0-9\s]", " ", regex=True)
+        .str.strip()
+        .str.split(r"\s+", regex=True)
+    )
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for toks in norm:
+        if not toks or toks == [""]:
+            out.append(0)
+            continue
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in set(toks)
+            ),
+            dtype=np.uint64,
+        )
+        bits = (hashes[:, None] >> bit_idx) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= np.uint64(1) << np.uint64(i)
+        out.append(int(fp.astype(np.int64)))  # fold to signed
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Block-permutation LSH: split the 64-bit fingerprint into ``n_blocks``
+    16-bit blocks; by pigeonhole any pair within distance n_blocks-1 shares at
+    least one exact block -> join per block, then verify with bit_count(xor).
+    All JVM bit ops after the one pandas-UDF fingerprint pass.
+    """
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(_c(text_col)).alias("_fp"))
+    width = 64 // n_blocks
+    blocks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("_fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_fp", "_b.blk", "_b.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("_fa"),
+            F.col("b._fp").alias("_fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

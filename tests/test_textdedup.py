@@ -1,0 +1,145 @@
+"""Text-dedup operators: golden cases + DuckDB oracle differentials."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.textdedup import (
+    exact_dedupe,
+    fingerprint_dedupe,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog!!"),  # fingerprint dup of 1
+    (4, "The quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (5, "Completely different content about spark engines"),
+    (6, "tiny"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedupe_keeps_min_id(spark):
+    out = exact_dedupe(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_fingerprint_dedupe_ignores_punct(spark):
+    out = fingerprint_dedupe(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]  # 2 exact dup, 3 punct-only dup
+
+
+def test_shingles_short_doc(spark):
+    df = _docs(spark).where(F.col("doc_id") == 6).select(shingles("text", 3).alias("s"))
+    assert df.collect()[0]["s"] == ["tiny"]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # 1-2 exact (jaccard 1.0); 3 differs only by punctuation (stripped) -> 1.0 with 1,2
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got  # one-word change in a 9-word doc
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_exact_dup_identical_signature(spark):
+    sig = (
+        _docs(spark)
+        .select("doc_id", minhash_signature("text", 16, 3).alias("sig"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["sig"] for r in sig}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1] != by_id[5]
+    assert all(len(s) == 16 for s in by_id.values())
+
+
+def test_minhash_signature_matches_duckdb_oracle(spark):
+    """md5-based MinHash reproduces bit-for-bit in ANSI SQL (DuckDB)."""
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in _docs(spark)
+        .select("doc_id", minhash_signature("text", 4, 3).alias("sig"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in DOCS)
+        + ") t(doc_id, text)"
+    )
+    q = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS tk
+      FROM docs
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+          list_distinct(list_transform(generate_series(1, len(tk)-2),
+              i -> array_to_string(tk[i:i+2], ' ')))
+        ELSE [array_to_string(tk, ' ')] END AS sg
+      FROM toks
+    )
+    SELECT doc_id, list_transform(generate_series(0,3),
+        h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
+    FROM sh ORDER BY doc_id
+    """
+    want = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    assert got == want
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=16, band_size=4, verify_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_near_pairs(spark):
+    pairs = simhash_near_pairs(_docs(spark), max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0  # identical token sets
+    assert (1, 4) in got  # one-word swap: small hamming distance
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_simhash_matches_pure_python_oracle(spark):
+    """Distributed simhash == local reference implementation."""
+    import hashlib
+    import re
+
+    def oracle(text: str) -> int:
+        toks = set(re.sub(r"[^a-z0-9\s]", " ", text.lower()).split())
+        votes = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= 1 << i
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in _docs(spark).select("doc_id", simhash64("text").alias("fp")).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == oracle(text), doc_id
