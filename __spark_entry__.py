@@ -1,38 +1,834 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 has a ``queries()`` entry running the
+real package code (etl_spark.*) over the driver's parquet tables, and an
+``oracle_sql()`` ANSI-SQL equivalent for the DuckDB side-by-side check.
+
+Determinism rules used throughout (SURVEY §7.3 R2):
+- timestamps are projected to epoch seconds (BIGINT) — no tz/format ambiguity;
+- money aggregates go through per-row cents (``round(x*100)`` then BIGINT sum)
+  so sums are exact integers in both engines regardless of reduction order;
+- double outputs are rounded; rankings order by (rounded score, id) so ties
+  break identically everywhere.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from etl_spark.functions.content import (
+    _LANG_CANON,
+    content_sha256,
+    doc_fingerprint,
+    lang_id_heuristic,
+    normalize_lang,
+    quality_score,
+    token_count,
+)
+from etl_spark.operators.dedupe import (
+    latest_by_key,
+    latest_by_key_salted,
+    latest_by_key_window,
+)
+from etl_spark.operators.multimodal import extract_media_features, synthesize_media
+from etl_spark.operators.sessionize import (
+    session_stats,
+    sessionize_pandas,
+    suppress_consecutive_duplicates,
+    with_session_id,
+)
+from etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_spark.operators.textdedup import (
+    exact_dedupe,
+    fingerprint_dedupe,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _es(col) -> F.Column:
+    """Epoch seconds (long) from TIMESTAMP/TIMESTAMP_NTZ."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a money double — cross-engine-stable sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# events-as-change-stream: the CDC engine's own view of the driver data.
+# Maps events -> (repo, path, commit, lang, content) per BASELINE input_hint.
+# ---------------------------------------------------------------------------
+
+def _as_change_stream(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.format_string("repo_%02d", F.pmod("user_id", F.lit(20)).cast("int")).alias("repo"),
+        F.concat(F.col("event_type"), F.lit(".py")).alias("path"),
+        F.format_string("c%012d", F.col("event_id")).alias("commit"),
+        F.when(F.pmod("user_id", F.lit(2)) == 0, F.lit("py")).otherwise(F.lit("Rust")).alias("lang"),
+        F.col("props").alias("content"),
+    )
+
+
+_CHANGE_STREAM_SQL = """
+    SELECT printf('repo_%02d', (user_id % 20)::INT) AS repo,
+           event_type || '.py' AS path,
+           printf('c%012d', event_id) AS "commit",
+           CASE WHEN user_id % 2 = 0 THEN 'py' ELSE 'Rust' END AS lang,
+           props AS content
+    FROM events
+"""
+
+
+def _lang_case_sql(col: str = "lang") -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_CANON.items())
+    return f"CASE lower(trim({col})) {whens} ELSE 'unknown' END"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cdc_current_state(spark, sf_dir):
+    """Flagship: full clean -> dedupe path of the CDC engine (SURVEY §3.2)."""
+    from etl_spark.pipeline import clean_events
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events"))
+    final = latest_by_key(clean_events(stream), keys=("repo", "path"), order_col="commit")
+    return final.select("repo", "path", "commit", "lang", "content_sha256")
+
+
+def q_w1_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return latest_by_key(ev, keys=("user_id",), order_col="event_id")
+
+
+def q_w1_latest_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return latest_by_key_window(ev, keys=("user_id",), order_col="event_id")
+
+
+def q_w1_latest_salted(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return latest_by_key_salted(ev, keys=("user_id",), order_col="event_id", n_salts=8)
+
+
+_W1_SQL = """
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+def q_f_clean_project(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .where(F.col("event_type") != "error")
+        .select(
+            "event_id",
+            "user_id",
+            _es("ts").alias("ts_s"),
+            _cents("value").alias("value_cents"),
+            F.upper("event_type").alias("type_u"),
+        )
+    )
+
+
+def q_j1_semi_active(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    active = ev.groupBy("user_id").count().where(F.col("count") >= 20).select("user_id")
+    return ev.join(active, "user_id", "left_semi").select("event_id", "user_id")
+
+
+def q_j2_anti_unseen(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    cust = _t(spark, sf_dir, "customer")
+    return ev.join(cust, ev.user_id == cust.c_custkey, "left_anti").select("user_id")
+
+
+def q_j4_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.exceptAll(b)
+
+
+def q_a1_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= 20)
+    )
+
+
+def q_a2_watermark(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(
+        F.max(_es("ts")).alias("max_ts_s"),
+        F.max("event_id").alias("max_lsn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_a3_greatest_watermark(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").agg(F.max(_es("ts")).alias("m")).select(
+        F.coalesce("m", F.lit(0)).alias("ev_max")
+    )
+    od = _t(spark, sf_dir, "orders").agg(F.max(_es("o_orderdate")).alias("m")).select(
+        F.coalesce("m", F.lit(0)).alias("od_max")
+    )
+    return ev.crossJoin(od).select(
+        F.greatest("ev_max", "od_max").alias("watermark_s")
+    )
+
+
+def q_a5_skew_hist(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_a6_distinct_days(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+
+
+def q_a7_lineage_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.min("event_id").alias("min_lsn"),
+            F.max("event_id").alias("max_lsn"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+    )
+
+
+def q_a8_centroid(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_w2_lead_gap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.lead(_es("ts")).over(w) - _es("ts")).alias("gap_s"),
+    )
+
+
+def q_w3_suppress(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = suppress_consecutive_duplicates(
+        ev, key="user_id", order_cols=["ts", "event_id"], value_col="event_type"
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    st = session_stats(ev, key="user_id", ts_col="ts", gap_seconds=1800, tiebreak="event_id")
+    return st.select(
+        "user_id",
+        "session_seq",
+        _es("ts_start").alias("ts_start_s"),
+        _es("ts_end").alias("ts_end_s"),
+        "n_events",
+        "duration_s",
+    )
+
+
+def q_sessionize_pandas(spark, sf_dir):
+    """Same sessionization via applyInPandas (grouped-map, reference U1/U5)."""
+    ev = _t(spark, sf_dir, "events")
+    ids = sessionize_pandas(ev, key="user_id", ts_col="ts", gap_seconds=1800, tiebreak="event_id")
+    return (
+        ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.min(_es("ts")).alias("ts_start_s"),
+            F.max(_es("ts")).alias("ts_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("duration_s", F.col("ts_end_s") - F.col("ts_start_s"))
+    )
+
+
+_SESSION_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS es,
+               lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, min(es) AS ts_start_s, max(es) AS ts_end_s,
+           count(*) AS n_events, max(es) - min(es) AS duration_s
+    FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_j6_star_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name"), F.col("n_name"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_c"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_o4_union_distinct(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.union(su).distinct()
+
+
+def q_topk_orders(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", _cents("o_totalprice").alias("price_cents"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# --- documents: text analysis + dedup ---------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedupe(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    return fingerprint_dedupe(_t(spark, sf_dir, "documents")).select("doc_id", "lang")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_heuristic("text").alias("lang_guess"))
+
+
+def q_lang_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_lang("lang").alias("lang_norm"))
+
+
+def q_content_sha(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", content_sha256("text").alias("sha"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select("doc_id", minhash_signature("text", 8, 3).alias("sig"))
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("h", "mh")
+    ).select("doc_id", F.col("h").cast("long").alias("h"), "mh")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, band_size=4, verify_threshold=0.5
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, stop_shingle_limit=None
+    )
+
+
+# --- embeddings: similarity search -------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    from etl_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(l2_norm(v), 6).alias("norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# --- rows-only entries (non-SQL-expressible; weaker driver check) ------------
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=10, n_planes=4)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_media_features(spark, sf_dir):
+    media = synthesize_media(spark, 200)
+    return extract_media_features(media).select(
+        "media_id", "modality", "byte_len", "content_sha256"
+    )
+
+
+def q_cdc_replay_e2e(spark, sf_dir):
+    """Full engine loop incl. the exactly-once sink, on a temp table root."""
+    import tempfile
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = tempfile.mkdtemp(prefix="etl_spark_entry_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
+    pipe.replay(f"{root}/stream")
+    return pipe.table.read().select("repo", "path", "commit", "lang", "content_sha256")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_current_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_current_state": q_cdc_current_state,
+        "cdc_replay_e2e": q_cdc_replay_e2e,
+        "w1_latest": q_w1_latest,
+        "w1_latest_window": q_w1_latest_window,
+        "w1_latest_salted": q_w1_latest_salted,
+        "f_clean_project": q_f_clean_project,
+        "j1_semi_active": q_j1_semi_active,
+        "j2_anti_unseen": q_j2_anti_unseen,
+        "j4_except": q_j4_except,
+        "a1_having": q_a1_having,
+        "a2_watermark": q_a2_watermark,
+        "a3_greatest_watermark": q_a3_greatest_watermark,
+        "a5_skew_hist": q_a5_skew_hist,
+        "a6_distinct_days": q_a6_distinct_days,
+        "a7_lineage_stats": q_a7_lineage_stats,
+        "a8_centroid": q_a8_centroid,
+        "w2_lead_gap": q_w2_lead_gap,
+        "w3_suppress": q_w3_suppress,
+        "sessionize": q_sessionize,
+        "sessionize_pandas": q_sessionize_pandas,
+        "j6_star_revenue": q_j6_star_revenue,
+        "tpch_q1": q_tpch_q1,
+        "o4_union_distinct": q_o4_union_distinct,
+        "topk_orders": q_topk_orders,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "doc_fingerprints": q_doc_fingerprints,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "lang_normalize": q_lang_normalize,
+        "content_sha": q_content_sha,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "embedding_norms": q_embedding_norms,
+        # rows-only (non-SQL-expressible / self-generating)
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lang_case = _lang_case_sql()
+    shingle_cte = r"""
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(tk)-2),
+                  i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE [array_to_string(tk, ' ')] END AS sg
+          FROM toks
+        )
     """
-    return {}
+    return {
+        "cdc_current_state": f"""
+            WITH src AS ({_CHANGE_STREAM_SQL}),
+            cleaned AS (
+                SELECT repo, path, "commit", {lang_case} AS lang,
+                       sha256(content) AS content_sha256
+                FROM src
+                WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+                  AND path <> '' AND content IS NOT NULL
+                  AND regexp_matches("commit", '^c\\d{{12}}$')
+            )
+            SELECT repo, path, "commit", lang, content_sha256 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                FROM cleaned
+            ) WHERE rn = 1
+        """,
+        "cdc_replay_e2e": f"""
+            WITH src AS ({_CHANGE_STREAM_SQL}),
+            cleaned AS (
+                SELECT repo, path, "commit", {lang_case} AS lang,
+                       sha256(content) AS content_sha256
+                FROM src
+                WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+                  AND path <> '' AND content IS NOT NULL
+                  AND regexp_matches("commit", '^c\\d{{12}}$')
+            )
+            SELECT repo, path, "commit", lang, content_sha256 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                FROM cleaned
+            ) WHERE rn = 1
+        """,
+        "w1_latest": _W1_SQL,
+        "w1_latest_window": _W1_SQL,
+        "w1_latest_salted": _W1_SQL,
+        "f_clean_project": """
+            SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s,
+                   round(value * 100, 0)::BIGINT AS value_cents,
+                   upper(event_type) AS type_u
+            FROM events
+            WHERE value IS NOT NULL AND value >= 0 AND event_type <> 'error'
+        """,
+        "j1_semi_active": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 20)
+        """,
+        "j2_anti_unseen": """
+            SELECT DISTINCT user_id FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        """,
+        "j4_except": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "a1_having": """
+            SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id HAVING count(*) >= 20
+        """,
+        "a2_watermark": """
+            SELECT max(floor(epoch(ts))::BIGINT) AS max_ts_s, max(event_id) AS max_lsn,
+                   count(*) AS n
+            FROM events
+        """,
+        "a3_greatest_watermark": """
+            SELECT greatest(
+                (SELECT coalesce(max(floor(epoch(ts))::BIGINT), 0) FROM events),
+                (SELECT coalesce(max(floor(epoch(o_orderdate))::BIGINT), 0) FROM orders)
+            ) AS watermark_s
+        """,
+        "a5_skew_hist": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "a6_distinct_days": "SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events",
+        "a7_lineage_stats": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, min(event_id) AS min_lsn,
+                   max(event_id) AS max_lsn, count(*) AS row_count
+            FROM events GROUP BY 1
+        """,
+        "a8_centroid": """
+            SELECT user_id, round(avg(value), 6) AS avg_value, count(*) AS n
+            FROM events GROUP BY user_id
+        """,
+        "w2_lead_gap": """
+            SELECT event_id, user_id,
+                   lead(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - floor(epoch(ts))::BIGINT AS gap_s
+            FROM events
+        """,
+        "w3_suppress": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ) WHERE prev IS NULL OR prev <> event_type
+        """,
+        "sessionize": _SESSION_SQL,
+        "sessionize_pandas": _SESSION_SQL,
+        "j6_star_revenue": """
+            SELECT r_name, n_name,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity * 100, 0)::BIGINT) AS sum_qty_c,
+                   sum(round(l_extendedprice * 100, 0)::BIGINT) AS sum_base_c,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+                       AS sum_disc_c,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "o4_union_distinct": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "topk_orders": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice * 100, 0)::BIGINT AS price_cents, rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "dedup_exact": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY md5(coalesce(text, '')))
+        """,
+        "dedup_fingerprint": r"""
+            WITH fp AS (
+                SELECT doc_id, lang,
+                       md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+                FROM documents
+            )
+            SELECT doc_id, lang FROM fp
+            WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY h)
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                       '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                   END AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round((
+                       least(length(coalesce(text, '')) / 1000.0, 1.0)
+                       + CASE WHEN length(coalesce(text, '')) > 0 THEN
+                           len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
+                             / length(coalesce(text, ''))::DOUBLE
+                         ELSE 0.0 END
+                       + least(len(regexp_extract_all(coalesce(text, ''),
+                           '(?i)\b(the|a|of|and|to|in|is|that|it|for)\b')) / 20.0, 1.0)
+                   ) / 3.0, 6) AS quality
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH m AS (
+                SELECT doc_id, coalesce(text, '') AS s,
+                       greatest(length(coalesce(text, '')), 1) AS n,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                       END AS n_tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(s, '[{}();=<>/\\\[\]]')) / n::DOUBLE > 0.05
+                        THEN 'code'
+                        WHEN len(regexp_extract_all(s,
+                            '(?i)\b(the|a|of|and|to|in|is|that|it|for)\b'))
+                             / (n_tok + 1)::DOUBLE > 0.12
+                        THEN 'en'
+                        ELSE 'other' END AS lang_guess
+            FROM m
+        """,
+        "lang_normalize": f"SELECT doc_id, {lang_case} AS lang_norm FROM documents",
+        "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "minhash_sigs": f"""
+            WITH {shingle_cte},
+            sigs AS (
+                SELECT doc_id, list_transform(generate_series(0, 7),
+                    h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
+                FROM sh
+            )
+            SELECT doc_id, hh.h, list_extract(sig, hh.h + 1) AS mh
+            FROM sigs, (SELECT unnest(generate_series(0, 7)) AS h) hh
+        """,
+        "minhash_lsh": f"""
+            WITH {shingle_cte},
+            sigs AS (
+                SELECT doc_id, list_transform(generate_series(0, 15),
+                    h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, sig, b.band,
+                       md5(array_to_string(sig[b.band*4+1:b.band*4+4], ',')) AS bucket
+                FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                       a.sig AS sa, bb.sig AS sb
+                FROM bands a JOIN bands bb
+                  ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0, 6)
+                       AS est_jaccard
+            FROM cand
+            WHERE len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0 >= 0.5
+        """,
+        "ngram_jaccard": f"""
+            WITH {shingle_cte},
+            ex AS (SELECT DISTINCT doc_id AS id, unnest(sg) AS s FROM sh),
+            sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(c / (na.n + nb.n - c)::DOUBLE, 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE round(c / (na.n + nb.n - c)::DOUBLE, 6) >= 0.5
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(CASE WHEN nq > 0 AND nc > 0 THEN dp / (nq * nc)
+                                  ELSE 0.0 END, 6) AS score
+                FROM (
+                    SELECT query_id, neighbor_id,
+                           list_dot_product(qv, cv) AS dp,
+                           sqrt(list_dot_product(qv, qv)) AS nq,
+                           sqrt(list_dot_product(cv, cv)) AS nc
+                    FROM q, c WHERE neighbor_id <> query_id
+                )
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label::BIGINT AS label,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6) AS norm,
+                   len(embedding)::BIGINT AS dim
+            FROM embeddings
+        """,
+        # simhash_pairs, ann_lsh, media_features: intentionally omitted
+        # (non-SQL-expressible or self-generating; rows-only driver check).
+    }

@@ -135,13 +135,23 @@ def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:
     """
     sh = shingles(col, k)
 
-    def hasher(seed: int):
-        # NB: the lambda must take exactly one arg — F.transform passes the
-        # array index as a second positional arg to 2-ary callables.
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+    # Let-binding via a 1-element array: binds the *evaluated* shingle array to
+    # a lambda variable so the (regex-heavy) shingle expression runs ONCE per
+    # row instead of once per hash seed — Catalyst does not CSE across the
+    # num_hashes otherwise. (NB: every lambda takes exactly one arg —
+    # F.transform passes the array index to 2-ary callables.)
+    def sig_from(shv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda h: F.array_min(
+                F.transform(
+                    shv,
+                    lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        )
 
-    elems = [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
-    return F.array(*elems)
+    return F.get(F.transform(F.array(sh), sig_from), 0)
 
 
 def minhash_lsh_pairs(
