@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two legs:
+1. **CDC replay** (the headline metric): generate a deterministic synthetic
+   change stream (datagen, all-JVM) sized to the scale factor, replay it
+   end-to-end (clean -> dedupe -> exactly-once merge + lineage) into a temp
+   table, report change-events/sec applied.
+2. **Headline queries** over ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1): one per operator family, timed individually.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (session.py reads the latter).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from etl_spark.datagen import change_stream, write_segments
+from etl_spark.pipeline import IngestPipeline
+from etl_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "cdc_current_state",
+    "w1_latest",
+    "w1_latest_salted",
+    "sessionize",
+    "j6_star_revenue",
+    "tpch_q1",
+    "dedup_exact",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "ann_topk",
+    "simhash_pairs",
+]
+
+# Replay-leg sizing: events per unit scale factor (sf0.1 -> 1M events).
+REPLAY_EVENTS_PER_SF = 10_000_000
+REPLAY_EPOCHS = 4
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_replay(spark, n_events: int) -> dict:
+    """Gen + full replay on a temp root; returns throughput stats."""
+    root = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    try:
+        stream = change_stream(
+            spark, n_events, n_repos=max(100, n_events // 10_000),
+            events_per_epoch=max(1, n_events // REPLAY_EPOCHS),
+        )
+        t0 = time.time()
+        write_segments(stream, f"{root}/stream")
+        gen_s = time.time() - t0
+
+        pipe = IngestPipeline(spark, f"{root}/table", n_buckets=64, count_input=False)
+        t0 = time.time()
+        stats = pipe.replay(f"{root}/stream")
+        replay_s = time.time() - t0
+        applied = sum(s.events_applied for s in stats)
+        return {
+            "events_generated": n_events,
+            "events_applied": applied,
+            "gen_sec": round(gen_s, 2),
+            "replay_sec": round(replay_s, 2),
+            "events_per_sec": round(n_events / replay_s, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark("etl_spark_bench")
+
+    # Warm the JVM/codegen so per-query numbers measure the queries.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    replay = bench_replay(spark, int(REPLAY_EVENTS_PER_SF * sf))
+    timings["cdc_replay"] = replay["replay_sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "replay": replay,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
