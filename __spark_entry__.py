@@ -397,10 +397,12 @@ def q_content_sha(spark, sf_dir):
 
 
 def q_minhash_sigs(spark, sf_dir):
+    from etl_spark.operators.textdedup import minhash_signature_table
+
     d = _t(spark, sf_dir, "documents")
-    sig = d.select("doc_id", minhash_signature("text", 8, 3).alias("sig"))
+    sig = minhash_signature_table(d, num_hashes=8).withColumnRenamed("_id", "doc_id")
     return sig.select(
-        "doc_id", F.posexplode("sig").alias("h", "mh")
+        "doc_id", F.posexplode("_sig").alias("h", "mh")
     ).select("doc_id", F.col("h").cast("long").alias("h"), "mh")
 
 

@@ -71,12 +71,19 @@ def bench_replay(spark, n_events: int) -> dict:
         stats = pipe.replay(f"{root}/stream")
         replay_s = time.time() - t0
         applied = sum(s.events_applied for s in stats)
+
+        cat = IngestPipeline(spark, f"{root}/table_cat", n_buckets=64, count_input=False)
+        t0 = time.time()
+        cat.replay(f"{root}/stream", mode="catchup")
+        catchup_s = time.time() - t0
         return {
             "events_generated": n_events,
             "events_applied": applied,
             "gen_sec": round(gen_s, 2),
             "replay_sec": round(replay_s, 2),
             "events_per_sec": round(n_events / replay_s, 1),
+            "catchup_sec": round(catchup_s, 2),
+            "catchup_events_per_sec": round(n_events / catchup_s, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -101,6 +108,7 @@ def main() -> int:
 
     replay = bench_replay(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["cdc_replay"] = replay["replay_sec"]
+    timings["cdc_replay_catchup"] = replay["catchup_sec"]
 
     total = round(sum(timings.values()), 3)
     print(

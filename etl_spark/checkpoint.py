@@ -64,13 +64,70 @@ class CheckpointLog:
             )
         )
 
-    def append(self, rows: DataFrame, epoch_id: int) -> None:
-        """Idempotent append: the epoch's log partition is overwritten whole."""
-        (
-            rows.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(self.root / f"epoch={epoch_id}"))
+    def lineage_rows_multi(self, deduped: DataFrame, bucket_expr) -> DataFrame:
+        """Per-(epoch, bucket) lineage for a multi-epoch catch-up batch.
+
+        ``deduped`` must carry an ``epoch`` column (the winning commit's
+        segment, preserved through the dedupe payload).
+        """
+        ts = time.time()
+        return (
+            deduped.withColumn("_bucket", bucket_expr)
+            .groupBy("epoch", "_bucket")
+            .agg(
+                F.min("commit").alias("min_lsn"),
+                F.max("commit").alias("max_lsn"),
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.length("content")).alias("bytes"),
+            )
+            .select(
+                F.col("epoch").cast("int"),
+                F.col("_bucket").cast("int").alias("bucket"),
+                "min_lsn",
+                "max_lsn",
+                F.col("row_count").cast("long"),
+                F.coalesce(F.col("bytes"), F.lit(0)).cast("long").alias("bytes"),
+                F.lit(ts).alias("committed_at"),
+            )
         )
+
+    def append(self, rows: DataFrame, epoch_id: int) -> None:
+        """Idempotent append: the epoch's log partition is overwritten whole.
+
+        Lineage is tiny (<= n_buckets rows/epoch), so the materialized rows are
+        written driver-side with pyarrow — no Spark write job per epoch.
+        """
+        self._write_pandas(rows.toPandas(), epoch_id)
+
+    def append_multi(self, rows: DataFrame) -> None:
+        """Append lineage for many epochs at once (catch-up replay)."""
+        pdf = rows.toPandas()
+        for epoch_id, grp in pdf.groupby("epoch"):
+            self._write_pandas(grp, int(epoch_id))
+
+    def _write_pandas(self, pdf, epoch_id: int) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pa.schema(
+            [
+                pa.field("epoch", pa.int32()),
+                pa.field("bucket", pa.int32()),
+                pa.field("min_lsn", pa.string()),
+                pa.field("max_lsn", pa.string()),
+                pa.field("row_count", pa.int64()),
+                pa.field("bytes", pa.int64()),
+                pa.field("committed_at", pa.float64()),
+            ]
+        )
+        tbl = pa.Table.from_pandas(
+            pdf.reset_index(drop=True), schema=arrow_schema, preserve_index=False
+        )
+        d = self.root / f"epoch={epoch_id}"
+        d.mkdir(parents=True, exist_ok=True)
+        for old in d.glob("*.parquet"):
+            old.unlink()
+        pq.write_table(tbl, d / "part-0.parquet")
 
     def read(self) -> DataFrame:
         dirs = sorted(str(p) for p in self.root.glob("epoch=*"))

@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--table", required=True)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-epoch", type=int, default=None)
+    r.add_argument("--mode", choices=["incremental", "catchup"], default="incremental",
+                   help="catchup = all pending segments in one dedupe+commit")
     _add_spark_args(r)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
@@ -69,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         from etl_spark.pipeline import IngestPipeline
 
         pipe = IngestPipeline(spark, args.table, n_buckets=args.buckets)
-        stats = pipe.replay(args.stream, max_epoch=args.max_epoch)
+        stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:
             print(json.dumps(st.as_dict()))
         total = sum(s.events_read for s in stats)

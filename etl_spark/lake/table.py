@@ -218,8 +218,28 @@ class SnapshotTable:
         already in the table. Returns commit stats; a replay of a committed
         epoch returns ``{"skipped": True}`` without touching data.
         """
-        if epoch_id in self.applied_epochs():
-            return {"skipped": True, "epoch": epoch_id}
+        return self.merge_epochs(updates, [epoch_id], extra_summary=extra_summary)
+
+    def merge_epochs(
+        self,
+        updates: DataFrame,
+        epoch_ids: list[int],
+        *,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Idempotent keyed upsert of one or more epochs in a single commit.
+
+        The multi-epoch form backs catch-up/bootstrap replay: N pending
+        segments deduped together and applied in ONE snapshot commit — one
+        table rewrite instead of N (SURVEY §2.9: epoch = set of binlog
+        segments). All epoch ids land atomically in the manifest's
+        applied-epoch set, so a crash mid-catch-up replays cleanly.
+        """
+        applied = self.applied_epochs()
+        new_ids = [e for e in epoch_ids if e not in applied]
+        if not new_ids:
+            return {"skipped": True, "epochs": sorted(epoch_ids)}
+        epoch_set = sorted(applied | set(new_ids))
 
         m = self.manifest()
         drop_aux = [c for c in ("epoch",) if c in updates.columns]
@@ -230,7 +250,7 @@ class SnapshotTable:
             manifest = {
                 "schema": updates.schema.jsonValue(),
                 "files": new_files,
-                "applied_epochs": [epoch_id],
+                "applied_epochs": epoch_set,
                 "key_cols": list(self.key_cols),
                 "order_col": self.order_col,
                 "n_buckets": self.n_buckets,
@@ -240,7 +260,7 @@ class SnapshotTable:
             version = self._commit_manifest(manifest, base_version=0)
             return {
                 "skipped": False,
-                "epoch": epoch_id,
+                "epochs": new_ids,
                 "version": version,
                 "rewritten_buckets": sorted({f["bucket"] for f in new_files}),
                 "rows_written": sum(f["rows"] for f in new_files),
@@ -269,7 +289,7 @@ class SnapshotTable:
         manifest = {
             "schema": merged_schema.jsonValue(),
             "files": carried + new_files,
-            "applied_epochs": sorted(self.applied_epochs() | {epoch_id}),
+            "applied_epochs": epoch_set,
             "key_cols": list(self.key_cols),
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
@@ -279,7 +299,7 @@ class SnapshotTable:
         version = self._commit_manifest(manifest, base_version=m["version"])
         return {
             "skipped": False,
-            "epoch": epoch_id,
+            "epochs": new_ids,
             "version": version,
             "rewritten_buckets": touched,
             "carried_files": len(carried),

@@ -16,6 +16,7 @@ from etl_spark.operators.textdedup import (
     fingerprint_dedupe,
     minhash_lsh_pairs,
     minhash_signature,
+    minhash_signature_table,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "exact_dedupe",
     "fingerprint_dedupe",
     "minhash_signature",
+    "minhash_signature_table",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",

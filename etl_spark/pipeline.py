@@ -143,9 +143,22 @@ class IngestPipeline:
         self.log.append(lineage, segment.epoch)
 
     def replay(
-        self, stream_root: str, *, max_epoch: int | None = None
+        self,
+        stream_root: str,
+        *,
+        max_epoch: int | None = None,
+        mode: str = "incremental",
     ) -> list[EpochStats]:
-        """Resume-safe full replay: apply every pending segment in LSN order."""
+        """Resume-safe full replay: apply every pending segment in LSN order.
+
+        ``mode="incremental"`` applies one segment per snapshot commit (the
+        steady-state CDC path). ``mode="catchup"`` dedupes ALL pending
+        segments together and applies them in ONE commit — the bootstrap /
+        backlog path: one table rewrite instead of N, so replaying a long
+        binlog backlog costs one dedupe shuffle + one merge regardless of how
+        many epochs are pending. Both modes are differential-tested to yield
+        identical final state.
+        """
         # Heal crash-between-manifest-and-log: backfill lineage for epochs the
         # table committed but the log never recorded.
         from etl_spark.sources.segments import discover_segments
@@ -155,9 +168,47 @@ class IngestPipeline:
         for seg in discover_segments(stream_root):
             if seg.epoch in applied and seg.epoch not in logged:
                 self._backfill_log(seg)
-        out = []
-        for seg in pending_segments(
+        pending = pending_segments(
             stream_root, self.table.applied_epochs(), max_epoch=max_epoch
-        ):
+        )
+        if mode == "catchup":
+            return self._replay_catchup(stream_root, pending)
+        out = []
+        for seg in pending:
             out.append(self.apply_epoch(seg))
         return out
+
+    def _replay_catchup(
+        self, stream_root: str, pending: list[Segment]
+    ) -> list[EpochStats]:
+        """Apply all pending segments in a single dedupe + merge + commit."""
+        if not pending:
+            return []
+        t0 = time.time()
+        # basePath recovers the epoch partition column across segment dirs —
+        # the winning row's epoch flows into per-epoch lineage.
+        raw = self.spark.read.option("basePath", stream_root).parquet(
+            *[s.path for s in pending]
+        )
+        cleaned = clean_events(raw)
+        deduped = latest_by_key(
+            cleaned, keys=self.table.key_cols, order_col=self.table.order_col
+        ).persist()
+        try:
+            stats = EpochStats(epoch=pending[-1].epoch)
+            stats.events_applied = deduped.count()
+            if self.count_input:
+                stats.events_read = raw.count()
+            lineage = self.log.lineage_rows_multi(deduped, self.table._bucket_expr())
+            commit = self.table.merge_epochs(
+                deduped,
+                [s.epoch for s in pending],
+                extra_summary={"segments": len(pending), "mode": "catchup"},
+            )
+            if not commit.get("skipped"):
+                self.log.append_multi(lineage)
+            stats.commit = commit
+        finally:
+            deduped.unpersist()
+        stats.seconds = time.time() - t0
+        return [stats]

@@ -143,3 +143,20 @@ def test_simhash_matches_pure_python_oracle(spark):
     }
     for doc_id, text in DOCS:
         assert got[doc_id] == oracle(text), doc_id
+
+
+def test_minhash_table_equals_expression(spark):
+    """Explode-based signature path == array-expression path, bit for bit."""
+    from etl_spark.operators.textdedup import minhash_signature_table
+
+    expr = {
+        r["doc_id"]: r["sig"]
+        for r in _docs(spark)
+        .select("doc_id", minhash_signature("text", 8, 3).alias("sig"))
+        .collect()
+    }
+    tab = {
+        r["_id"]: r["_sig"]
+        for r in minhash_signature_table(_docs(spark), num_hashes=8).collect()
+    }
+    assert expr == tab
