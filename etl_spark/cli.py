@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-epoch", type=int, default=None)
     r.add_argument("--mode", choices=["incremental", "catchup"], default="incremental",
                    help="catchup = all pending segments in one dedupe+commit")
+    r.add_argument("--dedupe", choices=["maxby", "window", "salted"], default="maxby",
+                   help="physical dedupe strategy (see operators/dedupe.py)")
     _add_spark_args(r)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
@@ -70,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "replay":
         from etl_spark.pipeline import IngestPipeline
 
-        pipe = IngestPipeline(spark, args.table, n_buckets=args.buckets)
+        pipe = IngestPipeline(
+            spark, args.table, n_buckets=args.buckets, dedupe_strategy=args.dedupe
+        )
         stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:
             print(json.dumps(st.as_dict()))

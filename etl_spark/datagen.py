@@ -107,10 +107,18 @@ def change_stream(
     return df.unionByName(dups)
 
 
-def write_segments(df: DataFrame, out_dir: str) -> None:
-    """Write the stream as epoch-partitioned parquet segments (binlog layout)."""
+def write_segments(df: DataFrame, out_dir: str, files_per_epoch: int = 16) -> None:
+    """Write the stream as epoch-partitioned parquet segments (binlog layout).
+
+    Each epoch is split into ``files_per_epoch`` files (a real binlog segment
+    is many files/row-groups): a single file per epoch caps the replay scan at
+    one task per epoch no matter how many executors exist — the classic
+    unsplittable-input scaling ceiling.
+    """
     (
-        df.repartition("epoch")
+        df.repartition(
+            F.col("epoch"), F.pmod(F.col("lsn"), F.lit(files_per_epoch))
+        )
         .sortWithinPartitions("lsn")
         .write.mode("overwrite")
         .partitionBy("epoch")

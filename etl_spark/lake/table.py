@@ -242,8 +242,6 @@ class SnapshotTable:
         epoch_set = sorted(applied | set(new_ids))
 
         m = self.manifest()
-        drop_aux = [c for c in ("epoch",) if c in updates.columns]
-        updates = updates.drop(*drop_aux) if drop_aux else updates
 
         if m is None:
             new_files = self._write_bucketed(updates)
@@ -264,6 +262,7 @@ class SnapshotTable:
                 "version": version,
                 "rewritten_buckets": sorted({f["bucket"] for f in new_files}),
                 "rows_written": sum(f["rows"] for f in new_files),
+                "new_files": new_files,
             }
 
         old_schema = T.StructType.fromJson(m["schema"])
@@ -304,4 +303,5 @@ class SnapshotTable:
             "rewritten_buckets": touched,
             "carried_files": len(carried),
             "rows_written": sum(f["rows"] for f in new_files),
+            "new_files": new_files,
         }

