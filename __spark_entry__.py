@@ -102,11 +102,14 @@ def _lang_case_sql(col: str = "lang") -> str:
 # ---------------------------------------------------------------------------
 
 def q_cdc_current_state(spark, sf_dir):
-    """Flagship: full clean -> dedupe path of the CDC engine (SURVEY §3.2)."""
-    from etl_spark.pipeline import clean_events
+    """Flagship: full clean -> dedupe -> derive path of the CDC engine
+    (SURVEY §3.2; sha256 on winners only, see pipeline.derive_content_columns)."""
+    from etl_spark.pipeline import clean_events, derive_content_columns
 
     stream = _as_change_stream(_t(spark, sf_dir, "events"))
-    final = latest_by_key(clean_events(stream), keys=("repo", "path"), order_col="commit")
+    final = derive_content_columns(
+        latest_by_key(clean_events(stream), keys=("repo", "path"), order_col="commit")
+    )
     return final.select("repo", "path", "commit", "lang", "content_sha256")
 
 

@@ -1,0 +1,3 @@
+from etl_spark.streaming.ingest import stream_ingest
+
+__all__ = ["stream_ingest"]

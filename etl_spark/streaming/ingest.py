@@ -1,0 +1,102 @@
+"""Structured-Streaming front-end for the CDC ingest pipeline.
+
+The reference is a micro-batch incremental system (SURVEY §2.9); this module
+is its Structured Streaming generalization: ``readStream`` tails the segment
+directory as a file source, and every micro-batch flows through the SAME
+clean -> dedupe -> derive -> exactly-once merge core via ``foreachBatch`` —
+so batch replay and streaming ingest are one code path with two drivers.
+
+Exactly-once composition: Spark's streaming checkpoint gives at-least-once
+micro-batches (a batch may be re-delivered after a crash); the sink's
+applied-epoch set turns that into exactly-once, with the *streaming batch id*
+playing the role of the checkpoint epoch. This is the classic
+"idempotent sink + replayable source" construction — the reference does the
+identical thing with its anti-join vs. target
+(create_duckdb_points.py:164-173).
+
+Late/duplicate data: rows for keys already at a newer commit lose the merge's
+latest-wins dedupe and vanish — the streaming analog of the reference's
+watermark skip (F4/F5). No event-time watermark state is needed because the
+table itself is the state store (SURVEY §2.9 "state store" row).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.pipeline import IngestPipeline, clean_events, derive_content_columns
+
+# Event schema as written by datagen.write_segments (epoch is a partition dir).
+STREAM_DDL = (
+    "lsn long, repo string, lang string, path string, commit string, "
+    "content string"
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    stream_root: str,
+    table_root: str,
+    *,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+    available_now: bool = True,
+    extra_schema: str | None = None,
+    dedupe_strategy: str = "maxby",
+) -> Any:
+    """Tail ``stream_root`` (epoch=N parquet segments) into the snapshot table.
+
+    Returns the StreamingQuery. ``available_now=True`` processes the current
+    backlog then stops (micro-batch replay semantics, used by tests);
+    ``False`` keeps tailing for new segments.
+    """
+    pipe = IngestPipeline(
+        spark,
+        table_root,
+        n_buckets=n_buckets,
+        count_input=False,
+        dedupe_strategy=dedupe_strategy,
+    )
+    ddl = STREAM_DDL if extra_schema is None else f"{STREAM_DDL}, {extra_schema}"
+
+    source = (
+        spark.readStream.schema(f"{ddl}, epoch int")
+        .option("basePath", stream_root)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(f"{stream_root}/epoch=*")
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Same core as IngestPipeline._apply_batch, keyed by streaming batch
+        # id: the sink's applied-epoch set makes re-delivered batches no-ops.
+        deduped = derive_content_columns(
+            pipe._dedupe(
+                clean_events(batch_df),
+                keys=pipe.table.key_cols,
+                order_col=pipe.table.order_col,
+            )
+        ).withColumn("epoch", F.lit(int(batch_id)).cast("int"))
+        # row provenance = streaming batch id (the commit key), replacing the
+        # source segment id — keeps lineage derivable from the table rows.
+        commit = pipe.table.merge_epochs(
+            deduped,
+            [int(batch_id)],
+            extra_summary={"mode": "streaming", "batch_id": int(batch_id)},
+        )
+        if not commit.get("skipped"):
+            pipe._log_lineage(commit)
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{table_root}/_streaming_checkpoint",
+        )
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,80 @@
+"""Structured Streaming ingest: final state == batch replay, restart-safe."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.datagen import change_stream, write_segments
+from etl_spark.lake.table import SnapshotTable
+from etl_spark.streaming.ingest import stream_ingest
+from tests.helpers import assert_frames_equal, oracle_final_state
+
+N_EVENTS = 4000
+N_EPOCHS = 2
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sstream") / "changes")
+    df = change_stream(
+        spark,
+        N_EVENTS,
+        n_repos=20,
+        paths_per_repo=40,
+        events_per_epoch=N_EVENTS // N_EPOCHS,
+        dup_pct=8,
+    )
+    write_segments(df, root)
+    return root
+
+
+def test_streaming_matches_oracle(spark, stream, tmpdir_path):
+    q = stream_ingest(spark, stream, f"{tmpdir_path}/table", n_buckets=8)
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, f"{tmpdir_path}/table")
+    got = table.read().drop("epoch").toPandas()
+    want = oracle_final_state(stream)
+    assert_frames_equal(got, want)
+
+
+def test_streaming_restart_is_noop(spark, stream, tmpdir_path):
+    root = f"{tmpdir_path}/table2"
+    q = stream_ingest(spark, stream, root, n_buckets=8)
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, root)
+    v = table.current_version()
+    # restart against the same checkpoint: backlog already consumed -> no-op
+    q2 = stream_ingest(spark, stream, root, n_buckets=8)
+    q2.awaitTermination(120)
+    assert table.current_version() == v
+
+
+def test_streaming_picks_up_new_segments(spark, stream, tmpdir_path):
+    """Consume the backlog, then a new segment arrives; the next availableNow
+    pass applies exactly the delta (streaming checkpoint + idempotent sink)."""
+    import shutil
+
+    root = f"{tmpdir_path}/table3"
+    q = stream_ingest(spark, stream, root, n_buckets=8)
+    q.awaitTermination(120)
+    # The generator is a pure function of lsn, so a 1.5x-length stream shares
+    # its first N_EPOCHS segments with `stream`; epoch 2 is the new arrival.
+    bigger = f"{tmpdir_path}/bigger"
+    df = change_stream(
+        spark,
+        N_EVENTS + N_EVENTS // 2,
+        n_repos=20,
+        paths_per_repo=40,
+        events_per_epoch=N_EVENTS // N_EPOCHS,
+        dup_pct=8,
+    )
+    write_segments(df, bigger)
+    try:
+        shutil.copytree(f"{bigger}/epoch={N_EPOCHS}", f"{stream}/epoch={N_EPOCHS}")
+        q2 = stream_ingest(spark, stream, root, n_buckets=8)
+        q2.awaitTermination(120)
+        table = SnapshotTable(spark, root)
+        got = table.read().drop("epoch").toPandas()
+        assert_frames_equal(got, oracle_final_state(stream))
+    finally:
+        shutil.rmtree(f"{stream}/epoch={N_EPOCHS}", ignore_errors=True)

@@ -55,6 +55,9 @@ spark.stop()
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--repos", type=int, default=5000,
+                    help="key-space size; more repos -> more distinct keys -> "
+                         "larger parallel fraction in the merge write")
     ap.add_argument("--pairs", default="2:8,8:32")
     ap.add_argument("--mode", default="catchup")
     ap.add_argument("--dedupe", default="maxby")
@@ -70,7 +73,7 @@ def main() -> int:
         [
             sys.executable, "-m", "etl_spark.cli", "gen",
             "--out", f"{stream_root}/stream", "--events", str(args.events),
-            "--epochs", "4", "--master", "local[32]",
+            "--epochs", "4", "--repos", str(args.repos), "--master", "local[32]",
         ],
         capture_output=True, text=True, cwd=REPO,
     )
@@ -112,7 +115,7 @@ def main() -> int:
             "# BENCH — scaling evidence (N vs 4N parallelism)",
             "",
             "Same replay job (deterministic generated change stream, "
-            f"{args.events:,} events, 4 epochs, mode={args.mode}, "
+            f"{args.events:,} events over {args.repos:,} repos, 4 epochs, mode={args.mode}, "
             f"dedupe={args.dedupe}, best of {args.repeats} runs/level) at two",
             "parallelism levels, one fresh JVM each — the sandbox evidence for the",
             "north_rule's N -> 4N executor scaling criterion (no real cluster here).",
