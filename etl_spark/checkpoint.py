@@ -68,9 +68,17 @@ class CheckpointLog:
         """Per-(epoch, bucket) lineage for a multi-epoch catch-up batch.
 
         ``deduped`` must carry an ``epoch`` column (the winning commit's
-        segment, preserved through the dedupe payload).
+        segment, preserved through the dedupe payload). Uses the derived
+        ``content_bytes`` column when present so the aggregation never touches
+        the payload column — with columnar pruning the lineage pass over the
+        written files reads a few narrow columns instead of the table bytes.
         """
         ts = time.time()
+        size_col = (
+            F.sum("content_bytes")
+            if "content_bytes" in deduped.columns
+            else F.sum(F.length("content"))
+        )
         return (
             deduped.withColumn("_bucket", bucket_expr)
             .groupBy("epoch", "_bucket")
@@ -78,7 +86,7 @@ class CheckpointLog:
                 F.min("commit").alias("min_lsn"),
                 F.max("commit").alias("max_lsn"),
                 F.count(F.lit(1)).alias("row_count"),
-                F.sum(F.length("content")).alias("bytes"),
+                size_col.alias("bytes"),
             )
             .select(
                 F.col("epoch").cast("int"),

@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     _add_spark_args(s)
 
+    m = sub.add_parser("maintain", help="expire old snapshots + vacuum orphan files")
+    m.add_argument("--table", required=True)
+    m.add_argument("--retain", type=int, default=3, help="snapshots to keep")
+    _add_spark_args(m)
+
     args = ap.parse_args(argv)
 
     from etl_spark.session import get_spark
@@ -90,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "maintain":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        expired = t.expire_snapshots(retain_last=args.retain)
+        stats = t.vacuum()
+        print(json.dumps({"expired_versions": expired, **stats,
+                          "current_version": t.current_version()}))
         return 0
 
     if args.cmd == "status":

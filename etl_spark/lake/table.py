@@ -99,11 +99,21 @@ class SnapshotTable:
         ]
         return max(versions) if versions else None
 
-    def manifest(self) -> dict[str, Any] | None:
-        v = self.current_version()
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:])
+            for p in (self.root / MANIFEST_DIR).glob("v*.json")
+            if p.stem[1:].isdigit()
+        )
+
+    def manifest(self, version: int | None = None) -> dict[str, Any] | None:
+        v = self.current_version() if version is None else version
         if v is None:
             return None
-        with open(self.root / MANIFEST_DIR / f"v{v:012d}.json") as fh:
+        path = self.root / MANIFEST_DIR / f"v{v:012d}.json"
+        if not path.exists():
+            raise FileNotFoundError(f"snapshot v{v} of {self.root} does not exist")
+        with open(path) as fh:
             return json.load(fh)
 
     def exists(self) -> bool:
@@ -145,10 +155,12 @@ class SnapshotTable:
 
     # ---- read ----------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """Current table state. Old files missing newly-added columns read as
-        null (explicit manifest schema drives the scan)."""
-        m = self.manifest()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Table state at ``version`` (default: current) — snapshot isolation
+        gives time travel for free, like Iceberg's VERSION AS OF. Old files
+        missing newly-added columns read as null (explicit manifest schema
+        drives the scan)."""
+        m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
         schema = T.StructType.fromJson(m["schema"])
@@ -161,6 +173,53 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+
+    # ---- maintenance ---------------------------------------------------------
+
+    def history(self) -> list[dict[str, Any]]:
+        """One entry per snapshot: version, committed_at, epochs, files, rows."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": m.get("committed_at"),
+                    "applied_epochs": m.get("applied_epochs", []),
+                    "files": len(m.get("files", [])),
+                    "rows": sum(f.get("rows", 0) for f in m.get("files", [])),
+                    "summary": m.get("summary", {}),
+                }
+            )
+        return out
+
+    def expire_snapshots(self, retain_last: int = 3) -> list[int]:
+        """Drop manifest versions older than the newest ``retain_last``
+        (Iceberg's expire_snapshots). Data files they reference become
+        orphans reclaimable by ``vacuum``. Returns expired versions."""
+        versions = self.versions()
+        expired = versions[:-retain_last] if retain_last > 0 else versions[:-1]
+        for v in expired:
+            (self.root / MANIFEST_DIR / f"v{v:012d}.json").unlink(missing_ok=True)
+        return expired
+
+    def vacuum(self) -> dict[str, Any]:
+        """Delete data files referenced by NO retained snapshot: old versions'
+        rewritten buckets and crash orphans (written but never committed).
+        Safe by construction — readers only ever resolve files through a
+        manifest, and expired manifests are gone before their files are."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            for f in self.manifest(v).get("files", []):
+                referenced.add(os.path.basename(f["path"]))
+        removed, freed = 0, 0
+        for p in (self.root / DATA_DIR).glob("*.parquet"):
+            if p.name not in referenced:
+                freed += p.stat().st_size
+                p.unlink()
+                removed += 1
+        return {"files_removed": removed, "bytes_freed": freed,
+                "files_retained": len(referenced)}
 
     # ---- write / merge ---------------------------------------------------------
 

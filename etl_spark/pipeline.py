@@ -76,7 +76,9 @@ def derive_content_columns(df: DataFrame) -> DataFrame:
     Applied to deduped winners so the hash cost scales with |keys|, not
     |events| (generalizes the reference's EPOCH(ts) derived column, F6).
     """
-    return df.withColumn("content_sha256", content_sha256("content"))
+    return df.withColumn("content_sha256", content_sha256("content")).withColumn(
+        "content_bytes", F.octet_length("content").cast("long")
+    )
 
 
 @dataclass

@@ -32,7 +32,8 @@ def oracle_final_state(stream_root: str, with_metadata: bool = False) -> pd.Data
     cleaned AS (
         SELECT repo, path, lsn, "commit",
                {lang_case_sql()} AS lang,
-               content, sha256(content) AS content_sha256 {meta_col}
+               content, sha256(content) AS content_sha256,
+               strlen(content)::BIGINT AS content_bytes {meta_col}
         FROM raw
         WHERE repo IS NOT NULL AND repo <> ''
           AND path IS NOT NULL AND path <> ''

@@ -1,0 +1,75 @@
+"""Snapshot maintenance: time travel, history, expiry, vacuum, concurrency."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from etl_spark.datagen import change_stream, write_segments
+from etl_spark.lake.table import DATA_DIR, SnapshotTable
+from etl_spark.pipeline import IngestPipeline
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("maint")
+    stream = str(root / "stream")
+    df = change_stream(spark, 3000, n_repos=10, paths_per_repo=30,
+                       events_per_epoch=1000, dup_pct=5)
+    write_segments(df, stream)
+    pipe = IngestPipeline(spark, str(root / "table"), n_buckets=4)
+    pipe.replay(stream)  # 3 incremental commits -> versions 1..3
+    return pipe
+
+
+def test_time_travel(replayed):
+    t = replayed.table
+    assert t.versions() == [1, 2, 3]
+    v1 = t.read(version=1).count()
+    v3 = t.read().count()
+    assert 0 < v1 < v3
+    # epoch set grows monotonically across snapshots
+    assert t.manifest(1)["applied_epochs"] == [0]
+    assert t.manifest(3)["applied_epochs"] == [0, 1, 2]
+
+
+def test_history(replayed):
+    h = replayed.table.history()
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[-1]["rows"] == replayed.table.read().count()
+
+
+def test_expire_and_vacuum(replayed):
+    t = replayed.table
+    data_dir = Path(t.root) / DATA_DIR
+    # plant a crash orphan: written but never committed
+    orphan = data_dir / "orphan.parquet"
+    orphan.write_bytes(b"PAR1junkPAR1")
+    n_before = t.read().count()
+
+    # nothing referenced by retained snapshots may be deleted
+    expired = t.expire_snapshots(retain_last=1)
+    assert expired == [1, 2]
+    stats = t.vacuum()
+    assert stats["files_removed"] >= 1  # the orphan + v1/v2-only files
+    assert not orphan.exists()
+    assert t.read().count() == n_before  # current snapshot intact
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+
+
+def test_concurrent_commit_conflict(spark, tmpdir_path):
+    """Two writers planning against the same base version: first commit wins,
+    second gets FileExistsError (optimistic concurrency, Iceberg-style)."""
+    df = change_stream(spark, 200, n_repos=3, paths_per_repo=5,
+                       events_per_epoch=200, dup_pct=0)
+    a = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    b = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    a.merge_epochs(df, [0])
+    base = a.manifest()
+    # both now plan against version 1 and race the v2 swap
+    a.merge_epochs(df.limit(50), [1])
+    with pytest.raises(FileExistsError):
+        b._commit_manifest({**base, "applied_epochs": [0, 99]},
+                           base_version=base["version"])
