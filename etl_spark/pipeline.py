@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.checkpoint import CheckpointLog
+from etl_spark.metrics import MetricsSink
 from etl_spark.functions.content import content_sha256, normalize_lang
 from etl_spark.lake.table import SnapshotTable
 from etl_spark.operators.dedupe import (
@@ -127,6 +128,7 @@ class IngestPipeline:
             spark, table_root, key_cols=key_cols, order_col=order_col, n_buckets=n_buckets
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
+        self.metrics = MetricsSink(table_root)
         self.count_input = count_input
         self._dedupe = {
             "maxby": latest_by_key,
@@ -172,6 +174,22 @@ class IngestPipeline:
                 stats.events_read = raw.count()
                 stats.events_applied = deduped.groupBy().count().collect()[0][0]
         stats.seconds = time.time() - t0
+        if not commit.get("skipped"):
+            self.metrics.emit(
+                {
+                    "mode": mode,
+                    "epochs": commit["epochs"],
+                    "version": commit.get("version"),
+                    "rows_written": commit.get("rows_written"),
+                    "buckets_rewritten": len(commit.get("rewritten_buckets", [])),
+                    "events_read": stats.events_read or None,
+                    "events_applied": stats.events_applied or None,
+                    "seconds": round(stats.seconds, 3),
+                    "events_per_sec": round(stats.events_read / stats.seconds, 1)
+                    if stats.events_read and stats.seconds > 0
+                    else None,
+                }
+            )
         return stats
 
     def _log_lineage(self, commit: dict[str, Any]) -> None:

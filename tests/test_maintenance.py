@@ -73,3 +73,10 @@ def test_concurrent_commit_conflict(spark, tmpdir_path):
     with pytest.raises(FileExistsError):
         b._commit_manifest({**base, "applied_epochs": [0, 99]},
                            base_version=base["version"])
+
+
+def test_metrics_emitted(replayed):
+    recs = replayed.metrics.read()
+    assert len(recs) == 3  # one per incremental commit
+    assert all(r["rows_written"] > 0 and r["seconds"] > 0 for r in recs)
+    assert [r["epochs"] for r in recs] == [[0], [1], [2]]

@@ -24,25 +24,43 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(stream: str, cpus: int, mode: str, dedupe: str) -> dict:
-    """One replay at local[cpus] in a fresh subprocess/JVM."""
+def run_one(stream: str, cpus: int, mode: str, dedupe: str, tmpfs: bool) -> dict:
+    """One replay at local[cpus] in a fresh subprocess/JVM.
+
+    ``tmpfs=True`` places shuffle spill and the output table on /dev/shm.
+    Rationale: on a real cluster, disk bandwidth scales WITH executors (every
+    node brings its own disks); on this single-disk sandbox it does not, so a
+    disk-bound run measures the one disk, not the engine. RAM-backed storage
+    restores the storage-scales-with-compute property the criterion assumes.
+    """
+    work = "/dev/shm/etl_scaling" if tmpfs else None
     code = f"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, {REPO!r})
 from etl_spark.pipeline import IngestPipeline
 from etl_spark.session import get_spark
-spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={max(8, cpus)})
+extra = {{}}
+work = {work!r}
+if work:
+    import os, uuid
+    work = os.path.join(work, uuid.uuid4().hex)
+    os.makedirs(work, exist_ok=True)
+    extra["spark.local.dir"] = os.path.join(work, "shuffle")
+spark = get_spark("scaling", master="local[{cpus}]",
+                  shuffle_partitions={max(8, cpus)}, extra_conf=extra)
 # warm JVM/codegen so the measurement is the job, not startup
 spark.range(1_000_000).selectExpr("sum(id)").collect()
-root = tempfile.mkdtemp(prefix="etl_scaling_")
+root = work or tempfile.mkdtemp(prefix="etl_scaling_")
 t0 = time.time()
 pipe = IngestPipeline(spark, root + "/table", n_buckets=64, count_input=False,
                       dedupe_strategy={dedupe!r})
 stats = pipe.replay({stream!r}, mode={mode!r})
 secs = time.time() - t0
-print(json.dumps({{"cpus": {cpus}, "mode": {mode!r}, "seconds": round(secs, 2)}}))
-shutil.rmtree(root, ignore_errors=True)
+load = open("/proc/loadavg").read().split()[0]
+print(json.dumps({{"cpus": {cpus}, "mode": {mode!r}, "seconds": round(secs, 2),
+                   "loadavg": float(load)}}))
 spark.stop()
+shutil.rmtree(root, ignore_errors=True)
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
@@ -65,21 +83,29 @@ def main() -> int:
                     help="runs per level; min wall time is kept (controls for "
                          "background load on the shared sandbox)")
     ap.add_argument("--write-benchmd", action="store_true")
+    ap.add_argument("--stream", default=None,
+                    help="reuse a pre-generated stream dir (skips gen + cleanup)")
+    ap.add_argument("--tmpfs", action="store_true",
+                    help="shuffle + table on /dev/shm (storage scales with "
+                         "compute, as on a real cluster)")
     args = ap.parse_args()
 
-    # Generate the shared input once (deterministic; JVM-side).
-    stream_root = tempfile.mkdtemp(prefix="etl_scaling_stream_")
-    gen = subprocess.run(
-        [
-            sys.executable, "-m", "etl_spark.cli", "gen",
-            "--out", f"{stream_root}/stream", "--events", str(args.events),
-            "--epochs", "4", "--repos", str(args.repos), "--master", "local[32]",
-        ],
-        capture_output=True, text=True, cwd=REPO,
-    )
-    if gen.returncode != 0:
-        raise RuntimeError(gen.stderr[-2000:])
-    stream = f"{stream_root}/stream"
+    if args.stream:
+        stream_root, stream = None, args.stream
+    else:
+        # Generate the shared input once (deterministic; JVM-side).
+        stream_root = tempfile.mkdtemp(prefix="etl_scaling_stream_")
+        gen = subprocess.run(
+            [
+                sys.executable, "-m", "etl_spark.cli", "gen",
+                "--out", f"{stream_root}/stream", "--events", str(args.events),
+                "--epochs", "4", "--repos", str(args.repos), "--master", "local[32]",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if gen.returncode != 0:
+            raise RuntimeError(gen.stderr[-2000:])
+        stream = f"{stream_root}/stream"
 
     cpu_levels = sorted({int(c) for p in args.pairs.split(",") for c in p.split(":")})
     results = {}
@@ -87,7 +113,7 @@ def main() -> int:
     # levels equally; keep the min (least-contended) run per level
     for rep in range(args.repeats):
         for cpus in cpu_levels:
-            r = run_one(stream, cpus, args.mode, args.dedupe)
+            r = run_one(stream, cpus, args.mode, args.dedupe, args.tmpfs)
             print(json.dumps({**r, "rep": rep}))
             if cpus not in results or r["seconds"] < results[cpus]["seconds"]:
                 results[cpus] = r
@@ -106,16 +132,18 @@ def main() -> int:
         )
     print(json.dumps(summary))
 
-    import shutil
+    if stream_root:
+        import shutil
 
-    shutil.rmtree(stream_root, ignore_errors=True)
+        shutil.rmtree(stream_root, ignore_errors=True)
 
     if args.write_benchmd:
         lines = [
             "# BENCH — scaling evidence (N vs 4N parallelism)",
             "",
             "Same replay job (deterministic generated change stream, "
-            f"{args.events:,} events over {args.repos:,} repos, 4 epochs, mode={args.mode}, "
+            f"{args.events:,} events over {args.repos:,} repos, 4 epochs, "
+            f"mode={args.mode}, tmpfs={args.tmpfs}, "
             f"dedupe={args.dedupe}, best of {args.repeats} runs/level) at two",
             "parallelism levels, one fresh JVM each — the sandbox evidence for the",
             "north_rule's N -> 4N executor scaling criterion (no real cluster here).",
