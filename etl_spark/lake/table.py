@@ -285,6 +285,7 @@ class SnapshotTable:
         epoch_ids: list[int],
         *,
         extra_summary: dict[str, Any] | None = None,
+        max_retries: int = 3,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
 
@@ -293,7 +294,30 @@ class SnapshotTable:
         table rewrite instead of N (SURVEY §2.9: epoch = set of binlog
         segments). All epoch ids land atomically in the manifest's
         applied-epoch set, so a crash mid-catch-up replays cleanly.
+
+        Concurrent writers: if another writer swaps the manifest first, the
+        atomic link raises and this merge RE-PLANS against the new snapshot
+        (Iceberg's optimistic-concurrency loop). A competing writer that
+        applied the same epochs turns the retry into a skip; files written by
+        the losing attempt become orphans for ``vacuum``.
         """
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._merge_epochs_once(updates, epoch_ids, extra_summary)
+            except FileExistsError as err:
+                last_err = err  # manifest swap lost; re-plan from new snapshot
+        raise RuntimeError(
+            f"merge of epochs {epoch_ids} lost the commit race {max_retries} "
+            "times; giving up"
+        ) from last_err
+
+    def _merge_epochs_once(
+        self,
+        updates: DataFrame,
+        epoch_ids: list[int],
+        extra_summary: dict[str, Any] | None,
+    ) -> dict[str, Any]:
         applied = self.applied_epochs()
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:

@@ -80,3 +80,58 @@ def test_metrics_emitted(replayed):
     assert len(recs) == 3  # one per incremental commit
     assert all(r["rows_written"] > 0 and r["seconds"] > 0 for r in recs)
     assert [r["epochs"] for r in recs] == [[0], [1], [2]]
+
+
+def test_concurrent_merge_replans_and_succeeds(spark, tmpdir_path):
+    """A writer that loses the manifest swap re-plans against the new snapshot
+    and commits on retry (optimistic-concurrency loop)."""
+    df = change_stream(spark, 300, n_repos=3, paths_per_repo=5,
+                       events_per_epoch=150, dup_pct=0)
+    a = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    a.merge_epochs(df.where("epoch = 0"), [0])
+
+    b = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    orig = b._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(manifest, base_version=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands version base+1 first
+            a.merge_epochs(df.where("epoch = 1"), [1])
+        return orig(manifest, base_version)
+
+    b._commit_manifest = racing_commit
+    commit = b.merge_epochs(df.where("epoch = 1").limit(10).withColumn(
+        "path", df.path), [2])
+    assert not commit.get("skipped")
+    assert state["raced"]
+    assert b.applied_epochs() == {0, 1, 2}
+    # losing attempt's files are unreferenced orphans, reclaimed by vacuum
+    b.expire_snapshots(retain_last=1)
+    b.vacuum()
+    assert b.read().count() > 0
+
+
+def test_empty_epoch_commits_metadata_only(spark, tmpdir_path):
+    """An epoch whose rows all fail validity still commits (epoch marked
+    applied) without writing data files."""
+    from etl_spark.pipeline import IngestPipeline
+    import pyspark.sql.functions as F
+
+    df = change_stream(spark, 200, n_repos=3, paths_per_repo=5,
+                       events_per_epoch=100, dup_pct=0)
+    # epoch 1's rows are invalidated (null content -> dropped by clean)
+    poisoned = df.withColumn(
+        "content", F.when(F.col("epoch") == 1, F.lit(None)).otherwise(F.col("content"))
+    )
+    from etl_spark.datagen import write_segments
+    stream = f"{tmpdir_path}/stream"
+    write_segments(poisoned, stream)
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/table", n_buckets=2)
+    stats = pipe.replay(stream)
+    assert [s.epoch for s in stats] == [0, 1]
+    assert pipe.table.applied_epochs() == {0, 1}
+    assert stats[1].events_applied == 0
+    # replaying again is a no-op
+    assert pipe.replay(stream) == []
