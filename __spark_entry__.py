@@ -340,6 +340,17 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_dim_enrich(spark, sf_dir):
+    """Broadcast dim enrichment (S5/J6): docs x lang->ecosystem lookup."""
+    from etl_spark.sources.dims import broadcast_enrich, lang_ecosystem_dim
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_lang("lang").alias("lang")
+    )
+    enriched = broadcast_enrich(d, lang_ecosystem_dim(spark), on="lang")
+    return enriched.groupBy("ecosystem").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_o4_union_distinct(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -518,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_pandas": q_sessionize_pandas,
         "j6_star_revenue": q_j6_star_revenue,
         "tpch_q1": q_tpch_q1,
+        "dim_enrich": q_dim_enrich,
         "o4_union_distinct": q_o4_union_distinct,
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
@@ -677,6 +689,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+
+        "dim_enrich": f"""
+            WITH dim(lang, ecosystem, runtime) AS (VALUES ('python', 'pypi', 'cpython'), ('rust', 'crates', 'rustc'), ('go', 'gomod', 'go'), ('cpp', 'conan', 'llvm'), ('c', 'conan', 'llvm'), ('javascript', 'npm', 'v8'), ('typescript', 'npm', 'v8'), ('java', 'maven', 'jvm'), ('markdown', 'docs', 'none'), ('text', 'docs', 'none'), ('unknown', 'unknown', 'none')),
+            d AS (SELECT doc_id, {lang_case} AS lang FROM documents)
+            SELECT ecosystem, count(*) AS n_docs
+            FROM d LEFT JOIN dim USING (lang)
+            GROUP BY ecosystem
         """,
         "o4_union_distinct": """
             SELECT c_nationkey AS nationkey FROM customer

@@ -37,3 +37,39 @@ def test_pending_filters(tmpdir_path):
     assert [s.epoch for s in got] == [1, 3, 4]
     got = pending_segments(tmpdir_path, {0}, min_epoch=1, max_epoch=3)
     assert [s.epoch for s in got] == [1, 2, 3]
+
+
+def test_load_json_dim_and_broadcast_enrich(spark, tmpdir_path):
+    """S5 JSON dim source + J6 broadcast enrichment."""
+    import json as _json
+    from pathlib import Path
+
+    from etl_spark.sources.dims import broadcast_enrich, load_json_dim
+
+    p = Path(tmpdir_path) / "dim.json"
+    p.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"lang": "python", "tier": 1},
+                {"lang": "rust", "tier": 2},
+            ]
+        )
+    )
+    dim = load_json_dim(spark, str(p))
+    facts = spark.createDataFrame(
+        [("a", "python"), ("b", "rust"), ("c", "cobol")], ["id", "lang"]
+    )
+    out = broadcast_enrich(facts, dim, on="lang")
+    got = {r["id"]: r["tier"] for r in out.collect()}
+    assert got == {"a": 1, "b": 2, "c": None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_lang_ecosystem_dim(spark):
+    from etl_spark.sources.dims import lang_ecosystem_dim
+
+    dim = lang_ecosystem_dim(spark)
+    rows = {r["lang"]: r["ecosystem"] for r in dim.collect()}
+    assert rows["python"] == "pypi" and rows["unknown"] == "unknown"
