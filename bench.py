@@ -70,7 +70,7 @@ def bench_replay(spark, n_events: int) -> dict:
         t0 = time.time()
         stats = pipe.replay(f"{root}/stream")
         replay_s = time.time() - t0
-        applied = sum(s.events_applied for s in stats)
+        applied = sum(s.commit.get("rows_written", 0) for s in stats)
 
         cat = IngestPipeline(spark, f"{root}/table_cat", n_buckets=64, count_input=False)
         t0 = time.time()
@@ -78,7 +78,7 @@ def bench_replay(spark, n_events: int) -> dict:
         catchup_s = time.time() - t0
         return {
             "events_generated": n_events,
-            "events_applied": applied,
+            "rows_written": applied,
             "gen_sec": round(gen_s, 2),
             "replay_sec": round(replay_s, 2),
             "events_per_sec": round(n_events / replay_s, 1),

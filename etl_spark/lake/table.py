@@ -228,11 +228,13 @@ class SnapshotTable:
             F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _write_bucketed(self, df: DataFrame) -> list[dict[str, Any]]:
-        """Write df as bucket-pure parquet files under data/; return file infos.
+    def _stage_bucketed(self, df: DataFrame) -> tuple[Path, list[dict[str, Any]]]:
+        """Materialize df ONCE as bucket-pure sorted parquet in a staging dir.
 
         One shuffle, partitioned on the bucket column, so every output file
-        holds exactly one bucket — later merges prune at file granularity.
+        holds exactly one bucket — merges prune at file granularity, and the
+        bucket set is discovered from the staging dirs instead of a second
+        evaluation of the (expensive) upstream plan.
         """
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
         (
@@ -247,21 +249,32 @@ class SnapshotTable:
         for bdir in sorted(staging.glob("_bucket=*")):
             bucket = int(bdir.name.split("=")[1])
             for part in sorted(bdir.glob("*.parquet")):
-                dest = self.root / DATA_DIR / f"{uuid.uuid4().hex}.parquet"
-                os.replace(part, dest)
-                meta = pq.read_metadata(dest)
+                meta = pq.read_metadata(part)
                 infos.append(
                     {
-                        "path": str(dest),
+                        "path": str(part),
                         "bucket": bucket,
                         "rows": meta.num_rows,
-                        "bytes": dest.stat().st_size,
+                        "bytes": part.stat().st_size,
                     }
                 )
+        return staging, infos
+
+    def _promote(self, info: dict[str, Any]) -> dict[str, Any]:
+        """Move a staged file into data/ (rename-only; no rewrite)."""
+        dest = self.root / DATA_DIR / f"{uuid.uuid4().hex}.parquet"
+        os.replace(info["path"], dest)
+        return {**info, "path": str(dest)}
+
+    def _write_bucketed(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Stage + promote in one step (first-write / full-rewrite path)."""
         import shutil
 
-        shutil.rmtree(staging, ignore_errors=True)
-        return infos
+        staging, infos = self._stage_bucketed(df)
+        try:
+            return [self._promote(f) for f in infos]
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def merge_epoch(
         self,
@@ -351,22 +364,36 @@ class SnapshotTable:
         old_schema = T.StructType.fromJson(m["schema"])
         merged_schema = _merge_schemas(old_schema, updates.schema)
 
-        # Bucket pruning: only buckets named by the updates are rewritten.
-        touched = sorted(
-            r["_b"]
-            for r in updates.select(self._bucket_expr().alias("_b")).distinct().collect()
-        )
-        touched_set = set(touched)
-        old_touched = [f for f in m["files"] if f["bucket"] in touched_set]
-        carried = [f for f in m["files"] if f["bucket"] not in touched_set]
+        # Stage the updates ONCE (the only evaluation of the upstream plan);
+        # the touched-bucket set falls out of the staging layout for free.
+        import shutil
 
-        existing = self._read_files(old_touched, merged_schema)
-        merged = latest_by_key(
-            existing.unionByName(updates, allowMissingColumns=True),
-            keys=self.key_cols,
-            order_col=self.order_col,
-        )
-        new_files = self._write_bucketed(merged)
+        staging, staged = self._stage_bucketed(updates)
+        try:
+            touched = sorted({f["bucket"] for f in staged})
+            old_buckets = {f["bucket"] for f in m["files"]}
+            overlap = {b for b in touched if b in old_buckets}
+            carried = [f for f in m["files"] if f["bucket"] not in overlap]
+
+            # Buckets with no existing file: staged output IS final — rename.
+            new_files = [self._promote(f) for f in staged if f["bucket"] not in overlap]
+
+            if overlap:
+                # Only overlapping buckets re-merge: read existing + staged
+                # rows for those buckets (small, bucket-pure files) and
+                # rewrite them with latest-wins.
+                old_touched = [f for f in m["files"] if f["bucket"] in overlap]
+                staged_touched = [f for f in staged if f["bucket"] in overlap]
+                existing = self._read_files(old_touched, merged_schema)
+                incoming = self._read_files(staged_touched, merged_schema)
+                merged = latest_by_key(
+                    existing.unionByName(incoming, allowMissingColumns=True),
+                    keys=self.key_cols,
+                    order_col=self.order_col,
+                )
+                new_files += self._write_bucketed(merged)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
         manifest = {
             "schema": merged_schema.jsonValue(),
