@@ -301,6 +301,45 @@ _SESSION_SQL = """
 """
 
 
+
+CORPUS_PREP_SQL = r"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               round((
+                   least(length(coalesce(text, '')) / 1000.0, 1.0)
+                   + CASE WHEN length(coalesce(text, '')) > 0 THEN
+                       len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
+                         / length(coalesce(text, ''))::DOUBLE
+                     ELSE 0.0 END
+                   + least(len(regexp_extract_all(coalesce(text, ''),
+                       '(?i)\b(the|a|of|and|to|in|is|that|it|for)\b')) / 20.0, 1.0)
+               ) / 3.0, 6) AS quality,
+               CASE WHEN len(regexp_extract_all(coalesce(text, ''), '[{}();=<>/\\\[\]]'))
+                         / greatest(length(coalesce(text, '')), 1)::DOUBLE > 0.05
+                    THEN 'code'
+                    WHEN len(regexp_extract_all(coalesce(text, ''),
+                        '(?i)\b(the|a|of|and|to|in|is|that|it|for)\b'))
+                         / ((CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                             END) + 1)::DOUBLE > 0.12
+                    THEN 'en'
+                    ELSE 'other' END AS lang_guess
+        FROM documents
+    ), gated AS (
+        SELECT * FROM scored WHERE quality >= 0.3 AND lang_guess <> 'other'
+    ), kept AS (
+        SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated GROUP BY md5(coalesce(text, '')))
+    )
+    SELECT doc_id, __LANG_CASE__ AS lang,
+           CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+           END AS n_tokens,
+           lang_guess
+    FROM kept
+"""
+
+
 def q_j6_star_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
@@ -337,6 +376,43 @@ def q_tpch_q1(spark, sf_dir):
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def q_sessionize_native(spark, sf_dir):
+    """Gap sessionization via Spark's built-in session_window (streaming-
+    compatible). NB: session_window splits on gap >= threshold (window end =
+    last_event + gap, strict-< membership), vs the lag-based variant's
+    strict->; the oracle reflects that."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+        )
+        .agg(
+            F.min(_es("ts")).alias("ts_start_s"),
+            F.max(_es("ts")).alias("ts_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+    return agg.withColumn("duration_s", F.col("ts_end_s") - F.col("ts_start_s"))
+
+
+def q_corpus_prep(spark, sf_dir):
+    """Composed training-data prep: quality gate -> lang gate -> exact dedupe
+    -> token stats. The 'everything together' flagship for the documents
+    pipeline (filters + derived functions + dedupe in one plan)."""
+    d = _t(spark, sf_dir, "documents")
+    gated = d.where(
+        (quality_score("text") >= 0.3) & (lang_id_heuristic("text") != "other")
+    )
+    deduped = exact_dedupe(gated)
+    return deduped.select(
+        "doc_id",
+        normalize_lang("lang").alias("lang"),
+        token_count("text").alias("n_tokens"),
+        lang_id_heuristic("text").alias("lang_guess"),
     )
 
 
@@ -529,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_pandas": q_sessionize_pandas,
         "j6_star_revenue": q_j6_star_revenue,
         "tpch_q1": q_tpch_q1,
+        "sessionize_native": q_sessionize_native,
+        "corpus_prep": q_corpus_prep,
         "dim_enrich": q_dim_enrich,
         "o4_union_distinct": q_o4_union_distinct,
         "topk_orders": q_topk_orders,
@@ -665,6 +743,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": _SESSION_SQL,
         "sessionize_pandas": _SESSION_SQL,
+        "sessionize_native": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS es,
+                       epoch(ts) AS esf,
+                       lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_esf
+                FROM events
+            ), flagged AS (
+                SELECT *, CASE WHEN prev_esf IS NULL OR esf - prev_esf >= 1800
+                               THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, min(es) AS ts_start_s, max(es) AS ts_end_s,
+                   count(*) AS n_events, max(es) - min(es) AS duration_s
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "corpus_prep": CORPUS_PREP_SQL.replace("__LANG_CASE__", lang_case),
         "j6_star_revenue": """
             SELECT r_name, n_name,
                    sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)

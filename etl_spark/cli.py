@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-epoch", type=int, default=None)
     r.add_argument("--mode", choices=["incremental", "catchup"], default="incremental",
                    help="catchup = all pending segments in one dedupe+commit")
-    r.add_argument("--dedupe", choices=["maxby", "window", "salted"], default="maxby",
+    r.add_argument("--dedupe", choices=["maxby", "window", "salted", "auto"], default="maxby",
                    help="physical dedupe strategy (see operators/dedupe.py)")
     _add_spark_args(r)
 

@@ -1,4 +1,5 @@
 from etl_spark.operators.dedupe import (
+    choose_dedupe_strategy,
     latest_by_key,
     latest_by_key_salted,
     latest_by_key_window,
@@ -23,6 +24,7 @@ from etl_spark.operators.textdedup import (
 
 __all__ = [
     "latest_by_key",
+    "choose_dedupe_strategy",
     "latest_by_key_salted",
     "latest_by_key_window",
     "with_session_id",

@@ -74,6 +74,58 @@ def latest_by_key_salted(
     return phase2.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
 
 
+def probe_skew(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    sample_fraction: float = 0.01,
+    min_sample: int = 10_000,
+) -> dict:
+    """Cheap skew probe: sampled per-key histogram -> max key share.
+
+    The reference orders work by per-key counts to schedule heavy keys first
+    (A5/P3; duckdb_construct_trajs_stops.py:76-94). We sample instead of a
+    full count: at 10^10 rows a 1% (floored to ``min_sample`` rows in
+    expectation) sample bounds the probe cost while a mega-key's share
+    estimate stays accurate — the probe only needs order-of-magnitude truth
+    to pick a physical strategy.
+    """
+    n_total = df.count()
+    if n_total == 0:
+        return {"rows_sampled": 0, "max_share": 0.0, "hot_keys": []}
+    frac = min(1.0, max(sample_fraction, min_sample / n_total))
+    sample = df.sample(fraction=frac, seed=13)
+    hist = (
+        sample.groupBy(*keys)
+        .count()
+        .orderBy(F.col("count").desc())
+        .limit(5)
+        .collect()
+    )
+    n_sampled = sum(r["count"] for r in hist) if hist else 0
+    total_sampled = max(1, int(n_total * frac))
+    return {
+        "rows_sampled": total_sampled,
+        "max_share": hist[0]["count"] / total_sampled if hist else 0.0,
+        "hot_keys": [tuple(r[k] for k in keys) for r in hist],
+        "_n_sampled_top5": n_sampled,
+    }
+
+
+def choose_dedupe_strategy(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    hot_share_threshold: float = 0.05,
+) -> str:
+    """Pick a physical dedupe strategy from a sampled skew probe.
+
+    A single key holding > ``hot_share_threshold`` of the stream makes the
+    window plan's per-key sort a straggler -> use the salted two-phase
+    reduce. Otherwise max_by (partial-agg) is the safe default.
+    """
+    probe = probe_skew(df, keys)
+    return "salted" if probe["max_share"] > hot_share_threshold else "maxby"
+
+
 def latest_by_key_window(
     df: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,

@@ -38,6 +38,7 @@ from etl_spark.metrics import MetricsSink
 from etl_spark.functions.content import content_sha256, normalize_lang
 from etl_spark.lake.table import SnapshotTable
 from etl_spark.operators.dedupe import (
+    choose_dedupe_strategy,
     latest_by_key,
     latest_by_key_salted,
     latest_by_key_window,
@@ -130,11 +131,22 @@ class IngestPipeline:
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)
         self.count_input = count_input
-        self._dedupe = {
+        if dedupe_strategy not in ("maxby", "window", "salted", "auto"):
+            raise ValueError(f"unknown dedupe_strategy {dedupe_strategy!r}")
+        self._dedupe_strategy = dedupe_strategy
+
+    def resolve_dedupe(self, cleaned: DataFrame):
+        """Resolve the configured dedupe strategy to a callable; ``auto`` runs
+        a sampled skew probe on the batch (SURVEY P3) to pick salted vs maxby."""
+        strategy = self._dedupe_strategy
+        if strategy == "auto":
+            strategy = choose_dedupe_strategy(cleaned, self.table.key_cols)
+        fn = {
             "maxby": latest_by_key,
             "window": latest_by_key_window,
             "salted": latest_by_key_salted,
-        }[dedupe_strategy]
+        }[strategy]
+        return strategy, fn
 
     # ---- shared batch core ---------------------------------------------------
 
@@ -154,8 +166,9 @@ class IngestPipeline:
         t0 = time.time()
         stats = EpochStats(epoch=segments[-1].epoch)
         raw = self._read_segments(segments)
+        strategy, dedupe_fn = self.resolve_dedupe(clean_events(raw))
         deduped = derive_content_columns(
-            self._dedupe(
+            dedupe_fn(
                 clean_events(raw),
                 keys=self.table.key_cols,
                 order_col=self.table.order_col,
@@ -164,7 +177,8 @@ class IngestPipeline:
         commit = self.table.merge_epochs(
             deduped,
             [s.epoch for s in segments],
-            extra_summary={"segments": len(segments), "mode": mode},
+            extra_summary={"segments": len(segments), "mode": mode,
+                           "dedupe": strategy},
         )
         stats.commit = commit
         if not commit.get("skipped"):

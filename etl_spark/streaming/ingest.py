@@ -72,9 +72,11 @@ def stream_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Same core as IngestPipeline._apply_batch, keyed by streaming batch
         # id: the sink's applied-epoch set makes re-delivered batches no-ops.
+        cleaned = clean_events(batch_df)
+        _, dedupe_fn = pipe.resolve_dedupe(cleaned)
         deduped = derive_content_columns(
-            pipe._dedupe(
-                clean_events(batch_df),
+            dedupe_fn(
+                cleaned,
                 keys=pipe.table.key_cols,
                 order_col=pipe.table.order_col,
             )

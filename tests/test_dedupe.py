@@ -48,3 +48,42 @@ def test_latest_wins(spark):
         ("r", "a"): ("c000000000003", "v3"),
         ("r", "b"): ("c000000000001", "w1"),
     }
+
+
+def test_skew_probe_and_auto_strategy(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.dedupe import choose_dedupe_strategy, probe_skew
+
+    # uniform stream: no key exceeds the hot threshold
+    uniform = change_stream(spark, 5000, n_repos=50, paths_per_repo=50, skew=1.0)
+    assert choose_dedupe_strategy(uniform) == "maxby"
+
+    # mega-key stream: one (repo, path) holds half the rows
+    base = change_stream(spark, 4000, n_repos=50, paths_per_repo=50, skew=1.0)
+    hot = base.withColumn(
+        "repo", F.when(F.pmod("lsn", F.lit(2)) == 0, F.lit("megarepo")).otherwise(F.col("repo"))
+    ).withColumn(
+        "path", F.when(F.col("repo") == "megarepo", F.lit("hot.py")).otherwise(F.col("path"))
+    )
+    probe = probe_skew(hot)
+    assert probe["max_share"] > 0.3
+    assert ("megarepo", "hot.py") in probe["hot_keys"]
+    assert choose_dedupe_strategy(hot) == "salted"
+
+
+def test_auto_pipeline_replay(spark, tmpdir_path):
+    """auto strategy end-to-end: final state equals the fixed-strategy state."""
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    df = change_stream(spark, 3000, n_repos=10, paths_per_repo=20, dup_pct=5)
+    stream = f"{tmpdir_path}/stream"
+    write_segments(df, stream)
+    auto = IngestPipeline(spark, f"{tmpdir_path}/a", n_buckets=4, dedupe_strategy="auto")
+    fixed = IngestPipeline(spark, f"{tmpdir_path}/b", n_buckets=4)
+    auto.replay(stream, mode="catchup")
+    fixed.replay(stream, mode="catchup")
+    ca = sorted(map(tuple, auto.table.read().drop("epoch").collect()))
+    cb = sorted(map(tuple, fixed.table.read().drop("epoch").collect()))
+    assert ca == cb
