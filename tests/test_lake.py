@@ -99,3 +99,17 @@ def test_old_files_never_rewritten_on_evolution(spark, tmpdir_path):
     final = t.read()
     assert final.where("metadata IS NOT NULL").count() == 1
     assert final.where("metadata IS NULL").count() == 100
+
+
+def test_one_file_per_bucket_invariant(spark, tmpdir_path):
+    """After arbitrarily many merges, each bucket holds exactly one live file
+    (carried or rewritten) — no compaction ever needed."""
+    t = _tbl(spark, tmpdir_path)
+    for epoch in range(5):
+        rows = [("r", f"p{(epoch * 7 + i) % 60:03d}", f"c{epoch:012d}", "x")
+                for i in range(30)]
+        t.merge_epoch(_df(spark, rows), epoch)
+    m = t.manifest()
+    buckets = [f["bucket"] for f in m["files"]]
+    assert len(buckets) == len(set(buckets)), "multiple live files in one bucket"
+    assert len(buckets) <= 4
