@@ -538,6 +538,17 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=3)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -625,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible / self-generating)
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
     }
 

@@ -11,7 +11,7 @@ from etl_spark.operators.sessionize import (
     suppress_consecutive_duplicates,
     with_session_id,
 )
-from etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from etl_spark.operators.textdedup import (
     exact_dedupe,
     fingerprint_dedupe,
@@ -40,6 +40,7 @@ __all__ = [
     "simhash_near_pairs",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
     "extract_media_features",
     "synthesize_media",
 ]

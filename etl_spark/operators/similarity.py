@@ -94,6 +94,112 @@ def lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7):
     return bucket
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 11,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-row list assignment.
+
+    Training uses Spark MLlib KMeans (seeded, deterministic given the input);
+    assignment is a pure DataFrame expression (argmin over centroid dot
+    products via higher-order functions), so at 10^9 vectors the assignment
+    pass is codegen'd JVM work with zero Python. Returns (corpus + ``_list``
+    column, centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = corpus.withColumn(
+        "_list", nearest_centroid(F.col(vec_col), centroids)
+    )
+    return assigned, centroids
+
+
+def nearest_centroid(vec_col, centroids: list[list[float]]):
+    """Index of the closest centroid (squared L2) — pure JVM expression."""
+    v = _as_double(vec_col)
+    best_idx, best_dist = F.lit(0), None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        if best_dist is None:
+            best_dist = d
+        else:
+            cond = d < best_dist
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    return best_idx
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only the ``n_probe`` nearest inverted
+    lists per query (classic coarse quantization; the standard scale path
+    next to LSH). Same output schema as ``brute_force_topk``; recall measured
+    in tests. At scale the corpus is scored per colliding list — an equi-join
+    on the list id — instead of the full cross join.
+    """
+    assigned, centroids = ivf_assignments(corpus, vec_col, n_lists, seed)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col("_list"),
+    )
+
+    # per-query probe lists: n_probe nearest centroids
+    def probe_lists(vcol):
+        v = _as_double(vcol)
+        dists = []
+        for i, cent in enumerate(centroids):
+            carr = F.array(*[F.lit(float(x)) for x in cent])
+            d = F.aggregate(
+                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        arr = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(arr, 1, n_probe), lambda s: s["i"])
+
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_list")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -77,3 +77,37 @@ def test_lsh_topk_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=4/16 lists: recall@5 vs brute force must be high on a
+    500-vector corpus, and scores for returned ids must match exact scores."""
+    from etl_spark.operators.similarity import ivf_topk
+
+    corpus = _corpus(spark)
+    queries = _queries(corpus)
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in approx if r["neighbor_id"] in exact_sets[r["query_id"]])
+    total = len(approx)
+    assert total >= 10
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    from etl_spark.operators.similarity import ivf_assignments
+
+    corpus = _corpus(spark)
+    assigned, centroids = ivf_assignments(corpus, n_lists=8)
+    assert len(centroids) == 8
+    counts = {r["_list"]: r["count"] for r in assigned.groupBy("_list").count().collect()}
+    assert sum(counts.values()) == corpus.count()
+    assert len(counts) >= 4  # actually spreads across lists
