@@ -23,6 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
+
 from etl_spark.datagen import change_stream, write_segments
 from etl_spark.pipeline import IngestPipeline
 from etl_spark.session import get_spark
@@ -52,6 +54,47 @@ def _sf_from_dir(sf_dir: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return 0.1
+
+
+def bench_sparse_epoch(spark, n_events: int) -> dict:
+    """Steady-state CDC cost: after a bootstrap of n_events, apply ONE small
+    epoch touching ~1% of keys — the bucket-pruning design claim ("an epoch
+    touching 1% of keys rewrites ~1% of the table") measured directly."""
+    root = tempfile.mkdtemp(prefix="etl_spark_sparse_")
+    try:
+        base = change_stream(spark, n_events, n_repos=max(100, n_events // 10_000),
+                             events_per_epoch=n_events, dup_pct=0)
+        write_segments(base, f"{root}/stream")
+        pipe = IngestPipeline(spark, f"{root}/table", n_buckets=256, count_input=False)
+        pipe.replay(f"{root}/stream", mode="catchup")
+
+        # delta epoch: a burst of commits to ~50 keys of one repo (the
+        # steady-state CDC shape: activity clusters in few repos). NB hash
+        # bucketing prunes by BUCKET, so rewrite cost ~ distinct delta keys
+        # (capped at n_buckets), not delta row count — a delta of scattered
+        # keys would touch every bucket; that regime needs more buckets or
+        # file-level pruning, which is why n_buckets is a knob.
+        delta = (
+            change_stream(spark, n_events // 100, n_repos=1, paths_per_repo=5,
+                          events_per_epoch=n_events // 100, dup_pct=0)
+            .withColumn("lsn", F.col("lsn") + n_events)
+            .withColumn("commit", F.format_string("c%012d", F.col("lsn")))
+            .withColumn("epoch", F.lit(1).cast("int"))
+        )
+        (delta.repartition(4).write.mode("overwrite")
+              .parquet(f"{root}/stream/epoch=1"))
+        t0 = time.time()
+        stats = pipe.replay(f"{root}/stream")
+        secs = time.time() - t0
+        c = stats[0].commit
+        return {
+            "delta_events": n_events // 100,
+            "seconds": round(secs, 2),
+            "buckets_rewritten": len(c.get("rewritten_buckets", [])),
+            "files_carried": c.get("carried_files"),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def bench_replay(spark, n_events: int) -> dict:
@@ -109,6 +152,8 @@ def main() -> int:
     replay = bench_replay(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["cdc_replay"] = replay["replay_sec"]
     timings["cdc_replay_catchup"] = replay["catchup_sec"]
+    sparse = bench_sparse_epoch(spark, int(REPLAY_EVENTS_PER_SF * sf))
+    timings["cdc_sparse_epoch"] = sparse["seconds"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -120,6 +165,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "replay": replay,
+                "sparse_epoch": sparse,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )

@@ -53,6 +53,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("byte_len", T.IntegerType(), False),
         T.StructField("content_sha256", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # per-row error isolation (reference U5: per-future try/except,
+        # duckdb_construct_trajs_stops.py:191-206): a corrupt item yields a
+        # null feature + error string instead of failing the batch/job.
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -123,6 +127,14 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             media = pdf["media"]
+
+            def safe_feature(b):
+                try:
+                    return (_fake_feature(b, feature_dim), None)
+                except Exception as exc:  # noqa: BLE001 — isolate per row
+                    return (None, f"{type(exc).__name__}: {exc}")
+
+            feats = media.map(safe_feature)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -133,7 +145,8 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "content_sha256": media.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": media.map(lambda b: _fake_feature(b, feature_dim)),
+                    "feature": feats.map(lambda t: t[0]),
+                    "error": feats.map(lambda t: t[1]),
                 }
             )
 

@@ -64,3 +64,22 @@ def test_frame_sample(spark):
     for v in vids:
         expect = v["meta"]["duration_ms"] // 10000 + 1
         assert counts[v["media_id"]] == expect
+
+
+def test_per_row_error_isolation(spark, monkeypatch):
+    """A poison row yields (null feature, error string); the batch survives."""
+    import etl_spark.operators.multimodal as mm
+
+    real = mm._fake_feature
+
+    def poisoned(data, dim=8):
+        if data and data[:1] == b"\x00":
+            raise ValueError("corrupt media header")
+        return real(data, dim)
+
+    monkeypatch.setattr(mm, "_fake_feature", poisoned)
+    rows = [(1, "image", b"\x00bad", None), (2, "image", b"good", None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_media_features(df).collect()}
+    assert out[1]["feature"] is None and "corrupt media header" in out[1]["error"]
+    assert out[2]["feature"] is not None and out[2]["error"] is None
