@@ -379,6 +379,17 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_repo_rollup(spark, sf_dir):
+    """Stage-2 derived table semantics (reference construct): per-repo rollup
+    of the deduped current state."""
+    from etl_spark.derived import rollup_expr
+    from etl_spark.pipeline import clean_events
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events"))
+    final = latest_by_key(clean_events(stream), keys=("repo", "path"), order_col="commit")
+    return rollup_expr(final)
+
+
 def q_sessionize_native(spark, sf_dir):
     """Gap sessionization via Spark's built-in session_window (streaming-
     compatible). NB: session_window splits on gap >= threshold (window end =
@@ -616,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_pandas": q_sessionize_pandas,
         "j6_star_revenue": q_j6_star_revenue,
         "tpch_q1": q_tpch_q1,
+        "repo_rollup": q_repo_rollup,
         "sessionize_native": q_sessionize_native,
         "corpus_prep": q_corpus_prep,
         "dim_enrich": q_dim_enrich,
@@ -755,6 +767,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": _SESSION_SQL,
         "sessionize_pandas": _SESSION_SQL,
+        "repo_rollup": f"""
+            WITH src AS ({_CHANGE_STREAM_SQL}),
+            cleaned AS (
+                SELECT repo, path, "commit", {lang_case} AS lang, content
+                FROM src
+                WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+                  AND path <> '' AND content IS NOT NULL
+                  AND regexp_matches("commit", '^c\\d{{12}}$')
+            ),
+            final AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                    FROM cleaned
+                ) WHERE rn = 1
+            ),
+            per_lang AS (
+                SELECT repo, lang, count(*) AS n FROM final GROUP BY repo, lang
+            ),
+            top AS (
+                SELECT repo, lang AS top_lang, n_langs FROM (
+                    SELECT repo, lang, n,
+                           row_number() OVER (PARTITION BY repo
+                               ORDER BY n DESC, lang DESC) AS rn,
+                           count(*) OVER (PARTITION BY repo) AS n_langs
+                    FROM per_lang
+                ) WHERE rn = 1
+            )
+            SELECT f.repo, count(*) AS n_files,
+                   sum(strlen(content))::BIGINT AS total_bytes,
+                   max("commit") AS last_commit, t.top_lang, t.n_langs
+            FROM final f JOIN top t USING (repo)
+            GROUP BY f.repo, t.top_lang, t.n_langs
+        """,
         "sessionize_native": """
             WITH ordered AS (
                 SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS es,

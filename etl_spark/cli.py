@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="catchup = all pending segments in one dedupe+commit")
     r.add_argument("--dedupe", choices=["maxby", "window", "salted", "auto"], default="maxby",
                    help="physical dedupe strategy (see operators/dedupe.py)")
+    r.add_argument("--rollup", action="store_true",
+                   help="maintain the per-repo rollup derived table (stage 2)")
     _add_spark_args(r)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
@@ -78,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
         from etl_spark.pipeline import IngestPipeline
 
         pipe = IngestPipeline(
-            spark, args.table, n_buckets=args.buckets, dedupe_strategy=args.dedupe
+            spark, args.table, n_buckets=args.buckets,
+            dedupe_strategy=args.dedupe, maintain_rollup=args.rollup,
         )
         stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:

@@ -116,6 +116,7 @@ class IngestPipeline:
         n_buckets: int = 32,
         count_input: bool = True,
         dedupe_strategy: str = "maxby",
+        maintain_rollup: bool = False,
     ) -> None:
         """``dedupe_strategy``: ``maxby`` (default; map-side partial agg,
         skew-immune — a mega-key costs O(partitions)), ``window`` (full
@@ -131,6 +132,14 @@ class IngestPipeline:
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)
         self.count_input = count_input
+        self.rollup = None
+        if maintain_rollup:
+            from etl_spark.derived import RepoRollup
+
+            self.rollup = RepoRollup(
+                spark, self.table, f"{table_root}/_rollup",
+                n_buckets=max(4, n_buckets // 4),
+            )
         if dedupe_strategy not in ("maxby", "window", "salted", "auto"):
             raise ValueError(f"unknown dedupe_strategy {dedupe_strategy!r}")
         self._dedupe_strategy = dedupe_strategy
@@ -183,6 +192,10 @@ class IngestPipeline:
         stats.commit = commit
         if not commit.get("skipped"):
             self._log_lineage(commit)
+            if self.rollup is not None:
+                # stage-2 derived table: per-repo rollup maintained for
+                # exactly the repos this commit touched (SURVEY §3.3 / P2)
+                self.rollup.update_for_commit(commit)
             if self.count_input:
                 # column-pruned aggregates — no payload materialization
                 stats.events_read = raw.count()

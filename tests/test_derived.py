@@ -1,0 +1,62 @@
+"""Derived rollup table: incremental maintenance == full recompute (the
+reference's stage-2 construct pattern, SURVEY §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.datagen import change_stream, write_segments
+from etl_spark.derived import RepoRollup, rollup_expr
+from etl_spark.pipeline import IngestPipeline
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dstream") / "changes")
+    df = change_stream(spark, 4000, n_repos=15, paths_per_repo=30,
+                       events_per_epoch=1000, dup_pct=5)
+    write_segments(df, root)
+    return root
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_incremental_rollup_equals_full(spark, stream, tmpdir_path):
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=8)
+    roll = RepoRollup(spark, pipe.table, f"{tmpdir_path}/rollup", n_buckets=4)
+    for st in pipe.replay(stream):
+        out = roll.update_for_commit(st.commit)
+        assert not out.get("skipped")
+    # independent full recompute into a fresh rollup table
+    full = RepoRollup(spark, pipe.table, f"{tmpdir_path}/rollup_full", n_buckets=4)
+    full.refresh_full(999)
+    assert _canon(roll.read()) == _canon(full.read())
+    n_repos = pipe.table.read().select("repo").distinct().count()
+    assert roll.read().count() == n_repos
+
+
+def test_rollup_idempotent_per_commit(spark, stream, tmpdir_path):
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t2", n_buckets=8)
+    roll = RepoRollup(spark, pipe.table, f"{tmpdir_path}/r2", n_buckets=4)
+    stats = pipe.replay(stream)
+    for st in stats:
+        roll.update_for_commit(st.commit)
+    v = roll.table.current_version()
+    # replaying the same commit's maintenance is a no-op
+    out = roll.update_for_commit(stats[-1].commit)
+    assert out.get("skipped")
+    assert roll.table.current_version() == v
+
+
+def test_rollup_values(spark, stream, tmpdir_path):
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t3", n_buckets=8)
+    pipe.replay(stream, mode="catchup")
+    final = pipe.table.read()
+    got = rollup_expr(final).collect()
+    one = got[0]
+    rows = final.where(final.repo == one["repo"])
+    assert one["n_files"] == rows.count()
+    assert one["last_commit"] == rows.agg({"commit": "max"}).collect()[0][0]
