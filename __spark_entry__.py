@@ -530,6 +530,14 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact mode for oracle parity)."""
+    from etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
 def q_embedding_norms(spark, sf_dir):
     from etl_spark.functions.vectors import l2_norm
 
@@ -644,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         # rows-only (non-SQL-expressible / self-generating)
         "simhash_pairs": q_simhash_pairs,
@@ -1002,6 +1011,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_dedup": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+                              ELSE 0.0 END, 6) AS cosine
+            FROM (
+                SELECT a.vec_id, b.vec_id AS bvec,
+                       list_dot_product(a.v, b.v) AS dp,
+                       sqrt(list_dot_product(a.v, a.v)) AS na,
+                       sqrt(list_dot_product(b.v, b.v)) AS nb
+                FROM c a JOIN c b ON a.vec_id < b.vec_id
+            ) a(vec_id, bvec, dp, na, nb)
+            JOIN c b ON b.vec_id = a.bvec
+            WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+                             ELSE 0.0 END, 6) >= 0.4
         """,
         "embedding_norms": """
             SELECT vec_id, label::BIGINT AS label,

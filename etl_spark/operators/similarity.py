@@ -200,6 +200,41 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    ``n_planes=0`` computes all pairs exactly (verification / small corpora).
+    ``n_planes>0`` restricts to LSH-bucket collisions first — near-identical
+    vectors almost always share the sign-bucket, so the scale path keeps
+    recall high for the >=0.95 regime while scoring only colliding buckets.
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    if n_planes > 0:
+        c = c.withColumn("_bucket", lsh_bucket(F.col("_v"), n_planes, seed))
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+    else:
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    scored = pairs.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

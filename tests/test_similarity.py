@@ -111,3 +111,26 @@ def test_ivf_assignment_partitions_corpus(spark):
     counts = {r["_list"]: r["count"] for r in assigned.groupBy("_list").count().collect()}
     assert sum(counts.values()) == corpus.count()
     assert len(counts) >= 4  # actually spreads across lists
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark):
+    """LSH-bucketed near-dup pairs are a subset of exact pairs with correct
+    cosines; planted duplicates are always found."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    corpus = _corpus(spark)
+    # plant an exact duplicate of vec 0 under a new id
+    dup = corpus.where(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    c = corpus.unionByName(dup)
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(c, threshold=0.99).collect()}
+    assert (0, 9999) in exact and exact[(0, 9999)] == 1.0
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_pairs(c, threshold=0.99, n_planes=6).collect()}
+    assert (0, 9999) in lsh  # identical vectors share every sign bucket
+    for k, v in lsh.items():
+        assert k in exact and abs(v - exact[k]) < 1e-9
