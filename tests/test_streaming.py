@@ -78,3 +78,27 @@ def test_streaming_picks_up_new_segments(spark, stream, tmpdir_path):
         assert_frames_equal(got, oracle_final_state(stream))
     finally:
         shutil.rmtree(f"{stream}/epoch={N_EPOCHS}", ignore_errors=True)
+
+
+def test_streaming_schema_evolution(spark, tmpdir_path):
+    """Additive column flows through the streaming path: new rows populate it,
+    pre-evolution keys read back null."""
+    from pyspark.sql import functions as F
+
+    root = str(tmpdir_path)
+    df = change_stream(
+        spark, N_EVENTS, n_repos=20, paths_per_repo=40,
+        events_per_epoch=N_EVENTS // N_EPOCHS, with_metadata_from_epoch=1,
+    )
+    write_segments(df, f"{root}/stream")
+    q = stream_ingest(
+        spark, f"{root}/stream", f"{root}/table", n_buckets=8,
+        extra_schema="metadata string",
+    )
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, f"{root}/table")
+    final = table.read()
+    assert "metadata" in final.columns
+    assert final.where(F.col("metadata").isNotNull()).count() > 0
+    got = final.drop("epoch").toPandas()
+    assert_frames_equal(got, oracle_final_state(f"{root}/stream", with_metadata=True))
