@@ -50,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     _add_spark_args(s)
 
+    q = sub.add_parser("query", help="run a named analytics query from the catalog")
+    q.add_argument("--name", required=True,
+                   help="query name (see `query --name list`)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory of parquet tables")
+    q.add_argument("--limit", type=int, default=20)
+    _add_spark_args(q)
+
     m = sub.add_parser("maintain", help="expire old snapshots + vacuum orphan files")
     m.add_argument("--table", required=True)
     m.add_argument("--retain", type=int, default=3, help="snapshots to keep")
@@ -98,6 +106,35 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "query":
+        import importlib.util
+        import os
+
+        # the query catalog lives in the repo-root driver contract module
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "__spark_entry__.py"),
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        catalog = entry.queries()
+        if args.name == "list":
+            for name in sorted(catalog):
+                print(name)
+            return 0
+        if args.name not in catalog:
+            print(json.dumps({"error": f"unknown query {args.name!r}",
+                              "available": sorted(catalog)}))
+            return 2
+        df = catalog[args.name](spark, args.sf_dir)
+        rows = df.limit(args.limit).collect()
+        print(json.dumps({"query": args.name, "columns": df.columns,
+                          "rows_shown": len(rows)}))
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
         return 0
 
     if args.cmd == "maintain":
