@@ -1,0 +1,173 @@
+"""IcebergTable — the same exactly-once sink on a real Apache Iceberg catalog.
+
+This sandbox ships no Iceberg runtime jar (verified; SURVEY §7.3 R1), so the
+engine runs on ``SnapshotTable`` (lake/table.py), which reimplements the same
+design on plain parquet. This adapter is the code-complete mapping for
+clusters that DO have Iceberg (``--packages
+org.apache.iceberg:iceberg-spark-runtime-3.5_2.12`` + a catalog conf); it
+exposes the same surface the pipeline consumes, so swapping sinks is a
+constructor change:
+
+    SnapshotTable concept            Iceberg realization
+    ---------------------------------------------------------------------
+    manifest versions                table snapshots (time travel built in)
+    applied-epoch set in manifest    ``applied-epochs`` snapshot summary prop
+    bucket-pruned COW merge          MERGE INTO (+ write.distribution-mode,
+                                     bucket(N, repo, path) partition transform)
+    additive schema evolution        ALTER TABLE ... ADD COLUMNS
+    expire/vacuum                    expire_snapshots / remove_orphan_files
+
+Import-gated: constructing it without Iceberg on the classpath raises a clear
+error; the test suite exercises only SQL-string generation (pure Python).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EPOCH_PROP = "applied-epochs"
+
+
+def _quote(ident: str) -> str:
+    return ".".join(f"`{p}`" for p in ident.split("."))
+
+
+class IcebergTable:
+    """Iceberg-backed drop-in for SnapshotTable (same public surface)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        *,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        order_col: str = "commit",
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.identifier = identifier
+        self.key_cols = tuple(key_cols)
+        self.order_col = order_col
+        self.n_buckets = n_buckets
+        self._ensure_runtime()
+
+    def _ensure_runtime(self) -> None:
+        try:
+            self.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.Schema"
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; use SnapshotTable here "
+                "or submit with --packages org.apache.iceberg:iceberg-spark-runtime-*"
+            ) from exc
+
+    # ---- DDL -----------------------------------------------------------------
+
+    def create_table_sql(self, schema: T.StructType) -> str:
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        keys = ", ".join(self.key_cols)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {_quote(self.identifier)} ({cols}) "
+            f"USING iceberg "
+            f"PARTITIONED BY (bucket({self.n_buckets}, {keys})) "
+            "TBLPROPERTIES ("
+            "'write.distribution-mode'='hash', "
+            "'format-version'='2', "
+            "'write.merge.mode'='copy-on-write')"
+        )
+
+    def add_columns_sql(self, new_fields: list[T.StructField]) -> str:
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields)
+        return f"ALTER TABLE {_quote(self.identifier)} ADD COLUMNS ({cols})"
+
+    # ---- exactly-once MERGE ---------------------------------------------------
+
+    def merge_sql(self, updates_view: str, columns: list[str]) -> str:
+        """MERGE INTO with latest-wins semantics against existing rows.
+
+        The epoch-idempotence gate lives OUTSIDE the statement (applied_epochs
+        checked first, epoch ids stamped into the commit's snapshot summary),
+        exactly like the parquet sink — MERGE alone is not idempotent across
+        replays.
+        """
+        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.key_cols)
+        sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns)
+        vals = ", ".join(f"s.`{c}`" for c in columns)
+        cols = ", ".join(f"`{c}`" for c in columns)
+        return (
+            f"MERGE INTO {_quote(self.identifier)} t "
+            f"USING {updates_view} s ON {on} "
+            f"WHEN MATCHED AND s.`{self.order_col}` > t.`{self.order_col}` "
+            f"THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+
+    def applied_epochs(self) -> set[int]:
+        rows = self.spark.sql(
+            f"SELECT summary FROM {_quote(self.identifier)}.snapshots "
+            "ORDER BY committed_at DESC"
+        ).collect()
+        out: set[int] = set()
+        for r in rows:
+            prop = (r["summary"] or {}).get(EPOCH_PROP)
+            if prop:
+                out |= set(json.loads(prop))
+        return out
+
+    def merge_epochs(
+        self,
+        updates: DataFrame,
+        epoch_ids: list[int],
+        *,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        applied = self.applied_epochs()
+        new_ids = [e for e in epoch_ids if e not in applied]
+        if not new_ids:
+            return {"skipped": True, "epochs": sorted(epoch_ids)}
+
+        # additive schema evolution before the merge
+        existing = {f.name for f in self.spark.table(self.identifier).schema.fields}
+        new_fields = [f for f in updates.schema.fields if f.name not in existing]
+        if new_fields:
+            self.spark.sql(self.add_columns_sql(new_fields))
+
+        view = f"_etl_updates_{abs(hash(tuple(new_ids)))}"
+        updates.createOrReplaceTempView(view)
+        # stamp epoch ids into the commit's snapshot summary (exactly-once key)
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{EPOCH_PROP}", json.dumps(sorted(new_ids))
+        )
+        self.spark.sql(self.merge_sql(view, updates.columns))
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {_quote(self.identifier)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return {
+            "skipped": False,
+            "epochs": new_ids,
+            "version": snap[0]["snapshot_id"] if snap else None,
+        }
+
+    # ---- reads / maintenance --------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            return self.spark.table(self.identifier)
+        return (
+            self.spark.read.option("snapshot-id", version).table(self.identifier)
+        )
+
+    def expire_snapshots_sql(self, older_than_ts: str) -> str:
+        return (
+            f"CALL system.expire_snapshots(table => '{self.identifier}', "
+            f"older_than => TIMESTAMP '{older_than_ts}')"
+        )
+
+    def remove_orphans_sql(self) -> str:
+        return f"CALL system.remove_orphan_files(table => '{self.identifier}')"
