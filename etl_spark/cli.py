@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
     _add_spark_args(q)
 
+    f = sub.add_parser("fsck", help="verify snapshot integrity vs the filesystem")
+    f.add_argument("--table", required=True)
+    _add_spark_args(f)
+
     m = sub.add_parser("maintain", help="expire old snapshots + vacuum orphan files")
     m.add_argument("--table", required=True)
     m.add_argument("--retain", type=int, default=3, help="snapshots to keep")
@@ -136,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
         return 0
+
+    if args.cmd == "fsck":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        report = t.fsck()
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "maintain":
         from etl_spark.lake.table import SnapshotTable

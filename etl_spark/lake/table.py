@@ -221,6 +221,49 @@ class SnapshotTable:
         return {"files_removed": removed, "bytes_freed": freed,
                 "files_retained": len(referenced)}
 
+    def fsck(self) -> dict[str, Any]:
+        """Verify snapshot integrity against the filesystem.
+
+        Checks, per the current manifest: every data file exists and its
+        parquet footer row count matches the manifest entry; buckets hold at
+        most one live file; the applied-epoch set grew monotonically across
+        retained snapshots. Returns a report; ``ok`` is False on any finding.
+        """
+        import pyarrow.parquet as _pq
+
+        findings: list[str] = []
+        m = self.manifest()
+        if m is None:
+            return {"ok": True, "findings": ["empty table (no snapshot)"]}
+        seen_buckets: set[int] = set()
+        for f in m["files"]:
+            p = Path(f["path"])
+            if not p.exists():
+                findings.append(f"missing data file {p.name} (bucket {f['bucket']})")
+                continue
+            rows = _pq.read_metadata(p).num_rows
+            if rows != f["rows"]:
+                findings.append(
+                    f"row drift in {p.name}: manifest {f['rows']} vs footer {rows}"
+                )
+            if f["bucket"] in seen_buckets:
+                findings.append(f"bucket {f['bucket']} has multiple live files")
+            seen_buckets.add(f["bucket"])
+        prev: set[int] = set()
+        for v in self.versions():
+            cur = set(self.manifest(v)["applied_epochs"])
+            if not prev <= cur:
+                findings.append(
+                    f"applied-epoch set shrank at v{v}: lost {sorted(prev - cur)}"
+                )
+            prev = cur
+        return {
+            "ok": not findings,
+            "findings": findings,
+            "files_checked": len(m["files"]),
+            "versions_checked": len(self.versions()),
+        }
+
     # ---- write / merge ---------------------------------------------------------
 
     def _bucket_expr(self):

@@ -135,3 +135,16 @@ def test_empty_epoch_commits_metadata_only(spark, tmpdir_path):
     assert stats[1].events_applied == 0
     # replaying again is a no-op
     assert pipe.replay(stream) == []
+
+
+def test_fsck(replayed):
+    t = replayed.table
+    report = t.fsck()
+    assert report["ok"], report
+    assert report["files_checked"] > 0
+    # corrupt: delete one live data file
+    victim = Path(t.manifest()["files"][0]["path"])
+    victim.unlink()
+    bad = t.fsck()
+    assert not bad["ok"]
+    assert any("missing data file" in f for f in bad["findings"])
