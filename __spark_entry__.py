@@ -390,6 +390,17 @@ def q_repo_rollup(spark, sf_dir):
     return rollup_expr(final)
 
 
+def q_file_lines(spark, sf_dir):
+    """Stage-3 derived projection (reference transform): per-line explode of
+    the deduped current state with 1-based positions (U4)."""
+    from etl_spark.derived import explode_lines
+    from etl_spark.pipeline import clean_events
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events"))
+    final = latest_by_key(clean_events(stream), keys=("repo", "path"), order_col="commit")
+    return explode_lines(final)
+
+
 def q_sessionize_native(spark, sf_dir):
     """Gap sessionization via Spark's built-in session_window (streaming-
     compatible). NB: session_window splits on gap >= threshold (window end =
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_star_revenue": q_j6_star_revenue,
         "tpch_q1": q_tpch_q1,
         "repo_rollup": q_repo_rollup,
+        "file_lines": q_file_lines,
         "sessionize_native": q_sessionize_native,
         "corpus_prep": q_corpus_prep,
         "dim_enrich": q_dim_enrich,
@@ -809,6 +821,31 @@ def oracle_sql() -> dict[str, str]:
                    max("commit") AS last_commit, t.top_lang, t.n_langs
             FROM final f JOIN top t USING (repo)
             GROUP BY f.repo, t.top_lang, t.n_langs
+        """,
+        "file_lines": f"""
+            WITH src AS ({_CHANGE_STREAM_SQL}),
+            cleaned AS (
+                SELECT repo, path, "commit", content
+                FROM src
+                WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+                  AND path <> '' AND content IS NOT NULL
+                  AND regexp_matches("commit", '^c\\d{{12}}$')
+            ),
+            final AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                    FROM cleaned
+                ) WHERE rn = 1
+            ),
+            s AS (SELECT repo, path, "commit",
+                         string_split(coalesce(content, ''), chr(10)) AS lines
+                  FROM final),
+            e AS (SELECT repo, path, "commit",
+                         unnest(list_zip(generate_series(1, len(lines)), lines)) AS z
+                  FROM s)
+            SELECT repo, path, "commit", z[1]::BIGINT AS line_no, z[2] AS line
+            FROM e
         """,
         "sessionize_native": """
             WITH ordered AS (

@@ -110,3 +110,59 @@ class RepoRollup:
     def read(self) -> DataFrame:
         return self.table.read().drop("epoch")
 
+
+def explode_lines(rows: DataFrame) -> DataFrame:
+    """One row per line of each file version (U4/W2 analog: per-unit explode
+    with position, the reference's cell-per-row projection)."""
+    return rows.select(
+        "repo",
+        "path",
+        "commit",
+        F.posexplode(F.split(F.coalesce(F.col("content"), F.lit("")), "\n")).alias(
+            "_pos", "line"
+        ),
+    ).select(
+        "repo", "path", "commit", (F.col("_pos") + 1).cast("long").alias("line_no"), "line"
+    )
+
+
+class LineIndex:
+    """Stage-3 derived projection: per-line index over immutable file versions.
+
+    The reference's transform stage processes each trajectory id exactly once,
+    discovering work via ``ls EXCEPT cs`` (SURVEY §3.4, J4;
+    duckdb_transform_ls_to_cs.py:56-60). File *versions* (repo, path, commit)
+    are equally immutable, so the line index is append-only: discovery is an
+    anti-join of snapshot versions against already-indexed versions, and each
+    version's lines are exploded and appended under the fact commit's epoch
+    ids (same exactly-once bookkeeping).
+    """
+
+    def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
+                 n_buckets: int = 32) -> None:
+        self.spark = spark
+        self.source = table
+        self.table = SnapshotTable(
+            spark, root, key_cols=("repo", "path", "commit", "line_no"),
+            order_col="commit", n_buckets=n_buckets,
+        )
+
+    def pending_versions(self) -> DataFrame:
+        """Snapshot versions not yet indexed (J4: EXCEPT / left_anti)."""
+        current = self.source.read().select("repo", "path", "commit", "content")
+        if not self.table.exists():
+            return current
+        done = self.table.read().select("repo", "path", "commit").distinct()
+        return current.join(done, ["repo", "path", "commit"], "left_anti")
+
+    def update(self, epoch_ids: list[int]) -> dict[str, Any]:
+        """Index all pending versions in one idempotent commit."""
+        lines = explode_lines(self.pending_versions())
+        return self.table.merge_epochs(
+            lines, [int(e) for e in epoch_ids],
+            extra_summary={"derived": "line_index"},
+        )
+
+    def read(self) -> DataFrame:
+        return self.table.read().drop("epoch")
+

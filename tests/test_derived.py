@@ -60,3 +60,40 @@ def test_rollup_values(spark, stream, tmpdir_path):
     rows = final.where(final.repo == one["repo"])
     assert one["n_files"] == rows.count()
     assert one["last_commit"] == rows.agg({"commit": "max"}).collect()[0][0]
+
+
+def test_line_index_incremental(spark, stream, tmpdir_path):
+    """Line index: EXCEPT-based discovery indexes each version once; re-update
+    is a no-op; content reconstructs exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.derived import LineIndex
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t4", n_buckets=8)
+    pipe.replay(stream, max_epoch=1)
+    idx = LineIndex(spark, pipe.table, f"{tmpdir_path}/lines", n_buckets=8)
+    idx.update(epoch_ids=[0, 1])
+    n1 = idx.read().count()
+    assert n1 > 0
+    assert idx.pending_versions().count() == 0  # everything indexed
+
+    # next fact epoch: only NEW versions get indexed
+    pipe.replay(stream)
+    pend = idx.pending_versions().count()
+    assert pend > 0
+    idx.update(epoch_ids=[2])
+    assert idx.pending_versions().count() == 0
+    # idempotent
+    out = idx.update(epoch_ids=[2])
+    assert out.get("skipped")
+
+    # reconstruction: concat lines per version == stored content
+    recon = (
+        idx.read()
+        .groupBy("repo", "path", "commit")
+        .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
+            F.struct("line_no", "line"))).getField("line")).alias("recon"))
+    )
+    joined = recon.join(pipe.table.read(), ["repo", "path", "commit"])
+    bad = joined.where(F.col("recon") != F.col("content")).count()
+    assert bad == 0
