@@ -218,8 +218,18 @@ class SnapshotTable:
                 freed += p.stat().st_size
                 p.unlink()
                 removed += 1
+        # staging dirs abandoned by a killed writer (quiet for >1h: a live
+        # writer's staging is always younger than its own merge)
+        import shutil as _shutil
+
+        staging_removed = 0
+        for d in self.root.glob("_staging-*"):
+            if time.time() - d.stat().st_mtime > 3600:
+                _shutil.rmtree(d, ignore_errors=True)
+                staging_removed += 1
         return {"files_removed": removed, "bytes_freed": freed,
-                "files_retained": len(referenced)}
+                "files_retained": len(referenced),
+                "staging_dirs_removed": staging_removed}
 
     def fsck(self) -> dict[str, Any]:
         """Verify snapshot integrity against the filesystem.

@@ -148,3 +148,20 @@ def test_fsck(replayed):
     bad = t.fsck()
     assert not bad["ok"]
     assert any("missing data file" in f for f in bad["findings"])
+
+
+def test_vacuum_sweeps_stale_staging(replayed):
+    import os
+    import time as _time
+
+    t = replayed.table
+    stale = Path(t.root) / "_staging-deadbeef"
+    stale.mkdir()
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = Path(t.root) / "_staging-cafebabe"
+    fresh.mkdir()
+    stats = t.vacuum()
+    assert stats["staging_dirs_removed"] == 1
+    assert not stale.exists() and fresh.exists()
+    fresh.rmdir()
