@@ -169,6 +169,34 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def changes_between(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
+        """Change feed: rows applied after snapshot ``v_from`` up to ``v_to``
+        (defaults: table start -> current). The CDC-out face of the engine
+        (Iceberg changelog scan / Delta CDF analog).
+
+        Cost is O(changed data), not O(table): only files NEW in ``v_to``
+        relative to ``v_from`` are read (manifest diff), filtered to rows
+        whose ``epoch`` provenance lies in the applied-epoch delta — carried
+        rows rewritten into merged bucket files are excluded by that filter.
+        """
+        m_to = self.manifest(v_to)
+        if m_to is None:
+            raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        schema = T.StructType.fromJson(m_to["schema"])
+        if v_from is None:
+            old_paths: set[str] = set()
+            old_epochs: set[int] = set()
+        else:
+            m_from = self.manifest(v_from)
+            old_paths = {f["path"] for f in m_from["files"]}
+            old_epochs = set(m_from["applied_epochs"])
+        new_files = [f for f in m_to["files"] if f["path"] not in old_paths]
+        delta_epochs = sorted(set(m_to["applied_epochs"]) - old_epochs)
+        df = self._read_files(new_files, schema)
+        if "epoch" in df.columns:
+            df = df.where(F.col("epoch").isin(delta_epochs))
+        return df
+
     def _read_files(self, files: list[dict], schema: T.StructType) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema)

@@ -165,3 +165,37 @@ def test_vacuum_sweeps_stale_staging(replayed):
     assert stats["staging_dirs_removed"] == 1
     assert not stale.exists() and fresh.exists()
     fresh.rmdir()
+
+
+def test_changes_between_snapshots(spark, tmpdir_path):
+    """Change feed between snapshots returns exactly the rows each epoch
+    applied; union of all deltas plus the base equals the final state keys."""
+    from etl_spark.datagen import change_stream, write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    df = change_stream(spark, 3000, n_repos=10, paths_per_repo=30,
+                       events_per_epoch=1000, dup_pct=5)
+    stream = f"{tmpdir_path}/stream"
+    write_segments(df, stream)
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=4)
+    pipe.replay(stream)
+    t = pipe.table
+    assert t.versions() == [1, 2, 3]
+
+    d12 = t.changes_between(1, 2)
+    assert set(r["epoch"] for r in d12.select("epoch").distinct().collect()) == {1}
+    # every delta row carries the latest state for its key at v2
+    v2 = {(r["repo"], r["path"]): r["commit"]
+          for r in t.read(version=2).collect()}
+    for r in d12.collect():
+        assert v2[(r["repo"], r["path"])] == r["commit"]
+
+    # full feed from start == current table
+    full = t.changes_between(None)
+    assert full.count() == t.read().count()
+
+    # feed across all consecutive pairs covers every current row exactly once
+    total = sum(t.changes_between(v, v + 1).count() for v in [1, 2])
+    base = t.changes_between(None, 1).count()
+    # deltas can overwrite earlier keys, so base+deltas >= final rows
+    assert base + total >= t.read().count()
