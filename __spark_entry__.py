@@ -14,6 +14,11 @@ Determinism rules used throughout (SURVEY §7.3 R2):
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
