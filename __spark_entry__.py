@@ -569,6 +569,15 @@ def q_embedding_norms(spark, sf_dir):
 
 # --- rows-only entries (non-SQL-expressible; weaker driver check) ------------
 
+def q_simhash_fps(spark, sf_dir):
+    """64-bit SimHash fingerprints (Arrow-batched pandas UDF) — oracle-backed:
+    the md5-derived token hashes reproduce exactly in SQL."""
+    from etl_spark.operators.textdedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("fp"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         # rows-only (non-SQL-expressible / self-generating)
+        "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1028,6 +1038,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE round(c / (na.n + nb.n - c)::DOUBLE, 6) >= 0.5
+        """,
+        "simhash_fps": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(regexp_split_to_array(
+                           trim(regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '')) AS tk
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, ('0x' || substring(md5(u.t), 1, 16))::UBIGINT AS h
+                FROM toks, unnest(tk) AS u(t)
+            ),
+            votes AS (
+                SELECT doc_id, b.j,
+                       sum(CASE WHEN ((h >> b.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM tok, (SELECT unnest(generate_series(0, 63)) AS j) b
+                GROUP BY doc_id, b.j
+            ),
+            bits AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 AND j < 63
+                                THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS lowbits,
+                       max(CASE WHEN j = 63 AND v > 0 THEN 1 ELSE 0 END) AS topbit
+                FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce((b.lowbits - b.topbit::HUGEINT * 9223372036854775808)::BIGINT,
+                            0) AS fp
+            FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
         """,
         "ann_topk": """
             WITH q AS (
