@@ -296,8 +296,8 @@ _SESSION_SQL = """
         SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_s
         FROM ordered
     ), sess AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+        SELECT *, (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq, min(es) AS ts_start_s, max(es) AS ts_end_s,
@@ -530,8 +530,12 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # stop_shingle_limit guards the self-join against quadratic blowup on hub
+    # shingles (a shingle shared by >limit docs is dropped on both sides; the
+    # oracle SQL mirrors the same anti-join). MinHash-LSH remains the scale
+    # path; this query is the bounded verification tier.
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, stop_shingle_limit=None
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, stop_shingle_limit=1000
     )
 
 
@@ -884,7 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": CORPUS_PREP_SQL.replace("__LANG_CASE__", lang_case),
         "j6_star_revenue": """
             SELECT r_name, n_name,
-                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT
                        AS revenue_cents,
                    count(*) AS n_items
             FROM lineitem
@@ -896,9 +900,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(round(l_quantity * 100, 0)::BIGINT) AS sum_qty_c,
-                   sum(round(l_extendedprice * 100, 0)::BIGINT) AS sum_base_c,
-                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)
+                   sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT AS sum_qty_c,
+                   sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_base_c,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT
                        AS sum_disc_c,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_discount), 6) AS avg_disc,
@@ -1025,7 +1029,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH {shingle_cte},
-            ex AS (SELECT DISTINCT doc_id AS id, unnest(sg) AS s FROM sh),
+            ex0 AS (SELECT DISTINCT doc_id AS id, unnest(sg) AS s FROM sh),
+            hubs AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+            ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hubs)),
             sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
             common AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS c

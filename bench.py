@@ -79,9 +79,10 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
                           events_per_epoch=n_events // 100, dup_pct=0)
             .withColumn("lsn", F.col("lsn") + n_events)
             .withColumn("commit", F.format_string("c%012d", F.col("lsn")))
-            .withColumn("epoch", F.lit(1).cast("int"))
         )
-        (delta.repartition(4).write.mode("overwrite")
+        # NB: epoch comes from the partition directory; writing it as a data
+        # column too would collide on the partition-discovering read.
+        (delta.drop("epoch").repartition(4).write.mode("overwrite")
               .parquet(f"{root}/stream/epoch=1"))
         t0 = time.time()
         stats = pipe.replay(f"{root}/stream")

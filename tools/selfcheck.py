@@ -81,6 +81,20 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(cg)} vs {len(cw)}")
             continue
+        # The driver hashes serialized VALUES, so an int64 25 vs float64 25.0
+        # drift (e.g. DuckDB HUGEINT sums materialized as float64) fails its
+        # gate even when assert_frame_equal(check_dtype=False) passes. Mirror
+        # that: a dtype-KIND mismatch is a failure here too.
+        kind_mismatch = [
+            c for c in cg.columns if cg[c].dtype.kind != cw[c].dtype.kind
+        ]
+        if kind_mismatch:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: dtype-kind mismatch on {kind_mismatch}: "
+                + ", ".join(f"{c}: {cg[c].dtype}!={cw[c].dtype}" for c in kind_mismatch)
+            )
+            continue
         try:
             pd.testing.assert_frame_equal(cg, cw, check_dtype=False, check_exact=False, rtol=0, atol=0)
             print(f"OK    {name}: {len(cg)} rows ({time.time()-t0:.1f}s)")
