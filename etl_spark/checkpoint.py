@@ -109,9 +109,22 @@ class CheckpointLog:
 
     def append_multi(self, rows: DataFrame) -> None:
         """Append lineage for many epochs at once (catch-up replay)."""
-        pdf = rows.toPandas()
+        self.append_pandas(rows.toPandas())
+
+    def append_pandas(self, pdf) -> None:
+        """Append already-materialized lineage rows, grouped per epoch."""
         for epoch_id, grp in pdf.groupby("epoch"):
             self._write_pandas(grp, int(epoch_id))
+
+    def mark_empty(self, epoch_id: int) -> None:
+        """Write a zero-row lineage partition for an epoch that applied no
+        rows (all superseded / all invalid), so ``logged_epochs`` converges
+        instead of re-running the backfill scan for that epoch forever."""
+        import pandas as pd
+
+        self._write_pandas(
+            pd.DataFrame(columns=[f.name for f in LOG_SCHEMA.fields]), epoch_id
+        )
 
     def _write_pandas(self, pdf, epoch_id: int) -> None:
         import pyarrow as pa

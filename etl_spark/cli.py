@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("maintain", help="expire old snapshots + vacuum orphan files")
     m.add_argument("--table", required=True)
     m.add_argument("--retain", type=int, default=3, help="snapshots to keep")
+    m.add_argument("--vacuum-older-than", type=float, default=3600.0,
+                   help="only delete unreferenced files older than this many "
+                        "seconds (guards in-flight concurrent merges)")
     _add_spark_args(m)
 
     args = ap.parse_args(argv)
@@ -157,7 +160,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
         expired = t.expire_snapshots(retain_last=args.retain)
-        stats = t.vacuum()
+        stats = t.vacuum(older_than_s=args.vacuum_older_than)
         print(json.dumps({"expired_versions": expired, **stats,
                           "current_version": t.current_version()}))
         return 0
@@ -171,13 +174,19 @@ def main(argv: list[str] | None = None) -> int:
         if m is None:
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
+        from etl_spark.lake.table import decode_epoch_ranges
+
         log = CheckpointLog(spark, f"{args.table}/_checkpoint").read()
+        eps = sorted(decode_epoch_ranges(m.get("applied_epochs")))
         print(
             json.dumps(
                 {
                     "table": args.table,
                     "version": m["version"],
-                    "applied_epochs": m["applied_epochs"],
+                    # full list when small; compact ranges past 1000 epochs
+                    "applied_epochs": eps if len(eps) <= 1000
+                    else m["applied_epochs"],
+                    "applied_epoch_count": len(eps),
                     "files": len(m["files"]),
                     "rows": sum(f["rows"] for f in m["files"]),
                     "bytes": sum(f["bytes"] for f in m["files"]),

@@ -98,13 +98,15 @@ class RepoRollup:
             updates,
             [int(e) for e in commit["epochs"]],
             extra_summary={"derived_from_version": commit.get("version")},
+            assume_deduped=True,  # groupBy("repo") yields one row per key
         )
 
     def refresh_full(self, epoch_id: int) -> dict[str, Any]:
         """Recompute every repo's rollup from scratch (bootstrap / repair)."""
         updates = rollup_expr(self.source.read())
         return self.table.merge_epochs(
-            updates, [epoch_id], extra_summary={"full_refresh": True}
+            updates, [epoch_id], extra_summary={"full_refresh": True},
+            assume_deduped=True,
         )
 
     def read(self) -> DataFrame:
@@ -161,6 +163,7 @@ class LineIndex:
         return self.table.merge_epochs(
             lines, [int(e) for e in epoch_ids],
             extra_summary={"derived": "line_index"},
+            assume_deduped=True,  # line_no makes each exploded row unique
         )
 
     def read(self) -> DataFrame:

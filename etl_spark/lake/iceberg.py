@@ -125,7 +125,15 @@ class IcebergTable:
         epoch_ids: list[int],
         *,
         extra_summary: dict[str, Any] | None = None,
+        assume_deduped: bool = False,
+        epoch_space: str = "batch",  # accepted for SnapshotTable signature parity
     ) -> dict[str, Any]:
+        if not assume_deduped:
+            from etl_spark.operators.dedupe import latest_by_key
+
+            updates = latest_by_key(
+                updates, keys=self.key_cols, order_col=self.order_col
+            )
         applied = self.applied_epochs()
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:

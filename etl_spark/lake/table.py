@@ -50,6 +50,73 @@ MANIFEST_DIR = "_meta"
 DATA_DIR = "data"
 
 
+def encode_epoch_ranges(epochs) -> list[list[int]]:
+    """Compact an epoch set to sorted inclusive ``[lo, hi]`` ranges.
+
+    The manifest is rewritten on every commit; storing one int per applied
+    epoch would grow it to MBs at the nominal 10^6+ epochs. Ranges keep it
+    O(#gaps) — a gapless history is a single ``[0, N]`` entry forever.
+    """
+    out: list[list[int]] = []
+    for e in sorted(set(int(x) for x in epochs)):
+        if out and e == out[-1][1] + 1:
+            out[-1][1] = e
+        else:
+            out.append([e, e])
+    return out
+
+
+def decode_epoch_ranges(value) -> set[int]:
+    """Inverse of :func:`encode_epoch_ranges`; also accepts the legacy flat
+    int-list form so pre-compaction manifests stay readable."""
+    s: set[int] = set()
+    for item in value or []:
+        if isinstance(item, (list, tuple)):
+            s.update(range(int(item[0]), int(item[1]) + 1))
+        else:
+            s.add(int(item))
+    return s
+
+
+def _space_key(space: str) -> str:
+    return "applied_epochs" if space == "batch" else f"applied_epochs_{space}"
+
+
+def _all_applied_epochs(manifest: dict[str, Any]) -> set[int]:
+    """Union of applied epochs across ALL commit-id spaces (batch + streaming)."""
+    s: set[int] = set()
+    for k, v in manifest.items():
+        if k.startswith("applied_epochs"):
+            s |= decode_epoch_ranges(v)
+    return s
+
+
+def _stat_val(v):
+    """JSON-safe scalar from a parquet column statistic (None if not)."""
+    return v if isinstance(v, (str, int, float)) else None
+
+
+def _stats_intersect(a: dict | None, b: dict | None) -> bool:
+    """Conservative key-range overlap test between two files' per-column
+    [min, max] stats. A shared key needs every key column to share a value,
+    so disjointness on ANY column proves no shared key; missing stats mean
+    "might intersect". Parquet writers may truncate string stats, but
+    truncated bounds are still outer bounds, so the test stays conservative.
+    """
+    if a is None or b is None:
+        return True
+    for c, (alo, ahi) in a.items():
+        rng = b.get(c)
+        if rng is None or alo is None or ahi is None:
+            continue
+        blo, bhi = rng
+        if blo is None or bhi is None:
+            continue
+        if ahi < blo or bhi < alo:
+            return False
+    return True
+
+
 class SchemaEvolutionError(ValueError):
     pass
 
@@ -80,12 +147,23 @@ class SnapshotTable:
         key_cols: tuple[str, ...] = ("repo", "path"),
         order_col: str = "commit",
         n_buckets: int = 32,
+        target_file_rows: int = 1_000_000,
+        max_files_per_bucket: int = 16,
     ) -> None:
+        """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
+        the bucketed, key-sorted write), so each bucket holds several files
+        covering narrow key ranges — the unit of MERGE copy-on-write becomes
+        the FILE, not the bucket (Iceberg file-group granularity).
+        ``max_files_per_bucket`` bounds fragmentation: a merge that would
+        leave more live files than this in a bucket compacts the whole bucket
+        instead."""
         self.spark = spark
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
         self.order_col = order_col
         self.n_buckets = n_buckets
+        self.target_file_rows = target_file_rows
+        self.max_files_per_bucket = max_files_per_bucket
         (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
 
@@ -119,9 +197,14 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def applied_epochs(self) -> set[int]:
+    def applied_epochs(self, space: str = "batch") -> set[int]:
+        """Applied commit ids for one id SPACE. Batch replay keys on segment
+        epoch numbers (``batch``, the default); streaming keys on micro-batch
+        ids (``stream``). The spaces are tracked separately in the manifest so
+        mixing the two drivers on one table can never mistake stream batch 0
+        for segment epoch 0 and silently skip data."""
         m = self.manifest()
-        return set(m["applied_epochs"]) if m else set()
+        return decode_epoch_ranges(m.get(_space_key(space))) if m else set()
 
     def schema(self) -> T.StructType | None:
         m = self.manifest()
@@ -189,9 +272,9 @@ class SnapshotTable:
         else:
             m_from = self.manifest(v_from)
             old_paths = {f["path"] for f in m_from["files"]}
-            old_epochs = set(m_from["applied_epochs"])
+            old_epochs = _all_applied_epochs(m_from)
         new_files = [f for f in m_to["files"] if f["path"] not in old_paths]
-        delta_epochs = sorted(set(m_to["applied_epochs"]) - old_epochs)
+        delta_epochs = sorted(_all_applied_epochs(m_to) - old_epochs)
         df = self._read_files(new_files, schema)
         if "epoch" in df.columns:
             df = df.where(F.col("epoch").isin(delta_epochs))
@@ -231,41 +314,56 @@ class SnapshotTable:
             (self.root / MANIFEST_DIR / f"v{v:012d}.json").unlink(missing_ok=True)
         return expired
 
-    def vacuum(self) -> dict[str, Any]:
+    def vacuum(self, older_than_s: float = 3600.0) -> dict[str, Any]:
         """Delete data files referenced by NO retained snapshot: old versions'
         rewritten buckets and crash orphans (written but never committed).
-        Safe by construction — readers only ever resolve files through a
-        manifest, and expired manifests are gone before their files are."""
+
+        Only unreferenced files OLDER than ``older_than_s`` are removed
+        (Iceberg remove_orphan_files ``older_than``): a concurrent in-flight
+        merge promotes its files into data/ BEFORE the manifest swap, so a
+        young unreferenced file may be a just-promoted file whose commit is
+        about to land — deleting it would corrupt that writer's snapshot.
+        Referenced-set membership compares resolved absolute paths, not
+        basenames, so a future layout change can't make the comparison
+        silently inexact."""
         referenced: set[str] = set()
         for v in self.versions():
             for f in self.manifest(v).get("files", []):
-                referenced.add(os.path.basename(f["path"]))
-        removed, freed = 0, 0
+                referenced.add(os.path.realpath(f["path"]))
+        removed, freed, skipped_young = 0, 0, 0
+        now = time.time()
         for p in (self.root / DATA_DIR).glob("*.parquet"):
-            if p.name not in referenced:
-                freed += p.stat().st_size
-                p.unlink()
-                removed += 1
-        # staging dirs abandoned by a killed writer (quiet for >1h: a live
-        # writer's staging is always younger than its own merge)
+            if os.path.realpath(p) in referenced:
+                continue
+            if now - p.stat().st_mtime < older_than_s:
+                skipped_young += 1
+                continue
+            freed += p.stat().st_size
+            p.unlink()
+            removed += 1
+        # staging dirs abandoned by a killed writer (same age guard: a live
+        # writer's staging is always younger than the grace window)
         import shutil as _shutil
 
         staging_removed = 0
         for d in self.root.glob("_staging-*"):
-            if time.time() - d.stat().st_mtime > 3600:
+            if now - d.stat().st_mtime > max(older_than_s, 3600.0):
                 _shutil.rmtree(d, ignore_errors=True)
                 staging_removed += 1
         return {"files_removed": removed, "bytes_freed": freed,
                 "files_retained": len(referenced),
+                "files_skipped_young": skipped_young,
                 "staging_dirs_removed": staging_removed}
 
     def fsck(self) -> dict[str, Any]:
         """Verify snapshot integrity against the filesystem.
 
         Checks, per the current manifest: every data file exists and its
-        parquet footer row count matches the manifest entry; buckets hold at
-        most one live file; the applied-epoch set grew monotonically across
-        retained snapshots. Returns a report; ``ok`` is False on any finding.
+        parquet footer row count matches the manifest entry; bucket ids are in
+        range (buckets may hold several live files — merge prunes at file
+        granularity — but no more than ``max_files_per_bucket``); every
+        applied-epoch space grew monotonically across retained snapshots.
+        Returns a report; ``ok`` is False on any finding.
         """
         import pyarrow.parquet as _pq
 
@@ -273,7 +371,7 @@ class SnapshotTable:
         m = self.manifest()
         if m is None:
             return {"ok": True, "findings": ["empty table (no snapshot)"]}
-        seen_buckets: set[int] = set()
+        per_bucket: dict[int, int] = {}
         for f in m["files"]:
             p = Path(f["path"])
             if not p.exists():
@@ -284,17 +382,23 @@ class SnapshotTable:
                 findings.append(
                     f"row drift in {p.name}: manifest {f['rows']} vs footer {rows}"
                 )
-            if f["bucket"] in seen_buckets:
-                findings.append(f"bucket {f['bucket']} has multiple live files")
-            seen_buckets.add(f["bucket"])
-        prev: set[int] = set()
+            if not 0 <= f["bucket"] < m.get("n_buckets", self.n_buckets):
+                findings.append(f"bucket id {f['bucket']} out of range in {p.name}")
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        limit = m.get("max_files_per_bucket", self.max_files_per_bucket)
+        for b, n in sorted(per_bucket.items()):
+            if n > limit:
+                findings.append(f"bucket {b} has {n} live files (> {limit})")
+        prev: dict[str, set[int]] = {}
         for v in self.versions():
-            cur = set(self.manifest(v)["applied_epochs"])
-            if not prev <= cur:
-                findings.append(
-                    f"applied-epoch set shrank at v{v}: lost {sorted(prev - cur)}"
-                )
-            prev = cur
+            mv = self.manifest(v)
+            for k in [k for k in mv if k.startswith("applied_epochs")]:
+                cur = decode_epoch_ranges(mv[k])
+                if not prev.get(k, set()) <= cur:
+                    findings.append(
+                        f"{k} set shrank at v{v}: lost {sorted(prev[k] - cur)}"
+                    )
+                prev[k] = cur
         return {
             "ok": not findings,
             "findings": findings,
@@ -309,13 +413,52 @@ class SnapshotTable:
             F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
         ).cast("int")
 
+    def _footer_stats(self, meta) -> tuple[dict | None, list | None]:
+        """(key_stats, order_stats) from a parquet footer's row-group stats.
+
+        key_stats: ``{key_col: [min, max]}`` — drives file-level merge
+        pruning. order_stats: ``[min, max]`` of the order column — exact
+        per-file LSN range for zero-job lineage. Missing/truncation-unsafe
+        stats yield None (callers treat None as "unknown", never prune on it).
+        """
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+
+        def col_range(name):
+            ci = idx.get(name)
+            if ci is None:
+                return None
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = _stat_val(st.min), _stat_val(st.max)
+                if mn is None or mx is None:
+                    return None
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            return None if lo is None else [lo, hi]
+
+        key_stats = {}
+        for c in self.key_cols:
+            r = col_range(c)
+            if r is None:
+                key_stats = None
+                break
+            key_stats[c] = r
+        return key_stats, col_range(self.order_col)
+
     def _stage_bucketed(self, df: DataFrame) -> tuple[Path, list[dict[str, Any]]]:
-        """Materialize df ONCE as bucket-pure sorted parquet in a staging dir.
+        """Materialize df ONCE as bucket-pure, key-sorted parquet in a staging
+        dir, split into files of at most ``target_file_rows`` rows.
 
         One shuffle, partitioned on the bucket column, so every output file
-        holds exactly one bucket — merges prune at file granularity, and the
-        bucket set is discovered from the staging dirs instead of a second
-        evaluation of the (expensive) upstream plan.
+        holds exactly one bucket; within a bucket the key-sorted write plus
+        maxRecordsPerFile yields several files each covering a NARROW
+        contiguous key range — the min/max footer stats recorded here let
+        merges rewrite only the files a delta's keys can actually touch.
+        The bucket set is discovered from the staging dirs instead of a
+        second evaluation of the (expensive) upstream plan.
         """
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
         (
@@ -323,6 +466,7 @@ class SnapshotTable:
             .repartition(self.n_buckets, "_bucket")
             .sortWithinPartitions(*self.key_cols)  # cluster-order on write (P7)
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.target_file_rows)
             .partitionBy("_bucket")
             .parquet(str(staging))
         )
@@ -331,12 +475,15 @@ class SnapshotTable:
             bucket = int(bdir.name.split("=")[1])
             for part in sorted(bdir.glob("*.parquet")):
                 meta = pq.read_metadata(part)
+                key_stats, order_stats = self._footer_stats(meta)
                 infos.append(
                     {
                         "path": str(part),
                         "bucket": bucket,
                         "rows": meta.num_rows,
                         "bytes": part.stat().st_size,
+                        "key_stats": key_stats,
+                        "order_stats": order_stats,
                     }
                 )
         return staging, infos
@@ -363,15 +510,22 @@ class SnapshotTable:
         epoch_id: int,
         *,
         extra_summary: dict[str, Any] | None = None,
+        assume_deduped: bool = False,
+        epoch_space: str = "batch",
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one epoch (MERGE INTO semantics).
 
-        ``updates`` must already be deduped to one row per key (the pipeline's
-        dedupe stage guarantees it). Latest ``order_col`` wins against rows
-        already in the table. Returns commit stats; a replay of a committed
-        epoch returns ``{"skipped": True}`` without touching data.
+        Latest ``order_col`` wins against rows already in the table. Unless
+        ``assume_deduped`` is set, updates are deduped to one row per key
+        first — callers whose plan already guarantees it (the pipeline's
+        dedupe stage) pass True to skip the redundant shuffle. Returns commit
+        stats; a replay of a committed epoch returns ``{"skipped": True}``
+        without touching data.
         """
-        return self.merge_epochs(updates, [epoch_id], extra_summary=extra_summary)
+        return self.merge_epochs(
+            updates, [epoch_id], extra_summary=extra_summary,
+            assume_deduped=assume_deduped, epoch_space=epoch_space,
+        )
 
     def merge_epochs(
         self,
@@ -380,6 +534,8 @@ class SnapshotTable:
         *,
         extra_summary: dict[str, Any] | None = None,
         max_retries: int = 3,
+        assume_deduped: bool = False,
+        epoch_space: str = "batch",
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
 
@@ -395,10 +551,20 @@ class SnapshotTable:
         applied the same epochs turns the retry into a skip; files written by
         the losing attempt become orphans for ``vacuum``.
         """
+        if not assume_deduped:
+            # Safe-by-default: the invariant "one row per key per file, key
+            # sets disjoint across a bucket's files" is what makes file-level
+            # COW correct — enforce it here unless the caller's plan already
+            # guarantees it.
+            updates = latest_by_key(
+                updates, keys=self.key_cols, order_col=self.order_col
+            )
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self._merge_epochs_once(updates, epoch_ids, extra_summary)
+                return self._merge_epochs_once(
+                    updates, epoch_ids, extra_summary, epoch_space
+                )
             except FileExistsError as err:
                 last_err = err  # manifest swap lost; re-plan from new snapshot
         raise RuntimeError(
@@ -411,62 +577,94 @@ class SnapshotTable:
         updates: DataFrame,
         epoch_ids: list[int],
         extra_summary: dict[str, Any] | None,
+        epoch_space: str,
     ) -> dict[str, Any]:
-        applied = self.applied_epochs()
+        applied = self.applied_epochs(space=epoch_space)
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:
             return {"skipped": True, "epochs": sorted(epoch_ids)}
-        epoch_set = sorted(applied | set(new_ids))
 
         m = self.manifest()
+        # Every commit-id space from the current snapshot carries over; only
+        # this merge's own space gains epochs.
+        spaces = {k: v for k, v in (m or {}).items()
+                  if k.startswith("applied_epochs")}
+        spaces[_space_key(epoch_space)] = encode_epoch_ranges(
+            applied | set(new_ids)
+        )
 
-        if m is None:
-            new_files = self._write_bucketed(updates)
-            manifest = {
-                "schema": updates.schema.jsonValue(),
-                "files": new_files,
-                "applied_epochs": epoch_set,
-                "key_cols": list(self.key_cols),
-                "order_col": self.order_col,
-                "n_buckets": self.n_buckets,
-                "summary": extra_summary or {},
-                "parent": None,
-            }
-            version = self._commit_manifest(manifest, base_version=0)
-            return {
-                "skipped": False,
-                "epochs": new_ids,
-                "version": version,
-                "rewritten_buckets": sorted({f["bucket"] for f in new_files}),
-                "rows_written": sum(f["rows"] for f in new_files),
-                "new_files": new_files,
-            }
-
-        old_schema = T.StructType.fromJson(m["schema"])
-        merged_schema = _merge_schemas(old_schema, updates.schema)
+        if m is not None:
+            old_schema = T.StructType.fromJson(m["schema"])
+            merged_schema = _merge_schemas(old_schema, updates.schema)
+        else:
+            merged_schema = updates.schema
 
         # Stage the updates ONCE (the only evaluation of the upstream plan);
-        # the touched-bucket set falls out of the staging layout for free.
+        # the touched-file set and per-file key/LSN stats fall out of the
+        # staging layout + parquet footers for free.
         import shutil
+        from collections import defaultdict
 
         staging, staged = self._stage_bucketed(updates)
         try:
-            touched = sorted({f["bucket"] for f in staged})
-            old_buckets = {f["bucket"] for f in m["files"]}
-            overlap = {b for b in touched if b in old_buckets}
-            carried = [f for f in m["files"] if f["bucket"] not in overlap]
+            staged_by_bucket: dict[int, list] = defaultdict(list)
+            for f in staged:
+                staged_by_bucket[f["bucket"]].append(f)
+            old_by_bucket: dict[int, list] = defaultdict(list)
+            for f in (m["files"] if m else []):
+                old_by_bucket[f["bucket"]].append(f)
 
-            # Buckets with no existing file: staged output IS final — rename.
-            new_files = [self._promote(f) for f in staged if f["bucket"] not in overlap]
+            carried: list[dict] = []
+            rewrite_old: list[dict] = []
+            rewrite_staged: list[dict] = []
+            promote_staged: list[dict] = []
+            files_pruned = 0
+            for b, olds in old_by_bucket.items():
+                if b not in staged_by_bucket:
+                    carried += olds
+            for b, sfiles in sorted(staged_by_bucket.items()):
+                olds = old_by_bucket.get(b, [])
+                if len(olds) + len(sfiles) > self.max_files_per_bucket:
+                    # fragmentation cap: compact the whole bucket
+                    inter = olds
+                else:
+                    # File-level COW: an existing file whose key range can't
+                    # contain any delta key is carried untouched — a
+                    # scattered-key delta rewrites O(delta files), not
+                    # O(bucket). Files without stats (legacy manifests) are
+                    # conservatively treated as intersecting.
+                    inter = [
+                        f for f in olds
+                        if any(_stats_intersect(f.get("key_stats"),
+                                                s.get("key_stats"))
+                               for s in sfiles)
+                    ]
+                inter_paths = {f["path"] for f in inter}
+                disjoint = [f for f in olds if f["path"] not in inter_paths]
+                carried += disjoint
+                files_pruned += len(disjoint)
+                if inter:
+                    rewrite_old += inter
+                    rewrite_staged += sfiles
+                else:
+                    # no existing file can share a key: staged output IS
+                    # final — rename, no rewrite
+                    promote_staged += sfiles
 
-            if overlap:
-                # Only overlapping buckets re-merge: read existing + staged
-                # rows for those buckets (small, bucket-pure files) and
-                # rewrite them with latest-wins.
-                old_touched = [f for f in m["files"] if f["bucket"] in overlap]
-                staged_touched = [f for f in staged if f["bucket"] in overlap]
-                existing = self._read_files(old_touched, merged_schema)
-                incoming = self._read_files(staged_touched, merged_schema)
+            staged_lineage = [
+                {
+                    "bucket": f["bucket"],
+                    "rows": f["rows"],
+                    "bytes": f["bytes"],
+                    "min_lsn": (f.get("order_stats") or [None, None])[0],
+                    "max_lsn": (f.get("order_stats") or [None, None])[1],
+                }
+                for f in staged
+            ]
+            new_files = [self._promote(f) for f in promote_staged]
+            if rewrite_staged:
+                existing = self._read_files(rewrite_old, merged_schema)
+                incoming = self._read_files(rewrite_staged, merged_schema)
                 merged = latest_by_key(
                     existing.unionByName(incoming, allowMissingColumns=True),
                     keys=self.key_cols,
@@ -479,20 +677,27 @@ class SnapshotTable:
         manifest = {
             "schema": merged_schema.jsonValue(),
             "files": carried + new_files,
-            "applied_epochs": epoch_set,
+            **spaces,
             "key_cols": list(self.key_cols),
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
+            "max_files_per_bucket": self.max_files_per_bucket,
             "summary": extra_summary or {},
-            "parent": m["version"],
+            "parent": m["version"] if m else None,
         }
-        version = self._commit_manifest(manifest, base_version=m["version"])
+        version = self._commit_manifest(
+            manifest, base_version=m["version"] if m else 0
+        )
         return {
             "skipped": False,
             "epochs": new_ids,
             "version": version,
-            "rewritten_buckets": touched,
+            "rewritten_buckets": sorted(staged_by_bucket),
             "carried_files": len(carried),
+            "files_rewritten": len(rewrite_old),
+            "files_pruned": files_pruned,
             "rows_written": sum(f["rows"] for f in new_files),
             "new_files": new_files,
+            "staged_rows": sum(f["rows"] for f in staged),
+            "staged_lineage": staged_lineage,
         }

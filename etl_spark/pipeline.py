@@ -114,6 +114,8 @@ class IngestPipeline:
         key_cols: tuple[str, ...] = ("repo", "path"),
         order_col: str = "commit",
         n_buckets: int = 32,
+        target_file_rows: int = 1_000_000,
+        max_files_per_bucket: int = 16,
         count_input: bool = True,
         dedupe_strategy: str = "maxby",
         maintain_rollup: bool = False,
@@ -127,7 +129,9 @@ class IngestPipeline:
         """
         self.spark = spark
         self.table = SnapshotTable(
-            spark, table_root, key_cols=key_cols, order_col=order_col, n_buckets=n_buckets
+            spark, table_root, key_cols=key_cols, order_col=order_col,
+            n_buckets=n_buckets, target_file_rows=target_file_rows,
+            max_files_per_bucket=max_files_per_bucket,
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)
@@ -188,6 +192,7 @@ class IngestPipeline:
             [s.epoch for s in segments],
             extra_summary={"segments": len(segments), "mode": mode,
                            "dedupe": strategy},
+            assume_deduped=True,  # dedupe_fn guarantees one row per key
         )
         stats.commit = commit
         if not commit.get("skipped"):
@@ -196,10 +201,12 @@ class IngestPipeline:
                 # stage-2 derived table: per-repo rollup maintained for
                 # exactly the repos this commit touched (SURVEY §3.3 / P2)
                 self.rollup.update_for_commit(commit)
+            # applied count falls out of the merge's staged-file footers —
+            # no extra Spark job
+            stats.events_applied = commit.get("staged_rows") or 0
             if self.count_input:
-                # column-pruned aggregates — no payload materialization
+                # column-pruned aggregate — no payload materialization
                 stats.events_read = raw.count()
-                stats.events_applied = deduped.groupBy().count().collect()[0][0]
         stats.seconds = time.time() - t0
         if not commit.get("skipped"):
             self.metrics.emit(
@@ -220,21 +227,68 @@ class IngestPipeline:
         return stats
 
     def _log_lineage(self, commit: dict[str, Any]) -> None:
-        """Per-(epoch, bucket) lineage from the files the merge just wrote.
+        """Per-(epoch, bucket) lineage for the updates this commit applied.
 
-        Reading back the written winners (|keys| rows, bucket-pure files) is
-        far cheaper than a second pass over the raw stream; rows carried over
-        from earlier epochs are excluded by the epoch filter, so the log
-        records exactly what this commit applied.
+        Single-epoch commits (the steady-state CDC path and every streaming
+        micro-batch) need ZERO extra Spark jobs: per-bucket row counts and
+        exact LSN ranges come from the staged files' parquet footers, already
+        read by the merge. ``bytes`` on this path is the staged files'
+        on-disk size. Multi-epoch catch-up commits fall back to reading back
+        the written files (one small, column-pruned job amortized over the
+        whole batch), which splits lineage per source epoch.
         """
-        new_files = commit.get("new_files") or []
-        if not new_files:
+        epochs = commit.get("epochs") or []
+        staged = commit.get("staged_lineage")
+        if len(epochs) == 1 and staged is not None and all(
+            r["min_lsn"] is not None and r["max_lsn"] is not None
+            for r in staged
+        ):
+            import pandas as pd
+
+            agg: dict[int, list] = {}
+            for r in staged:
+                a = agg.setdefault(r["bucket"], [None, None, 0, 0])
+                if a[0] is None or r["min_lsn"] < a[0]:
+                    a[0] = r["min_lsn"]
+                if a[1] is None or r["max_lsn"] > a[1]:
+                    a[1] = r["max_lsn"]
+                a[2] += r["rows"]
+                a[3] += r["bytes"]
+            ts = time.time()
+            pdf = pd.DataFrame(
+                [
+                    {"epoch": epochs[0], "bucket": b, "min_lsn": a[0],
+                     "max_lsn": a[1], "row_count": a[2], "bytes": a[3],
+                     "committed_at": ts}
+                    for b, a in sorted(agg.items())
+                ],
+                columns=["epoch", "bucket", "min_lsn", "max_lsn",
+                         "row_count", "bytes", "committed_at"],
+            )
+            if pdf.empty:
+                self.log.mark_empty(epochs[0])
+            else:
+                self.log._write_pandas(pdf, epochs[0])
             return
-        schema = self.table.schema()
-        df = self.table._read_files(new_files, schema)
-        applied = df.where(F.col("epoch").isin(commit["epochs"]))
-        lineage = self.log.lineage_rows_multi(applied, self.table._bucket_expr())
-        self.log.append_multi(lineage)
+
+        new_files = commit.get("new_files") or []
+        if new_files:
+            schema = self.table.schema()
+            df = self.table._read_files(new_files, schema)
+            applied = df.where(F.col("epoch").isin(epochs))
+            lineage = self.log.lineage_rows_multi(
+                applied, self.table._bucket_expr()
+            )
+            pdf = lineage.toPandas()
+            self.log.append_pandas(pdf)
+            logged = set(int(e) for e in pdf["epoch"].unique()) if len(pdf) else set()
+        else:
+            logged = set()
+        # epochs whose rows were all superseded within the batch still get a
+        # zero-row marker so logged_epochs converges
+        for e in epochs:
+            if int(e) not in logged:
+                self.log.mark_empty(int(e))
 
     # ---- public API ----------------------------------------------------------
 
@@ -250,10 +304,17 @@ class IngestPipeline:
 
     def _backfill_log(self, epoch: int) -> None:
         """Rebuild lineage for a committed epoch from the table's own rows
-        (row-level epoch provenance makes the log fully derivable)."""
+        (row-level epoch provenance makes the log fully derivable). An epoch
+        whose rows were ALL superseded yields zero rows — write the zero-row
+        marker partition anyway, or every later replay would re-run this
+        full-table scan trying to heal the same epoch forever."""
         applied = self.table.read().where(F.col("epoch") == epoch)
         lineage = self.log.lineage_rows_multi(applied, self.table._bucket_expr())
-        self.log.append_multi(lineage)
+        pdf = lineage.toPandas()
+        if pdf.empty:
+            self.log.mark_empty(epoch)
+        else:
+            self.log.append_pandas(pdf)
 
     def replay(
         self,

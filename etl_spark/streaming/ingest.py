@@ -14,6 +14,15 @@ playing the role of the checkpoint epoch. This is the classic
 identical thing with its anti-join vs. target
 (create_duckdb_points.py:164-173).
 
+Streaming batch ids live in their OWN commit-id space (``epoch_space=
+"stream"`` in the manifest, lineage under ``_checkpoint_stream``): batch
+replay keys the same table on segment epoch numbers, and both sequences start
+at 0 — a shared set would make the first streaming micro-batches into a
+batch-replayed table silently skip as "already applied". The row-level
+``epoch`` provenance column still records the writer's own id (segment epoch
+for batch, batch id for streaming); consumers of a MIXED table's change feed
+should treat it as provenance within the writing driver's space.
+
 Late/duplicate data: rows for keys already at a newer commit lose the merge's
 latest-wins dedupe and vanish — the streaming analog of the reference's
 watermark skip (F4/F5). No event-time watermark state is needed because the
@@ -53,6 +62,8 @@ def stream_ingest(
     backlog then stops (micro-batch replay semantics, used by tests);
     ``False`` keeps tailing for new segments.
     """
+    from etl_spark.checkpoint import CheckpointLog
+
     pipe = IngestPipeline(
         spark,
         table_root,
@@ -60,6 +71,9 @@ def stream_ingest(
         count_input=False,
         dedupe_strategy=dedupe_strategy,
     )
+    # streaming lineage gets its own log root — batch epoch N and stream
+    # batch N are different events and must not share a partition dir
+    pipe.log = CheckpointLog(spark, f"{table_root}/_checkpoint_stream")
     ddl = STREAM_DDL if extra_schema is None else f"{STREAM_DDL}, {extra_schema}"
 
     source = (
@@ -87,6 +101,8 @@ def stream_ingest(
             deduped,
             [int(batch_id)],
             extra_summary={"mode": "streaming", "batch_id": int(batch_id)},
+            assume_deduped=True,
+            epoch_space="stream",
         )
         if not commit.get("skipped"):
             pipe._log_lineage(commit)

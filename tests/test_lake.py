@@ -101,15 +101,79 @@ def test_old_files_never_rewritten_on_evolution(spark, tmpdir_path):
     assert final.where("metadata IS NULL").count() == 100
 
 
-def test_one_file_per_bucket_invariant(spark, tmpdir_path):
-    """After arbitrarily many merges, each bucket holds exactly one live file
-    (carried or rewritten) — no compaction ever needed."""
-    t = _tbl(spark, tmpdir_path)
-    for epoch in range(5):
+def test_bucket_files_stay_key_disjoint_and_bounded(spark, tmpdir_path):
+    """After arbitrarily many merges, each key lives in exactly ONE live file
+    (the invariant file-level COW relies on) and per-bucket file counts stay
+    under max_files_per_bucket (the compaction cap)."""
+    t = _tbl(spark, tmpdir_path, target_file_rows=20, max_files_per_bucket=4)
+    for epoch in range(6):
         rows = [("r", f"p{(epoch * 7 + i) % 60:03d}", f"c{epoch:012d}", "x")
                 for i in range(30)]
         t.merge_epoch(_df(spark, rows), epoch)
     m = t.manifest()
-    buckets = [f["bucket"] for f in m["files"]]
-    assert len(buckets) == len(set(buckets)), "multiple live files in one bucket"
-    assert len(buckets) <= 4
+    per_bucket: dict[int, int] = {}
+    for f in m["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n <= 4 for n in per_bucket.values()), per_bucket
+    # key-disjointness: total rows across files == distinct keys
+    assert t.read().count() == t.read().select("repo", "path").distinct().count() == 60
+    assert t.fsck()["ok"]
+
+
+def test_file_level_pruning_carries_disjoint_files(spark, tmpdir_path):
+    """A delta whose keys fall outside a file's [min,max] key range carries
+    that file untouched — the merge rewrite unit is the file, not the bucket."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=1, target_file_rows=50,
+                      max_files_per_bucket=32)
+    rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(500)]
+    t.merge_epoch(_df(spark, rows), 0)
+    m0 = t.manifest()
+    assert len(m0["files"]) == 10  # 500 rows / 50-per-file in one bucket
+    assert all(f["key_stats"] is not None for f in m0["files"])
+    # delta hits a single key: exactly one file's range can contain it
+    stats = t.merge_epoch(_df(spark, [("r", "p0000", "c000000000002", "y")]), 1)
+    assert stats["files_rewritten"] == 1
+    assert stats["files_pruned"] == 9
+    assert t.read().count() == 500
+    assert t.read().where("path = 'p0000'").first().content == "y"
+    # untouched files carried by identity
+    old_paths = {f["path"] for f in m0["files"]}
+    carried = [f for f in t.manifest()["files"] if f["path"] in old_paths]
+    assert len(carried) == 9
+
+
+def test_merge_dedupes_non_prededuped_updates(spark, tmpdir_path):
+    """The public MERGE API dedupes updates unless the caller vouches —
+    including on the fresh-bucket fast path (rename, no rewrite)."""
+    t = _tbl(spark, tmpdir_path)
+    dup = _df(spark, [("r", "a", "c000000000001", "old"),
+                      ("r", "a", "c000000000005", "new"),
+                      ("r", "b", "c000000000002", "w")])
+    t.merge_epoch(dup, 0)  # every bucket is fresh: rename path
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r", "a"): "new", ("r", "b"): "w"}
+    assert t.read().count() == 2
+
+
+def test_applied_epochs_stored_as_compact_ranges(spark, tmpdir_path):
+    """10^4 epochs applied in one catch-up commit occupy ONE [lo,hi] range in
+    the manifest — O(#gaps), not O(#epochs) — and incremental gaps stay
+    readable."""
+    import json as _json
+
+    from etl_spark.lake.table import decode_epoch_ranges, encode_epoch_ranges
+
+    t = _tbl(spark, tmpdir_path)
+    t.merge_epochs(_df(spark, [("r", "a", "c000000000001", "x")]),
+                   list(range(10_000)))
+    m = t.manifest()
+    assert m["applied_epochs"] == [[0, 9999]]
+    assert len(_json.dumps(m["applied_epochs"])) < 20
+    assert len(t.applied_epochs()) == 10_000
+    # a gap produces exactly one extra range
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000002", "y")]), 20_000)
+    assert t.manifest()["applied_epochs"] == [[0, 9999], [20000, 20000]]
+    # pure codec round-trip incl. legacy flat-list form
+    assert decode_epoch_ranges([0, 1, 2, 9]) == {0, 1, 2, 9}
+    assert encode_epoch_ranges({5, 3, 4, 9}) == [[3, 5], [9, 9]]
+    assert decode_epoch_ranges(encode_epoch_ranges(range(100))) == set(range(100))

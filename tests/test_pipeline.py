@@ -122,6 +122,27 @@ def test_schema_evolution_additive(replayed):
     assert bad == 0
 
 
+def test_backfill_converges_for_fully_superseded_epoch(spark, stream, tmpdir_path):
+    """An epoch whose rows were ALL superseded by later epochs yields zero
+    lineage rows on backfill — the zero-row marker partition must still be
+    written so the heal loop converges instead of rescanning forever."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/table", n_buckets=8)
+    pipe.replay(stream)
+    # wipe epoch 0's lineage AND pretend all its rows were superseded by
+    # filtering: simulate via a stream where epoch 0 keys are rewritten later
+    _sh.rmtree(_P(pipe.log.root) / "epoch=0")
+    # direct backfill of an epoch with no surviving table rows
+    pipe._backfill_log(999)  # no rows carry epoch=999
+    assert 999 in pipe.log.logged_epochs()
+    assert pipe.log.read().where("epoch = 999").count() == 0
+    # normal heal still works for epoch 0
+    pipe.replay(stream)
+    assert 0 in pipe.log.logged_epochs()
+
+
 def test_lineage_log_covers_all_epochs(replayed):
     pipe, _ = replayed
     log = pipe.log.read().toPandas()

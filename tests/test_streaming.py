@@ -80,6 +80,29 @@ def test_streaming_picks_up_new_segments(spark, stream, tmpdir_path):
         shutil.rmtree(f"{stream}/epoch={N_EPOCHS}", ignore_errors=True)
 
 
+def test_streaming_after_batch_replay_does_not_skip(spark, stream, tmpdir_path):
+    """Mixing drivers on one table: batch replay applies segment epochs 0..N,
+    then streaming starts with a fresh checkpoint whose micro-batch ids also
+    begin at 0. Batch ids live in their own commit-id space, so the first
+    micro-batches must NOT be skipped as 'already applied' — the final state
+    still matches the oracle and the stream space records its batches."""
+    from etl_spark.pipeline import IngestPipeline
+
+    root = f"{tmpdir_path}/table"
+    pipe = IngestPipeline(spark, root, n_buckets=8)
+    pipe.replay(stream)
+    assert pipe.table.applied_epochs() == {0, 1}
+    q = stream_ingest(spark, stream, root, n_buckets=8)
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, root)
+    # streaming batches committed in their own space, batch space untouched
+    assert table.applied_epochs() == {0, 1}
+    assert len(table.applied_epochs(space="stream")) > 0
+    got = table.read().drop("epoch").toPandas()
+    assert_frames_equal(got, oracle_final_state(stream))
+    assert table.fsck()["ok"]
+
+
 def test_streaming_schema_evolution(spark, tmpdir_path):
     """Additive column flows through the streaming path: new rows populate it,
     pre-evolution keys read back null."""
