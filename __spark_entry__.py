@@ -583,21 +583,52 @@ def q_simhash_fps(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """Block-permutation SimHash near-pairs — oracle-backed: the DuckDB SQL
+    rebuilds the fingerprints (shared CTE with simhash_fps), the 16-bit block
+    collision candidates, and bit_count(xor) verification."""
+    out = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
-    from etl_spark.operators.similarity import ivf_topk
+    """IVF top-k (KMeans coarse quantizer — not SQL-expressible, rows-only
+    driver check) with a driver-visible recall column: every row carries
+    recall@10 vs the exact brute-force top-k, so the quality of the
+    approximate path is recorded in CORRECTNESS, not just row counts."""
+    from etl_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=3)
-    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    hits = (
+        out.join(
+            exact,
+            (out.query_id == exact.query_id)
+            & (out.neighbor_id == exact.exact_neighbor),
+            "left_semi",
+        )
+        .groupBy()
+        .count()
+    )
+    recall = hits.select(
+        (F.col("count") / F.lit(50.0)).alias("recall_at_10")
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    ).crossJoin(F.broadcast(recall))
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH top-k — oracle-backed: md5-derived plane
+    components reproduce bit-for-bit in DuckDB SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -606,10 +637,26 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_dedup_lsh(spark, sf_dir):
+    """Bucketed (scale-path) embedding near-dup: pairs restricted to LSH
+    sign-bucket collisions before scoring — the O(n^2)-free configuration the
+    100-TB path uses, regression-checked against its own SQL oracle."""
+    from etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
 def q_media_features(spark, sf_dir):
+    """Multimodal feature plumbing — oracle-backed: the synthetic media table
+    derives modality/length/payload from md5, so DuckDB rebuilds the bytes and
+    verifies byte_len and content sha256 end-to-end."""
     media = synthesize_media(spark, 200)
     return extract_media_features(media).select(
-        "media_id", "modality", "byte_len", "content_sha256"
+        "media_id",
+        "modality",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "content_sha256",
     )
 
 
@@ -683,18 +730,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "embedding_norms": q_embedding_norms,
-        # rows-only (non-SQL-expressible / self-generating)
         "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        # rows-only: KMeans quantizer is not SQL-expressible; the query
+        # carries a recall_at_10 column vs exact top-k instead
+        "ann_ivf": q_ann_ivf,
     }
+
+
+def _lsh_bucket_cte(n_planes: int, seed: int) -> str:
+    """CTE ``cb(vec_id, v, bucket)``: random-hyperplane sign buckets over the
+    embeddings table, reproducing operators/similarity.lsh_bucket bit-for-bit
+    (md5-derived plane components; exact integer arithmetic in doubles)."""
+    return f"""
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            dots AS (
+                SELECT vec_id, p.p,
+                       list_dot_product(v, list_transform(
+                           generate_series(0, len(v) - 1),
+                           i -> ((('0x' || substring(md5(p.p::VARCHAR || '|' ||
+                                    i::VARCHAR || '|' || '{seed}'), 1, 15))::UBIGINT
+                                  % 2000000)::DOUBLE - 1000000) / 1000000.0)) AS d
+                FROM c, (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+                FROM dots GROUP BY vec_id
+            ),
+            cb AS (SELECT c.vec_id, c.v, b.bucket
+                   FROM c JOIN buckets b USING (vec_id))
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     lang_case = _lang_case_sql()
+    # SimHash fingerprints, shared by the simhash_fps and simhash_pairs
+    # oracles — bit-exact vs operators/textdedup.simhash64.
+    simhash_cte = r"""
+            stoks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(regexp_split_to_array(
+                           trim(regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '')) AS tk
+                FROM documents
+            ),
+            stok AS (
+                SELECT doc_id, ('0x' || substring(md5(u.t), 1, 16))::UBIGINT AS h
+                FROM stoks, unnest(tk) AS u(t)
+            ),
+            svotes AS (
+                SELECT doc_id, b.j,
+                       sum(CASE WHEN ((h >> b.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM stok, (SELECT unnest(generate_series(0, 63)) AS j) b
+                GROUP BY doc_id, b.j
+            ),
+            sbits AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 AND j < 63
+                                THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS lowbits,
+                       max(CASE WHEN j = 63 AND v > 0 THEN 1 ELSE 0 END) AS topbit
+                FROM svotes GROUP BY doc_id
+            ),
+            fps AS (
+                SELECT d.doc_id,
+                       coalesce((b.lowbits - b.topbit::HUGEINT
+                                 * 9223372036854775808)::BIGINT, 0) AS fp
+                FROM documents d LEFT JOIN sbits b ON b.doc_id = d.doc_id
+            )
+    """
     shingle_cte = r"""
         toks AS (
           SELECT doc_id,
@@ -1045,36 +1154,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.id = id_b
             WHERE round(c / (na.n + nb.n - c)::DOUBLE, 6) >= 0.5
         """,
-        "simhash_fps": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_distinct(list_filter(regexp_split_to_array(
-                           trim(regexp_replace(lower(coalesce(text, '')),
-                                '[^a-z0-9\s]', ' ', 'g')), '\s+'),
-                           t -> t <> '')) AS tk
-                FROM documents
+        "simhash_fps": f"""
+            WITH {simhash_cte}
+            SELECT doc_id, fp FROM fps
+        """,
+        "simhash_pairs": f"""
+            WITH {simhash_cte},
+            ub AS (
+                SELECT doc_id, fp,
+                       (fp::HUGEINT + CASE WHEN fp < 0
+                            THEN 18446744073709551616::HUGEINT
+                            ELSE 0::HUGEINT END) AS u
+                FROM fps
             ),
-            tok AS (
-                SELECT doc_id, ('0x' || substring(md5(u.t), 1, 16))::UBIGINT AS h
-                FROM toks, unnest(tk) AS u(t)
+            blocks AS (
+                SELECT doc_id, fp, b.blk,
+                       ((u >> (b.blk * 16)) % 65536)::BIGINT AS val
+                FROM ub, (SELECT unnest(generate_series(0, 3)) AS blk) b
             ),
-            votes AS (
-                SELECT doc_id, b.j,
-                       sum(CASE WHEN ((h >> b.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
-                FROM tok, (SELECT unnest(generate_series(0, 63)) AS j) b
-                GROUP BY doc_id, b.j
-            ),
-            bits AS (
-                SELECT doc_id,
-                       sum(CASE WHEN v > 0 AND j < 63
-                                THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS lowbits,
-                       max(CASE WHEN j = 63 AND v > 0 THEN 1 ELSE 0 END) AS topbit
-                FROM votes GROUP BY doc_id
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                       a.fp AS fa, bb.fp AS fb
+                FROM blocks a JOIN blocks bb
+                  ON a.blk = bb.blk AND a.val = bb.val AND a.doc_id < bb.doc_id
             )
-            SELECT d.doc_id,
-                   coalesce((b.lowbits - b.topbit::HUGEINT * 9223372036854775808)::BIGINT,
-                            0) AS fp
-            FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+            SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= 8
+        """,
+        "ann_lsh": f"""
+            WITH {_lsh_bucket_cte(n_planes=4, seed=7)},
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+                  FROM cb WHERE vec_id < 5),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(CASE WHEN nq > 0 AND nc > 0 THEN dp / (nq * nc)
+                                  ELSE 0.0 END, 6) AS score
+                FROM (
+                    SELECT q.query_id, c.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, c.v) AS dp,
+                           sqrt(list_dot_product(q.qv, q.qv)) AS nq,
+                           sqrt(list_dot_product(c.v, c.v)) AS nc
+                    FROM q JOIN cb c
+                      ON q.qb = c.bucket AND c.vec_id <> q.query_id
+                )
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_dedup_lsh": f"""
+            WITH {_lsh_bucket_cte(n_planes=4, seed=7)}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+                              ELSE 0.0 END, 6) AS cosine
+            FROM (
+                SELECT a.vec_id, b.vec_id AS bvec,
+                       list_dot_product(a.v, b.v) AS dp,
+                       sqrt(list_dot_product(a.v, a.v)) AS na,
+                       sqrt(list_dot_product(b.v, b.v)) AS nb
+                FROM cb a JOIN cb b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) a(vec_id, bvec, dp, na, nb)
+            JOIN cb b ON b.vec_id = a.bvec
+            WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+                             ELSE 0.0 END, 6) >= 0.4
+        """,
+        "media_features": """
+            WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+            base AS (
+                SELECT media_id,
+                       ('0x' || substring(md5('mod|42|' || media_id::VARCHAR),
+                           1, 15))::UBIGINT % 3 AS mi,
+                       (('0x' || substring(md5('len|42|' || media_id::VARCHAR),
+                           1, 15))::UBIGINT % 16 + 1)::BIGINT AS reps,
+                       md5('42' || media_id::VARCHAR) AS unit
+                FROM ids
+            )
+            SELECT media_id,
+                   CASE mi WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   (reps * 32)::BIGINT AS byte_len,
+                   sha256(repeat(unit, reps::INT)) AS content_sha256
+            FROM base
         """,
         "ann_topk": """
             WITH q AS (
@@ -1124,6 +1288,6 @@ def oracle_sql() -> dict[str, str]:
                    len(embedding)::BIGINT AS dim
             FROM embeddings
         """,
-        # simhash_pairs, ann_lsh, media_features: intentionally omitted
-        # (non-SQL-expressible or self-generating; rows-only driver check).
+        # ann_ivf: intentionally omitted — the KMeans coarse quantizer is not
+        # SQL-expressible; the query itself carries recall_at_10 vs exact.
     }

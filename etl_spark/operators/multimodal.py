@@ -61,11 +61,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _md5_mod(tag: str, seed: int, n: int):
+    """Deterministic uniform int in [0, n) from md5 — md5 (not xxhash64) so a
+    SQL oracle regenerates the same table bit-for-bit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{tag}|{seed}|"), F.col("id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n))
+
+
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table — JVM-generated binary payloads.
 
-    Bytes = repeated unhex(md5(id)) so payload sizes vary and content is
-    reproducible with no Python in the generation path.
+    Bytes = repeated md5(id) hex digits UTF-8-encoded, so payload sizes vary
+    and content is reproducible with no Python in the generation path;
+    modality and length derive from md5 too, so a DuckDB oracle can rebuild
+    the table — including its sha256 — exactly (DuckDB's sha256 takes VARCHAR
+    only, so the fake payload stays ASCII; the column is still ``binary`` and
+    the downstream plumbing treats it as opaque bytes).
     """
     mods = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     df = (
@@ -73,15 +92,16 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         .withColumn("media_id", F.col("id"))
         .withColumn(
             "modality",
-            F.element_at(mods, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")),
+            F.element_at(mods, (_md5_mod("mod", seed, 3) + 1).cast("int")),
         )
         .withColumn(
             "media",
-            F.unhex(
+            F.encode(
                 F.repeat(
                     F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))),
-                    (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(16)) + 1).cast("int"),
-                )
+                    (_md5_mod("len", seed, 16) + 1).cast("int"),
+                ),
+                "UTF-8",
             ),
         )
         .withColumn(

@@ -68,8 +68,26 @@ def brute_force_topk(
 
 
 def _plane_component(plane: int, dim, seed: int):
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(plane), dim, F.lit(seed))
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    md5-derived (first 15 hex chars -> 60-bit int), not xxhash64, so a SQL
+    oracle reproduces the planes bit-for-bit (the same trick
+    textdedup.simhash64 uses). Integer arithmetic below 2^53 is exact in
+    doubles, so Spark and the oracle agree to the last bit.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(plane)), dim.cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     return (F.pmod(h, F.lit(2_000_000)) - F.lit(1_000_000)) / 1_000_000.0
 
 
