@@ -647,6 +647,17 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
 
 
+def q_hier_cover(spark, sf_dir):
+    """Hierarchical multi-resolution cover with subtree pruning (the
+    reference's z13->z17->z21 polygon-cover algorithm re-expressed on text;
+    /root/reference/src/core/cellstring_utils.py:138-279). Oracle-backed:
+    DuckDB recomputes every level's block classification and the pruning
+    joins; the hierarchical==naive differential lives in tests/test_cover.py."""
+    from etl_spark.operators.cover import cover_table
+
+    return cover_table(_t(spark, sf_dir, "documents"), sizes=(64, 16, 4))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature plumbing — oracle-backed: the synthetic media table
     derives modality/length/payload from md5, so DuckDB rebuilds the bytes and
@@ -732,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "embedding_norms": q_embedding_norms,
+        "hier_cover": q_hier_cover,
         "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
@@ -1221,6 +1233,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN cb b ON b.vec_id = a.bvec
             WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
                              ELSE 0.0 END, 6) >= 0.4
+        """,
+        "hier_cover": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            blocks AS (
+                SELECT doc_id, lvl.level, lvl.size, u.i * lvl.size AS start,
+                       substring(t, (u.i * lvl.size + 1)::INT, lvl.size) AS seg
+                FROM d
+                JOIN (VALUES (0, 64), (1, 16), (2, 4)) lvl(level, size) ON true,
+                unnest(generate_series(0, (length(t) - 1) // lvl.size)) AS u(i)
+                WHERE length(t) > 0
+            ),
+            cls AS (
+                SELECT doc_id, level, size, start,
+                       (length(seg) = size
+                        AND NOT regexp_matches(seg, '[^A-Za-z0-9]')) AS isfull,
+                       regexp_matches(seg, '[A-Za-z0-9]') AS isany
+                FROM blocks
+            ),
+            emitted AS (
+                SELECT c.doc_id, c.level, c.start, c.size AS blk_len,
+                       c.isfull AS f
+                FROM cls c
+                LEFT JOIN cls p0 ON c.level > 0 AND p0.doc_id = c.doc_id
+                     AND p0.level = 0 AND p0.start = (c.start // 64) * 64
+                LEFT JOIN cls p1 ON c.level > 1 AND p1.doc_id = c.doc_id
+                     AND p1.level = 1 AND p1.start = (c.start // 16) * 16
+                WHERE ((c.level < 2 AND c.isfull) OR (c.level = 2 AND c.isany))
+                  AND coalesce(p0.isfull, false) = false
+                  AND coalesce(p1.isfull, false) = false
+            )
+            SELECT doc_id, level::BIGINT AS level, start::BIGINT AS start,
+                   blk_len::BIGINT AS blk_len, f AS "full",
+                   lead(start::BIGINT) OVER (
+                       PARTITION BY doc_id ORDER BY start) AS next_start
+            FROM emitted
         """,
         "media_features": """
             WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),

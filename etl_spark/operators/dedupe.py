@@ -78,36 +78,41 @@ def probe_skew(
     df: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,
     sample_fraction: float = 0.01,
-    min_sample: int = 10_000,
 ) -> dict:
     """Cheap skew probe: sampled per-key histogram -> max key share.
 
     The reference orders work by per-key counts to schedule heavy keys first
-    (A5/P3; duckdb_construct_trajs_stops.py:76-94). We sample instead of a
-    full count: at 10^10 rows a 1% (floored to ``min_sample`` rows in
-    expectation) sample bounds the probe cost while a mega-key's share
-    estimate stays accurate — the probe only needs order-of-magnitude truth
-    to pick a physical strategy.
+    (A5/P3; duckdb_construct_trajs_stops.py:76-94). ONE Spark job over a
+    fixed-fraction sample: the sampled per-key counts reduce to (total, argmax)
+    in the same aggregation, so the probe never scans the full batch — an
+    earlier version ran ``df.count()`` just to size the fraction, which on
+    the ``auto`` strategy cost one extra full-scan job per batch. A fixed 1%
+    sample keeps a mega-key's share estimate order-of-magnitude accurate at
+    any batch size, which is all the strategy choice needs; tiny batches may
+    sample to zero rows and fall through to the safe default.
     """
-    n_total = df.count()
-    if n_total == 0:
-        return {"rows_sampled": 0, "max_share": 0.0, "hot_keys": []}
-    frac = min(1.0, max(sample_fraction, min_sample / n_total))
-    sample = df.sample(fraction=frac, seed=13)
-    hist = (
+    sample = df.sample(fraction=min(1.0, sample_fraction), seed=13)
+    row = (
         sample.groupBy(*keys)
         .count()
-        .orderBy(F.col("count").desc())
-        .limit(5)
-        .collect()
+        .agg(
+            F.sum("count").alias("n"),
+            F.max(
+                F.struct(
+                    F.col("count").alias("count"),
+                    F.struct(*[F.col(k) for k in keys]).alias("key"),
+                )
+            ).alias("top"),
+        )
+        .first()
     )
-    n_sampled = sum(r["count"] for r in hist) if hist else 0
-    total_sampled = max(1, int(n_total * frac))
+    if row is None or not row["n"]:
+        return {"rows_sampled": 0, "max_share": 0.0, "hot_keys": []}
+    top = row["top"]
     return {
-        "rows_sampled": total_sampled,
-        "max_share": hist[0]["count"] / total_sampled if hist else 0.0,
-        "hot_keys": [tuple(r[k] for k in keys) for r in hist],
-        "_n_sampled_top5": n_sampled,
+        "rows_sampled": int(row["n"]),
+        "max_share": top["count"] / row["n"],
+        "hot_keys": [tuple(top["key"][k] for k in keys)],
     }
 
 

@@ -166,10 +166,15 @@ class IngestPipeline:
     def _read_segments(self, segments: list[Segment]) -> DataFrame:
         """Read segment dirs with basePath so the ``epoch`` partition column
         survives — it flows through dedupe into per-epoch lineage and into the
-        table as row-level provenance."""
+        table as row-level provenance. mergeSchema: a catch-up batch may span
+        the binlog position where an additive column first appears; without
+        footer merging Spark samples one file's schema and silently drops the
+        new column for the whole batch."""
         base = os.path.dirname(segments[0].path)
-        return self.spark.read.option("basePath", base).parquet(
-            *[s.path for s in segments]
+        return (
+            self.spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*[s.path for s in segments])
         )
 
     def _apply_batch(
