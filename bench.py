@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "ann_topk",
     "simhash_pairs",
+    "hier_cover",
 ]
 
 # Replay-leg sizing: events per unit scale factor (sf0.1 -> 1M events).
@@ -56,28 +57,44 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_sparse_epoch(spark, n_events: int) -> dict:
-    """Steady-state CDC cost: after a bootstrap of n_events, apply ONE small
-    epoch touching ~1% of keys — the bucket-pruning design claim ("an epoch
-    touching 1% of keys rewrites ~1% of the table") measured directly."""
+def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
+    """Steady-state CDC cost: bootstrap a table, then apply ONE small delta.
+
+    ``scattered=False``: a burst of commits to ~50 keys of one repo (activity
+    clustered in few repos) — bucket pruning alone keeps the rewrite small.
+    ``scattered=True``: the adversarial shape — delta keys uniform over the
+    whole key domain, touching (nearly) every bucket. File-level pruning is
+    what keeps THIS case sub-linear: with multiple key-ranged files per
+    bucket (emulated via a small target_file_rows, standing in for the
+    thousands of files a 100-TB bucket holds), only files whose range
+    intersects a delta key are rewritten; the report's files_pruned /
+    files_rewritten split is the direct measurement.
+    """
     root = tempfile.mkdtemp(prefix="etl_spark_sparse_")
     try:
         base = change_stream(spark, n_events, n_repos=max(100, n_events // 10_000),
                              events_per_epoch=n_events, dup_pct=0)
         write_segments(base, f"{root}/stream")
-        pipe = IngestPipeline(spark, f"{root}/table", n_buckets=256, count_input=False)
+        pipe = IngestPipeline(
+            spark, f"{root}/table", n_buckets=256, count_input=False,
+            target_file_rows=8, max_files_per_bucket=64,
+        )
         pipe.replay(f"{root}/stream", mode="catchup")
+        table_files = len(pipe.table.manifest()["files"])
 
-        # delta epoch: a burst of commits to ~50 keys of one repo (the
-        # steady-state CDC shape: activity clusters in few repos). NB hash
-        # bucketing prunes by BUCKET, so rewrite cost ~ distinct delta keys
-        # (capped at n_buckets), not delta row count — a delta of scattered
-        # keys would touch every bucket; that regime needs more buckets or
-        # file-level pruning, which is why n_buckets is a knob.
+        if scattered:
+            delta = change_stream(
+                spark, max(1, n_events // 1000),
+                n_repos=max(100, n_events // 10_000), skew=1.0,
+                events_per_epoch=n_events, dup_pct=0,
+            )
+        else:
+            delta = change_stream(
+                spark, n_events // 100, n_repos=1, paths_per_repo=5,
+                events_per_epoch=n_events, dup_pct=0,
+            )
         delta = (
-            change_stream(spark, n_events // 100, n_repos=1, paths_per_repo=5,
-                          events_per_epoch=n_events // 100, dup_pct=0)
-            .withColumn("lsn", F.col("lsn") + n_events)
+            delta.withColumn("lsn", F.col("lsn") + n_events)
             .withColumn("commit", F.format_string("c%012d", F.col("lsn")))
         )
         # NB: epoch comes from the partition directory; writing it as a data
@@ -89,13 +106,23 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
         secs = time.time() - t0
         c = stats[0].commit
         return {
-            "delta_events": n_events // 100,
+            "delta_events": c.get("staged_rows"),
             "seconds": round(secs, 2),
-            "buckets_rewritten": len(c.get("rewritten_buckets", [])),
+            "table_files": table_files,
+            "buckets_touched": len(c.get("rewritten_buckets", [])),
+            "files_rewritten": c.get("files_rewritten"),
+            "files_pruned": c.get("files_pruned"),
             "files_carried": c.get("carried_files"),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_sparse_epoch(spark, n_events: int) -> dict:
+    return {
+        "clustered": _sparse_epoch_case(spark, n_events, scattered=False),
+        "scattered": _sparse_epoch_case(spark, n_events, scattered=True),
+    }
 
 
 def bench_replay(spark, n_events: int) -> dict:
@@ -154,7 +181,8 @@ def main() -> int:
     timings["cdc_replay"] = replay["replay_sec"]
     timings["cdc_replay_catchup"] = replay["catchup_sec"]
     sparse = bench_sparse_epoch(spark, int(REPLAY_EVENTS_PER_SF * sf))
-    timings["cdc_sparse_epoch"] = sparse["seconds"]
+    timings["cdc_sparse_epoch"] = sparse["clustered"]["seconds"]
+    timings["cdc_sparse_epoch_scattered"] = sparse["scattered"]["seconds"]
 
     total = round(sum(timings.values()), 3)
     print(

@@ -96,6 +96,26 @@ def _stat_val(v):
     return v if isinstance(v, (str, int, float)) else None
 
 
+def _keys_hit_file(keys: list[tuple], key_stats: dict | None,
+                   key_cols: tuple[str, ...]) -> bool:
+    """True if ANY probed key tuple can lie inside the file's per-column
+    [min, max] stats (conservative: missing stats always hit)."""
+    if key_stats is None:
+        return True
+    for key in keys:
+        hit = True
+        for c, v in zip(key_cols, key):
+            rng = key_stats.get(c)
+            if rng is None or rng[0] is None or rng[1] is None:
+                continue
+            if v is None or v < rng[0] or v > rng[1]:
+                hit = False
+                break
+        if hit:
+            return True
+    return False
+
+
 def _stats_intersect(a: dict | None, b: dict | None) -> bool:
     """Conservative key-range overlap test between two files' per-column
     [min, max] stats. A shared key needs every key column to share a value,
@@ -413,6 +433,31 @@ class SnapshotTable:
             F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
         ).cast("int")
 
+    # deltas with at most this many rows in a bucket get exact per-key
+    # containment pruning (driver-side read of the tiny staged file's key
+    # columns); larger deltas use range-envelope overlap
+    key_probe_limit = 1024
+
+    def _probe_staged_keys(self, sfiles: list[dict]) -> list[tuple] | None:
+        """Key tuples of a SPARSE staged delta (None if too large to probe).
+
+        Reading a few KB of key columns from one or two bucket-pure staged
+        files is a driver-side pyarrow read — no Spark job — and buys exact
+        file pruning for the steady-state CDC case where an epoch touches a
+        handful of keys per bucket.
+        """
+        if sum(f["rows"] for f in sfiles) > self.key_probe_limit:
+            return None
+        keys: list[tuple] = []
+        for f in sfiles:
+            try:
+                tbl = pq.read_table(f["path"], columns=list(self.key_cols))
+            except Exception:
+                return None
+            cols = [tbl.column(c).to_pylist() for c in self.key_cols]
+            keys.extend(zip(*cols))
+        return keys
+
     def _footer_stats(self, meta) -> tuple[dict | None, list | None]:
         """(key_stats, order_stats) from a parquet footer's row-group stats.
 
@@ -464,28 +509,42 @@ class SnapshotTable:
         (
             df.withColumn("_bucket", self._bucket_expr())
             .repartition(self.n_buckets, "_bucket")
-            .sortWithinPartitions(*self.key_cols)  # cluster-order on write (P7)
+            # cluster-order on write (P7). _bucket MUST lead the sort: the
+            # dynamic-partition writer requires rows ordered by partition
+            # columns and otherwise inserts its own (unstable) sort on
+            # _bucket alone, which would scramble the key clustering and
+            # widen every file's key range to the whole domain.
+            .sortWithinPartitions("_bucket", *self.key_cols)
             .write.mode("overwrite")
             .option("maxRecordsPerFile", self.target_file_rows)
             .partitionBy("_bucket")
             .parquet(str(staging))
         )
-        infos: list[dict[str, Any]] = []
+        parts: list[tuple[int, Path]] = []
         for bdir in sorted(staging.glob("_bucket=*")):
             bucket = int(bdir.name.split("=")[1])
             for part in sorted(bdir.glob("*.parquet")):
-                meta = pq.read_metadata(part)
-                key_stats, order_stats = self._footer_stats(meta)
-                infos.append(
-                    {
-                        "path": str(part),
-                        "bucket": bucket,
-                        "rows": meta.num_rows,
-                        "bytes": part.stat().st_size,
-                        "key_stats": key_stats,
-                        "order_stats": order_stats,
-                    }
-                )
+                parts.append((bucket, part))
+
+        def stat_one(item):
+            bucket, part = item
+            meta = pq.read_metadata(part)
+            key_stats, order_stats = self._footer_stats(meta)
+            return {
+                "path": str(part),
+                "bucket": bucket,
+                "rows": meta.num_rows,
+                "bytes": part.stat().st_size,
+                "key_stats": key_stats,
+                "order_stats": order_stats,
+            }
+
+        # footer reads are tiny IO-bound ops; a thread pool keeps the driver
+        # loop from serializing at tens of thousands of files
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            infos = list(ex.map(stat_one, parts))
         return staging, infos
 
     def _promote(self, info: dict[str, Any]) -> dict[str, Any]:
@@ -630,15 +689,30 @@ class SnapshotTable:
                 else:
                     # File-level COW: an existing file whose key range can't
                     # contain any delta key is carried untouched — a
-                    # scattered-key delta rewrites O(delta files), not
-                    # O(bucket). Files without stats (legacy manifests) are
+                    # scattered-key delta rewrites O(delta keys) files, not
+                    # O(bucket). A SPARSE per-bucket delta (the steady-state
+                    # CDC shape) gets exact per-key containment: its few keys
+                    # are read driver-side from the tiny staged file, because
+                    # the staged file's min/max ENVELOPE spans the whole
+                    # domain when keys are scattered and would defeat
+                    # range-vs-range pruning. Large per-bucket deltas fall
+                    # back to envelope overlap (they touch most files
+                    # anyway). Files without stats (legacy manifests) are
                     # conservatively treated as intersecting.
-                    inter = [
-                        f for f in olds
-                        if any(_stats_intersect(f.get("key_stats"),
-                                                s.get("key_stats"))
-                               for s in sfiles)
-                    ]
+                    delta_keys = self._probe_staged_keys(sfiles)
+                    if delta_keys is not None:
+                        inter = [
+                            f for f in olds
+                            if _keys_hit_file(delta_keys, f.get("key_stats"),
+                                              self.key_cols)
+                        ]
+                    else:
+                        inter = [
+                            f for f in olds
+                            if any(_stats_intersect(f.get("key_stats"),
+                                                    s.get("key_stats"))
+                                   for s in sfiles)
+                        ]
                 inter_paths = {f["path"] for f in inter}
                 disjoint = [f for f in olds if f["path"] not in inter_paths]
                 carried += disjoint
