@@ -9,11 +9,15 @@ Iceberg catalog can be slotted in where available:
   schema, and summary. Readers resolve the highest committed version; writers
   commit a new manifest atomically via ``os.link`` (fails if the version
   already exists -> optimistic concurrency, like Iceberg's atomic swap).
-- **Copy-on-write MERGE at bucket granularity**: rows are hash-bucketed on the
-  key (``pmod(xxhash64(repo, path), n_buckets)``); an upsert rewrites only the
-  buckets its keys touch and carries every other data file over untouched.
-  This is Iceberg's COW MERGE with buckets playing the role of file groups —
-  at 100 TB an epoch touching 1% of keys rewrites ~1% of the table.
+- **Copy-on-write MERGE at FILE granularity**: rows are hash-bucketed on the
+  key (``pmod(xxhash64(repo, path), n_buckets)``) and each bucket holds
+  several key-clustered files of at most ``target_file_rows`` rows with
+  min/max key stats in the manifest. An upsert rewrites only the files whose
+  key range can contain a delta key (exact per-key probe for sparse deltas,
+  range overlap otherwise) and carries everything else untouched — Iceberg's
+  COW MERGE with matching file-group granularity. At 100 TB an epoch
+  touching K keys rewrites O(K) files regardless of how the keys scatter
+  across buckets (measured in bench.py's sparse-epoch cases).
 - **Exactly-once**: each commit stamps the applied epoch id into the manifest
   summary (Iceberg: snapshot summary properties). Re-applying a committed
   epoch is a metadata-only no-op. Crash *after* data files are written but
