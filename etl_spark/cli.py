@@ -40,8 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-epoch", type=int, default=None)
     r.add_argument("--mode", choices=["incremental", "catchup"], default="incremental",
                    help="catchup = all pending segments in one dedupe+commit")
-    r.add_argument("--dedupe", choices=["maxby", "window", "salted", "auto"], default="maxby",
-                   help="physical dedupe strategy (see operators/dedupe.py)")
+    r.add_argument("--dedupe",
+                   choices=["fused", "maxby", "window", "salted", "auto"],
+                   default="fused",
+                   help="physical dedupe strategy (fused = one-shuffle "
+                        "dedupe+stage; see pipeline.dedupe_plan)")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
     _add_spark_args(r)

@@ -48,8 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_spark.operators.dedupe import latest_by_key
-
 MANIFEST_DIR = "_meta"
 DATA_DIR = "data"
 
@@ -497,7 +495,43 @@ class SnapshotTable:
             key_stats[c] = r
         return key_stats, col_range(self.order_col)
 
-    def _stage_bucketed(self, df: DataFrame) -> tuple[Path, list[dict[str, Any]]]:
+    def arranged_updates(self, df: DataFrame) -> DataFrame:
+        """Fused dedupe + bucket arrangement in ONE payload shuffle.
+
+        The window (partitioned on ``_bucket``, ordered by key columns then
+        ``order_col`` DESC) induces a single hash exchange on the bucket; the
+        keep-first-per-key lag filter is latest-wins dedupe; and the window's
+        sort order (_bucket, keys, order desc) is exactly what the
+        dynamic-partition writer needs, so :meth:`_stage_bucketed` with
+        ``arranged=True`` adds NO further exchange or sort. Compared to
+        ``latest_by_key`` + staging (two payload shuffles), the steady-state
+        ingest moves every payload byte through the cluster once.
+
+        Trade-off: a mega-key with millions of duplicate events lands in one
+        partition (no map-side combine), so heavy-duplicate skew should use
+        the ``maxby``/``salted`` strategies instead — the pipeline's ``auto``
+        probe makes that call. Callers may add derived columns (sha256) AFTER
+        this plan; they compute on winners only, in the same stage.
+        """
+        from pyspark.sql import Window
+
+        key_struct = F.struct(*[F.col(k) for k in self.key_cols])
+        w = Window.partitionBy("_bucket").orderBy(
+            *[F.col(k) for k in self.key_cols], F.col(self.order_col).desc()
+        )
+        payload = [c for c in df.columns if c not in self.key_cols]
+        return (
+            df.withColumn("_bucket", self._bucket_expr())
+            .withColumn("_prevk", F.lag(key_struct).over(w))
+            .where(F.col("_prevk").isNull() | (F.col("_prevk") != key_struct))
+            # keys-first layout, matching the latest_by_key strategies, so
+            # the physical dedupe choice never changes the table schema
+            .select(*self.key_cols, *payload, "_bucket")
+        )
+
+    def _stage_bucketed(
+        self, df: DataFrame, *, arranged: bool = False
+    ) -> tuple[Path, list[dict[str, Any]]]:
         """Materialize df ONCE as bucket-pure, key-sorted parquet in a staging
         dir, split into files of at most ``target_file_rows`` rows.
 
@@ -510,16 +544,22 @@ class SnapshotTable:
         second evaluation of the (expensive) upstream plan.
         """
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
-        (
-            df.withColumn("_bucket", self._bucket_expr())
-            .repartition(self.n_buckets, "_bucket")
+        if not arranged:
             # cluster-order on write (P7). _bucket MUST lead the sort: the
             # dynamic-partition writer requires rows ordered by partition
             # columns and otherwise inserts its own (unstable) sort on
             # _bucket alone, which would scramble the key clustering and
             # widen every file's key range to the whole domain.
-            .sortWithinPartitions("_bucket", *self.key_cols)
-            .write.mode("overwrite")
+            df = (
+                df.withColumn("_bucket", self._bucket_expr())
+                .repartition(self.n_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", *self.key_cols)
+            )
+        # arranged=True: df comes from arranged_updates — already bucketed,
+        # partitioned and (_bucket, keys)-sorted by the window; writing it
+        # directly adds zero exchanges.
+        (
+            df.write.mode("overwrite")
             .option("maxRecordsPerFile", self.target_file_rows)
             .partitionBy("_bucket")
             .parquet(str(staging))
@@ -557,15 +597,6 @@ class SnapshotTable:
         os.replace(info["path"], dest)
         return {**info, "path": str(dest)}
 
-    def _write_bucketed(self, df: DataFrame) -> list[dict[str, Any]]:
-        """Stage + promote in one step (first-write / full-rewrite path)."""
-        import shutil
-
-        staging, infos = self._stage_bucketed(df)
-        try:
-            return [self._promote(f) for f in infos]
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
 
     def merge_epoch(
         self,
@@ -614,14 +645,13 @@ class SnapshotTable:
         applied the same epochs turns the retry into a skip; files written by
         the losing attempt become orphans for ``vacuum``.
         """
-        if not assume_deduped:
+        if not assume_deduped and "_bucket" not in updates.columns:
             # Safe-by-default: the invariant "one row per key per file, key
             # sets disjoint across a bucket's files" is what makes file-level
             # COW correct — enforce it here unless the caller's plan already
-            # guarantees it.
-            updates = latest_by_key(
-                updates, keys=self.key_cols, order_col=self.order_col
-            )
+            # guarantees it. The fused arranged plan dedupes and bucket-
+            # arranges in the same single shuffle the staging write needs.
+            updates = self.arranged_updates(updates)
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
@@ -656,11 +686,15 @@ class SnapshotTable:
             applied | set(new_ids)
         )
 
+        arranged = "_bucket" in updates.columns
+        data_schema = (
+            updates.drop("_bucket").schema if arranged else updates.schema
+        )
         if m is not None:
             old_schema = T.StructType.fromJson(m["schema"])
-            merged_schema = _merge_schemas(old_schema, updates.schema)
+            merged_schema = _merge_schemas(old_schema, data_schema)
         else:
-            merged_schema = updates.schema
+            merged_schema = data_schema
 
         # Stage the updates ONCE (the only evaluation of the upstream plan);
         # the touched-file set and per-file key/LSN stats fall out of the
@@ -668,7 +702,7 @@ class SnapshotTable:
         import shutil
         from collections import defaultdict
 
-        staging, staged = self._stage_bucketed(updates)
+        staging, staged = self._stage_bucketed(updates, arranged=arranged)
         try:
             staged_by_bucket: dict[int, list] = defaultdict(list)
             for f in staged:
@@ -741,14 +775,21 @@ class SnapshotTable:
             ]
             new_files = [self._promote(f) for f in promote_staged]
             if rewrite_staged:
+                # Re-merge via the same fused plan: one shuffle over exactly
+                # the touched files' rows + delta, latest-wins inside the
+                # window, already write-arranged. (A staged row and a table
+                # row with the SAME order value are identical re-deliveries;
+                # either winning is correct, as with max_by.)
                 existing = self._read_files(rewrite_old, merged_schema)
                 incoming = self._read_files(rewrite_staged, merged_schema)
-                merged = latest_by_key(
-                    existing.unionByName(incoming, allowMissingColumns=True),
-                    keys=self.key_cols,
-                    order_col=self.order_col,
+                merged = self.arranged_updates(
+                    existing.unionByName(incoming, allowMissingColumns=True)
                 )
-                new_files += self._write_bucketed(merged)
+                staging2, staged2 = self._stage_bucketed(merged, arranged=True)
+                try:
+                    new_files += [self._promote(f) for f in staged2]
+                finally:
+                    shutil.rmtree(staging2, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 

@@ -117,15 +117,17 @@ class IngestPipeline:
         target_file_rows: int = 1_000_000,
         max_files_per_bucket: int = 16,
         count_input: bool = True,
-        dedupe_strategy: str = "maxby",
+        dedupe_strategy: str = "fused",
         maintain_rollup: bool = False,
     ) -> None:
-        """``dedupe_strategy``: ``maxby`` (default; map-side partial agg,
-        skew-immune — a mega-key costs O(partitions)), ``window`` (full
-        shuffle + per-key sort; often faster on low-skew streams since rows
-        move once through a sort instead of through struct-copying hash
-        aggregation), or ``salted`` (explicit two-phase reduce for known
-        mega-key skew, SURVEY P3). All three are differential-tested equal.
+        """``dedupe_strategy``: ``fused`` (default; dedupe + bucket
+        arrangement in ONE payload shuffle — the window over the write
+        bucket, SnapshotTable.arranged_updates — so the staging write adds
+        no further exchange), ``maxby`` (map-side partial agg, skew-immune —
+        a mega-key costs O(partitions)), ``window`` (full shuffle + per-key
+        sort), ``salted`` (explicit two-phase reduce for known mega-key
+        skew, SURVEY P3), or ``auto`` (sampled skew probe picks fused vs
+        salted). All strategies are differential-tested equal.
         """
         self.spark = spark
         self.table = SnapshotTable(
@@ -144,22 +146,35 @@ class IngestPipeline:
                 spark, self.table, f"{table_root}/_rollup",
                 n_buckets=max(4, n_buckets // 4),
             )
-        if dedupe_strategy not in ("maxby", "window", "salted", "auto"):
+        if dedupe_strategy not in ("fused", "maxby", "window", "salted", "auto"):
             raise ValueError(f"unknown dedupe_strategy {dedupe_strategy!r}")
         self._dedupe_strategy = dedupe_strategy
 
-    def resolve_dedupe(self, cleaned: DataFrame):
-        """Resolve the configured dedupe strategy to a callable; ``auto`` runs
-        a sampled skew probe on the batch (SURVEY P3) to pick salted vs maxby."""
+    def dedupe_plan(self, cleaned: DataFrame) -> tuple[str, DataFrame]:
+        """Latest-per-key winners under the configured strategy.
+
+        ``fused`` returns the bucket-arranged single-shuffle plan (the merge
+        detects the ``_bucket`` column and skips its own arrangement);
+        ``auto`` runs a sampled skew probe (SURVEY P3) and picks ``salted``
+        for mega-key streams (fused has no map-side combine, so a single
+        key with millions of duplicates would straggle one reducer) and
+        ``fused`` otherwise.
+        """
         strategy = self._dedupe_strategy
         if strategy == "auto":
             strategy = choose_dedupe_strategy(cleaned, self.table.key_cols)
+            if strategy == "maxby":
+                strategy = "fused"
+        if strategy == "fused":
+            return strategy, self.table.arranged_updates(cleaned)
         fn = {
             "maxby": latest_by_key,
             "window": latest_by_key_window,
             "salted": latest_by_key_salted,
         }[strategy]
-        return strategy, fn
+        return strategy, fn(
+            cleaned, keys=self.table.key_cols, order_col=self.table.order_col
+        )
 
     # ---- shared batch core ---------------------------------------------------
 
@@ -184,14 +199,10 @@ class IngestPipeline:
         t0 = time.time()
         stats = EpochStats(epoch=segments[-1].epoch)
         raw = self._read_segments(segments)
-        strategy, dedupe_fn = self.resolve_dedupe(clean_events(raw))
-        deduped = derive_content_columns(
-            dedupe_fn(
-                clean_events(raw),
-                keys=self.table.key_cols,
-                order_col=self.table.order_col,
-            )
-        )
+        strategy, winners = self.dedupe_plan(clean_events(raw))
+        # content derivations AFTER dedupe: sha cost scales with |keys|, and
+        # under the fused plan they stay in the post-shuffle stage
+        deduped = derive_content_columns(winners)
         commit = self.table.merge_epochs(
             deduped,
             [s.epoch for s in segments],

@@ -54,7 +54,7 @@ def stream_ingest(
     n_buckets: int = 32,
     available_now: bool = True,
     extra_schema: str | None = None,
-    dedupe_strategy: str = "maxby",
+    dedupe_strategy: str = "fused",
 ) -> Any:
     """Tail ``stream_root`` (epoch=N parquet segments) into the snapshot table.
 
@@ -86,15 +86,10 @@ def stream_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Same core as IngestPipeline._apply_batch, keyed by streaming batch
         # id: the sink's applied-epoch set makes re-delivered batches no-ops.
-        cleaned = clean_events(batch_df)
-        _, dedupe_fn = pipe.resolve_dedupe(cleaned)
-        deduped = derive_content_columns(
-            dedupe_fn(
-                cleaned,
-                keys=pipe.table.key_cols,
-                order_col=pipe.table.order_col,
-            )
-        ).withColumn("epoch", F.lit(int(batch_id)).cast("int"))
+        _, winners = pipe.dedupe_plan(clean_events(batch_df))
+        deduped = derive_content_columns(winners).withColumn(
+            "epoch", F.lit(int(batch_id)).cast("int")
+        )
         # row provenance = streaming batch id (the commit key), replacing the
         # source segment id — keeps lineage derivable from the table rows.
         commit = pipe.table.merge_epochs(

@@ -72,6 +72,27 @@ def test_skew_probe_and_auto_strategy(spark):
     assert choose_dedupe_strategy(hot) == "salted"
 
 
+def test_fused_strategy_matches_maxby_replay(spark, tmpdir_path):
+    """The fused single-shuffle dedupe+stage plan yields the identical final
+    table state as the maxby pre-dedupe path (4th leg of the differential)."""
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    df = change_stream(spark, 3000, n_repos=10, paths_per_repo=20, dup_pct=10)
+    stream = f"{tmpdir_path}/stream"
+    write_segments(df, stream)
+    fused = IngestPipeline(spark, f"{tmpdir_path}/f", n_buckets=4,
+                           dedupe_strategy="fused")
+    maxby = IngestPipeline(spark, f"{tmpdir_path}/m", n_buckets=4,
+                           dedupe_strategy="maxby")
+    fused.replay(stream)  # incremental: exercises fresh-bucket AND rewrite merges
+    maxby.replay(stream)
+    cf = sorted(map(tuple, fused.table.read().collect()))
+    cm = sorted(map(tuple, maxby.table.read().collect()))
+    assert cf == cm and len(cf) > 0
+    assert fused.table.fsck()["ok"]
+
+
 def test_auto_pipeline_replay(spark, tmpdir_path):
     """auto strategy end-to-end: final state equals the fixed-strategy state."""
     from etl_spark.datagen import write_segments

@@ -46,8 +46,11 @@ if work:
     work = os.path.join(work, uuid.uuid4().hex)
     os.makedirs(work, exist_ok=True)
     extra["spark.local.dir"] = os.path.join(work, "shuffle")
+# shuffle partitions ~4x cores: enough granularity for AQE to balance the
+# reduce side at every level (at exactly N partitions on N cores, one slow
+# reducer IS the stage time; the tail dominates the fast leg)
 spark = get_spark("scaling", master="local[{cpus}]",
-                  shuffle_partitions={max(8, cpus)}, extra_conf=extra)
+                  shuffle_partitions={max(8, 4 * cpus)}, extra_conf=extra)
 # warm JVM/codegen so the measurement is the job, not startup
 spark.range(1_000_000).selectExpr("sum(id)").collect()
 root = work or tempfile.mkdtemp(prefix="etl_scaling_")
