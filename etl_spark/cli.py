@@ -71,7 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--vacuum-older-than", type=float, default=3600.0,
                    help="only delete unreferenced files older than this many "
                         "seconds (guards in-flight concurrent merges)")
+    m.add_argument("--compact-above", type=int, default=0,
+                   help="rewrite buckets holding more than N live files "
+                        "(0 = skip compaction)")
     _add_spark_args(m)
+
+    rb = sub.add_parser("rollback",
+                        help="roll the table back to an earlier snapshot")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to", type=int, required=True, help="target version")
+    _add_spark_args(rb)
 
     args = ap.parse_args(argv)
 
@@ -162,10 +171,23 @@ def main(argv: list[str] | None = None) -> int:
         if not t.exists():
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
+        out = {}
+        if args.compact_above:
+            out["compaction"] = t.compact(above=args.compact_above)
         expired = t.expire_snapshots(retain_last=args.retain)
         stats = t.vacuum(older_than_s=args.vacuum_older_than)
-        print(json.dumps({"expired_versions": expired, **stats,
+        print(json.dumps({"expired_versions": expired, **stats, **out,
                           "current_version": t.current_version()}))
+        return 0
+
+    if args.cmd == "rollback":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        print(json.dumps(t.rollback(args.to)))
         return 0
 
     if args.cmd == "status":

@@ -377,6 +377,64 @@ class SnapshotTable:
                 "files_skipped_young": skipped_young,
                 "staging_dirs_removed": staging_removed}
 
+    def rollback(self, version: int) -> dict[str, Any]:
+        """Roll the table back to an earlier snapshot (Iceberg
+        rollback_to_snapshot): commits a NEW version whose file list, schema
+        and applied-epoch spaces are those of ``version``. History is
+        preserved — the bad snapshots stay readable until expired — and the
+        target's files are still referenced, so vacuum keeps them."""
+        m = self.manifest(version)  # raises if the snapshot is gone
+        cur = self.current_version()
+        new = {**m, "summary": {"rollback_of": version}, "parent": cur}
+        v = self._commit_manifest(new, base_version=cur)
+        return {"version": v, "rolled_back_to": version}
+
+    def compact(self, *, above: int | None = None) -> dict[str, Any]:
+        """Rewrite fragmented buckets into fresh key-clustered files
+        (Iceberg rewrite_data_files): every bucket holding more than
+        ``above`` live files (default max_files_per_bucket // 2) is read
+        back and rewritten through the arranged single-shuffle plan.
+        Metadata-only with respect to epochs — applied sets are unchanged —
+        and snapshot-isolated like any other commit."""
+        import shutil
+
+        m = self.manifest()
+        if m is None:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        if above is None:
+            above = max(2, self.max_files_per_bucket // 2)
+        by_bucket: dict[int, list] = {}
+        for f in m["files"]:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        victims = {b for b, fl in by_bucket.items() if len(fl) > above}
+        if not victims:
+            return {"compacted_buckets": 0,
+                    "files_before": len(m["files"]),
+                    "files_after": len(m["files"])}
+        old = [f for f in m["files"] if f["bucket"] in victims]
+        carried = [f for f in m["files"] if f["bucket"] not in victims]
+        schema = T.StructType.fromJson(m["schema"])
+        merged = self.arranged_updates(self._read_files(old, schema))
+        staging, staged = self._stage_bucketed(merged, arranged=True)
+        try:
+            new_files = [self._promote(f) for f in staged]
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        manifest = {
+            **{k: v for k, v in m.items()
+               if k not in ("version", "committed_at")},
+            "files": carried + new_files,
+            "summary": {"compaction": {"buckets": sorted(victims)}},
+            "parent": m["version"],
+        }
+        version = self._commit_manifest(manifest, base_version=m["version"])
+        return {
+            "compacted_buckets": len(victims),
+            "files_before": len(m["files"]),
+            "files_after": len(carried) + len(new_files),
+            "version": version,
+        }
+
     def fsck(self) -> dict[str, Any]:
         """Verify snapshot integrity against the filesystem.
 
@@ -414,6 +472,9 @@ class SnapshotTable:
         prev: dict[str, set[int]] = {}
         for v in self.versions():
             mv = self.manifest(v)
+            if "rollback_of" in (mv.get("summary") or {}):
+                # an explicit rollback legitimately shrinks the applied sets
+                prev = {}
             for k in [k for k in mv if k.startswith("applied_epochs")]:
                 cur = decode_epoch_ranges(mv[k])
                 if not prev.get(k, set()) <= cur:

@@ -173,6 +173,56 @@ def test_vacuum_sweeps_stale_staging(replayed):
     fresh.rmdir()
 
 
+def test_rollback_restores_earlier_state(spark, tmpdir_path):
+    """rollback commits a NEW version with the target's files/epochs; reads
+    serve the old state, history is preserved, fsck accepts the shrink."""
+    df = change_stream(spark, 600, n_repos=5, paths_per_repo=10,
+                       events_per_epoch=200, dup_pct=0)
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=4)
+    stream = f"{tmpdir_path}/stream"
+    from etl_spark.datagen import write_segments
+    write_segments(df, stream)
+    pipe.replay(stream)  # versions 1..3
+    t = pipe.table
+    v1_rows = sorted(map(tuple, t.read(version=1).collect()))
+    rb = t.rollback(1)
+    assert rb["version"] == 4 and rb["rolled_back_to"] == 1
+    assert sorted(map(tuple, t.read().collect())) == v1_rows
+    assert t.applied_epochs() == {0}
+    report = t.fsck()
+    assert report["ok"], report
+    # vacuum keeps the rolled-back-to files (referenced by v4)
+    t.vacuum(older_than_s=0)
+    assert sorted(map(tuple, t.read().collect())) == v1_rows
+    # replay after rollback re-applies the rolled-back epochs
+    pipe.replay(stream)
+    assert t.applied_epochs() == {0, 1, 2}
+
+
+def test_compact_defragments_buckets(spark, tmpdir_path):
+    """compact() rewrites fragmented buckets into few key-clustered files
+    without changing table state or applied epochs."""
+    from etl_spark.lake.table import SnapshotTable
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2,
+                      target_file_rows=10, max_files_per_bucket=64)
+    df = change_stream(spark, 500, n_repos=5, paths_per_repo=40,
+                       events_per_epoch=500, dup_pct=0).drop("epoch")
+    t.merge_epochs(df, [0])
+    before = sorted(map(tuple, t.read().collect()))
+    n_before = len(t.manifest()["files"])
+    assert n_before > 10  # fragmented by the tiny target_file_rows
+    t.target_file_rows = 1_000_000  # compaction writes full-size files
+    out = t.compact(above=2)
+    assert out["compacted_buckets"] == 2
+    assert out["files_after"] <= 4
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.applied_epochs() == {0}
+    assert t.fsck()["ok"]
+    # idempotent: nothing left to compact
+    assert t.compact(above=2)["compacted_buckets"] == 0
+
+
 def test_changes_between_snapshots(spark, tmpdir_path):
     """Change feed between snapshots returns exactly the rows each epoch
     applied; union of all deltas plus the base equals the final state keys."""
