@@ -1,0 +1,92 @@
+"""applyInPandasWithState: streaming sessionization with cross-batch state.
+
+Assertions are exact: with all input in one trigger, emitted (closed)
+sessions == batch sessionization minus each user's LAST (still-open)
+session; a second trigger whose data continues a user's open session must
+STITCH it via the carried state, not start a new one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.streaming.state import sessionize_stream
+
+GAP = 1800
+
+EVENTS_DDL = "user_id long, ts timestamp, event_id long"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, ["user_id", "es", "event_id"]).selectExpr(
+        "user_id", "CAST(es AS timestamp) AS ts", "event_id"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, out_dir, ckpt):
+    stream = (
+        spark.readStream.schema(EVENTS_DDL).parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=GAP)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _sessions(spark, out_dir):
+    try:
+        df = spark.read.parquet(out_dir)
+    except Exception:
+        return set()
+    return {
+        (r.user_id, r.ts_start_s, r.ts_end_s, r.n_events)
+        for r in df.collect()
+    }
+
+
+def test_closed_sessions_match_batch_semantics(spark, tmpdir_path):
+    rows = []
+    # user 1: three sessions (two closed by gaps, last open)
+    for i, es in enumerate([0, 100, 200, 5000, 5100, 12000]):
+        rows.append((1, es, i))
+    # user 2: one session only (stays open -> nothing emitted)
+    rows += [(2, 50, 10), (2, 60, 11)]
+    src = f"{tmpdir_path}/src"
+    _write_batch(spark, src, rows)
+    _run_stream(spark, src, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt")
+    got = _sessions(spark, f"{tmpdir_path}/out")
+    assert got == {
+        (1, 0, 200, 3),
+        (1, 5000, 5100, 2),
+    }
+
+
+def test_session_spanning_batches_is_stitched(spark, tmpdir_path):
+    src = f"{tmpdir_path}/src"
+    out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    # batch 1: open session [0..100]
+    _write_batch(spark, src, [(7, 0, 0), (7, 100, 1)])
+    _run_stream(spark, src, out, ckpt)
+    assert _sessions(spark, out) == set()  # still open, nothing emitted
+    # batch 2: 200 continues (gap 100 < GAP); 9000 closes it
+    _write_batch(spark, src, [(7, 200, 2), (7, 9000, 3)])
+    _run_stream(spark, src, out, ckpt)
+    # the closed session spans BOTH batches: state carried the open session
+    assert _sessions(spark, out) == {(7, 0, 200, 3)}
+
+
+def test_restart_does_not_duplicate(spark, tmpdir_path):
+    src = f"{tmpdir_path}/src"
+    out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    _write_batch(spark, src, [(1, 0, 0), (1, 10_000, 1)])
+    _run_stream(spark, src, out, ckpt)
+    first = _sessions(spark, out)
+    assert first == {(1, 0, 0, 1)}
+    # re-run with no new data: checkpoint makes it a no-op
+    _run_stream(spark, src, out, ckpt)
+    assert _sessions(spark, out) == first
