@@ -80,7 +80,7 @@ def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
             target_file_rows=8, max_files_per_bucket=64,
         )
         pipe.replay(f"{root}/stream", mode="catchup")
-        table_files = len(pipe.table.manifest()["files"])
+        table_files = len(pipe.table.files())
 
         if scattered:
             delta = change_stream(

@@ -202,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
         from etl_spark.lake.table import decode_epoch_ranges
 
         log = CheckpointLog(spark, f"{args.table}/_checkpoint").read()
+        fl = t.files()
         eps = sorted(decode_epoch_ranges(m.get("applied_epochs")))
         print(
             json.dumps(
@@ -212,9 +213,9 @@ def main(argv: list[str] | None = None) -> int:
                     "applied_epochs": eps if len(eps) <= 1000
                     else m["applied_epochs"],
                     "applied_epoch_count": len(eps),
-                    "files": len(m["files"]),
-                    "rows": sum(f["rows"] for f in m["files"]),
-                    "bytes": sum(f["bytes"] for f in m["files"]),
+                    "files": len(fl),
+                    "rows": sum(f["rows"] for f in fl),
+                    "bytes": sum(f["bytes"] for f in fl),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
                 }

@@ -171,6 +171,8 @@ class SnapshotTable:
         n_buckets: int = 32,
         target_file_rows: int = 1_000_000,
         max_files_per_bucket: int = 16,
+        manifest_groups: int = 32,
+        manifest_inline_files: int = 2048,
     ) -> None:
         """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
         the bucketed, key-sorted write), so each bucket holds several files
@@ -178,7 +180,16 @@ class SnapshotTable:
         the FILE, not the bucket (Iceberg file-group granularity).
         ``max_files_per_bucket`` bounds fragmentation: a merge that would
         leave more live files than this in a bucket compacts the whole bucket
-        instead."""
+        instead.
+
+        Manifest scaling: up to ``manifest_inline_files`` file entries live
+        inline in the manifest JSON; past that, entries split into
+        ``manifest_groups`` immutable per-bucket-range GROUP files
+        (Iceberg's manifest-list design). A commit then loads and rewrites
+        only the groups its delta touches and carries the rest by
+        reference, so per-commit manifest IO is O(touched groups), not
+        O(total files) — at 100 TB (~10^5-10^6 files) the inline form would
+        rewrite tens of MB of JSON per commit."""
         self.spark = spark
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
@@ -186,6 +197,8 @@ class SnapshotTable:
         self.n_buckets = n_buckets
         self.target_file_rows = target_file_rows
         self.max_files_per_bucket = max_files_per_bucket
+        self.manifest_groups = manifest_groups
+        self.manifest_inline_files = manifest_inline_files
         (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
 
@@ -218,6 +231,74 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         return self.current_version() is not None
+
+    # ---- file-entry storage: inline list or grouped manifest files -----------
+
+    GROUPS_DIR = "groups"
+
+    def _group_of(self, bucket: int, n_groups: int) -> int:
+        return bucket * n_groups // self.n_buckets
+
+    def _load_group(self, ref: dict) -> list[dict]:
+        with open(ref["path"]) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[dict[str, Any]]:
+        """All live file entries of a snapshot (inline or via groups)."""
+        return self._files_of(self.manifest(version))
+
+    def _files_of(self, m: dict[str, Any] | None) -> list[dict[str, Any]]:
+        if m is None:
+            return []
+        if "file_groups" in m:
+            out: list[dict] = []
+            for g in m["file_groups"]:
+                out.extend(self._load_group(g))
+            return out
+        return m.get("files", [])
+
+    def _write_group(self, group_id: int, entries: list[dict]) -> dict:
+        d = self.root / MANIFEST_DIR / self.GROUPS_DIR
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"g{group_id:04d}-{uuid.uuid4().hex}.json"
+        with open(path, "w") as fh:
+            json.dump(entries, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return {
+            "path": str(path),
+            "group_id": group_id,
+            "n_files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "bytes": sum(e["bytes"] for e in entries),
+        }
+
+    def _attach_files(
+        self,
+        manifest: dict[str, Any],
+        entries: list[dict],
+        *,
+        carried_group_refs: list[dict] | None = None,
+        prev: dict[str, Any] | None = None,
+    ) -> None:
+        """Store ``entries`` (plus untouched carried group refs) on the
+        manifest — inline while small, grouped past the threshold. Once a
+        table goes grouped it stays grouped (the carried refs are never
+        re-inlined: that would force a full load per commit)."""
+        carried_group_refs = carried_group_refs or []
+        n_groups = (prev or {}).get("manifest_n_groups", self.manifest_groups)
+        total = len(entries) + sum(g["n_files"] for g in carried_group_refs)
+        if not carried_group_refs and total <= self.manifest_inline_files:
+            manifest["files"] = entries
+            return
+        by_group: dict[int, list] = {}
+        for e in entries:
+            by_group.setdefault(self._group_of(e["bucket"], n_groups), []).append(e)
+        refs = list(carried_group_refs)
+        for gid, ge in sorted(by_group.items()):
+            refs.append(self._write_group(gid, ge))
+        manifest["file_groups"] = sorted(refs, key=lambda g: (g["group_id"], g["path"]))
+        manifest["manifest_n_groups"] = n_groups
 
     def applied_epochs(self, space: str = "batch") -> set[int]:
         """Applied commit ids for one id SPACE. Batch replay keys on segment
@@ -269,7 +350,7 @@ class SnapshotTable:
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
         schema = T.StructType.fromJson(m["schema"])
-        files = [f["path"] for f in m["files"]]
+        files = [f["path"] for f in self._files_of(m)]
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -293,9 +374,11 @@ class SnapshotTable:
             old_epochs: set[int] = set()
         else:
             m_from = self.manifest(v_from)
-            old_paths = {f["path"] for f in m_from["files"]}
+            old_paths = {f["path"] for f in self._files_of(m_from)}
             old_epochs = _all_applied_epochs(m_from)
-        new_files = [f for f in m_to["files"] if f["path"] not in old_paths]
+        new_files = [
+            f for f in self._files_of(m_to) if f["path"] not in old_paths
+        ]
         delta_epochs = sorted(_all_applied_epochs(m_to) - old_epochs)
         df = self._read_files(new_files, schema)
         if "epoch" in df.columns:
@@ -319,8 +402,16 @@ class SnapshotTable:
                     "version": v,
                     "committed_at": m.get("committed_at"),
                     "applied_epochs": m.get("applied_epochs", []),
-                    "files": len(m.get("files", [])),
-                    "rows": sum(f.get("rows", 0) for f in m.get("files", [])),
+                    "files": (
+                        sum(g["n_files"] for g in m["file_groups"])
+                        if "file_groups" in m
+                        else len(m.get("files", []))
+                    ),
+                    "rows": (
+                        sum(g["rows"] for g in m["file_groups"])
+                        if "file_groups" in m
+                        else sum(f.get("rows", 0) for f in m.get("files", []))
+                    ),
                     "summary": m.get("summary", {}),
                 }
             )
@@ -349,8 +440,12 @@ class SnapshotTable:
         basenames, so a future layout change can't make the comparison
         silently inexact."""
         referenced: set[str] = set()
+        referenced_groups: set[str] = set()
         for v in self.versions():
-            for f in self.manifest(v).get("files", []):
+            mv = self.manifest(v)
+            for g in mv.get("file_groups", []):
+                referenced_groups.add(os.path.realpath(g["path"]))
+            for f in self._files_of(mv):
                 referenced.add(os.path.realpath(f["path"]))
         removed, freed, skipped_young = 0, 0, 0
         now = time.time()
@@ -363,6 +458,17 @@ class SnapshotTable:
             freed += p.stat().st_size
             p.unlink()
             removed += 1
+        # orphaned manifest-group files (losing commit attempts, expired
+        # versions' groups) — same referenced-set + grace rules
+        groups_removed = 0
+        for p in (self.root / MANIFEST_DIR / self.GROUPS_DIR).glob("g*.json"):
+            if os.path.realpath(p) in referenced_groups:
+                continue
+            if now - p.stat().st_mtime < older_than_s:
+                skipped_young += 1
+                continue
+            p.unlink()
+            groups_removed += 1
         # staging dirs abandoned by a killed writer (same age guard: a live
         # writer's staging is always younger than the grace window)
         import shutil as _shutil
@@ -375,6 +481,7 @@ class SnapshotTable:
         return {"files_removed": removed, "bytes_freed": freed,
                 "files_retained": len(referenced),
                 "files_skipped_young": skipped_young,
+                "group_files_removed": groups_removed,
                 "staging_dirs_removed": staging_removed}
 
     def rollback(self, version: int) -> dict[str, Any]:
@@ -403,16 +510,17 @@ class SnapshotTable:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
         if above is None:
             above = max(2, self.max_files_per_bucket // 2)
+        all_files = self._files_of(m)
         by_bucket: dict[int, list] = {}
-        for f in m["files"]:
+        for f in all_files:
             by_bucket.setdefault(f["bucket"], []).append(f)
         victims = {b for b, fl in by_bucket.items() if len(fl) > above}
         if not victims:
             return {"compacted_buckets": 0,
-                    "files_before": len(m["files"]),
-                    "files_after": len(m["files"])}
-        old = [f for f in m["files"] if f["bucket"] in victims]
-        carried = [f for f in m["files"] if f["bucket"] not in victims]
+                    "files_before": len(all_files),
+                    "files_after": len(all_files)}
+        old = [f for f in all_files if f["bucket"] in victims]
+        carried = [f for f in all_files if f["bucket"] not in victims]
         schema = T.StructType.fromJson(m["schema"])
         merged = self.arranged_updates(self._read_files(old, schema))
         staging, staged = self._stage_bucketed(merged, arranged=True)
@@ -422,15 +530,15 @@ class SnapshotTable:
             shutil.rmtree(staging, ignore_errors=True)
         manifest = {
             **{k: v for k, v in m.items()
-               if k not in ("version", "committed_at")},
-            "files": carried + new_files,
+               if k not in ("version", "committed_at", "files", "file_groups")},
             "summary": {"compaction": {"buckets": sorted(victims)}},
             "parent": m["version"],
         }
+        self._attach_files(manifest, carried + new_files, prev=m)
         version = self._commit_manifest(manifest, base_version=m["version"])
         return {
             "compacted_buckets": len(victims),
-            "files_before": len(m["files"]),
+            "files_before": len(all_files),
             "files_after": len(carried) + len(new_files),
             "version": version,
         }
@@ -451,8 +559,17 @@ class SnapshotTable:
         m = self.manifest()
         if m is None:
             return {"ok": True, "findings": ["empty table (no snapshot)"]}
+        if "file_groups" in m:
+            entries = []
+            for g in m["file_groups"]:
+                if Path(g["path"]).exists():
+                    entries.extend(self._load_group(g))
+                else:
+                    findings.append(f"missing manifest group {g['path']}")
+        else:
+            entries = m.get("files", [])
         per_bucket: dict[int, int] = {}
-        for f in m["files"]:
+        for f in entries:
             p = Path(f["path"])
             if not p.exists():
                 findings.append(f"missing data file {p.name} (bucket {f['bucket']})")
@@ -485,7 +602,7 @@ class SnapshotTable:
         return {
             "ok": not findings,
             "findings": findings,
-            "files_checked": len(m["files"]),
+            "files_checked": len(entries),
             "versions_checked": len(self.versions()),
         }
 
@@ -768,8 +885,27 @@ class SnapshotTable:
             staged_by_bucket: dict[int, list] = defaultdict(list)
             for f in staged:
                 staged_by_bucket[f["bucket"]].append(f)
+            # Old entries: with a GROUPED manifest only the groups covering
+            # touched buckets are parsed; the rest carry over by reference,
+            # untouched and unread — per-commit manifest IO is O(touched
+            # groups), not O(total files).
+            carried_group_refs: list[dict] | None = None
+            old_entries: list[dict] = []
+            if m is not None and "file_groups" in m:
+                n_groups = m.get("manifest_n_groups", self.manifest_groups)
+                touched_gids = {
+                    self._group_of(b, n_groups) for b in staged_by_bucket
+                }
+                carried_group_refs = []
+                for g in m["file_groups"]:
+                    if g["group_id"] in touched_gids:
+                        old_entries.extend(self._load_group(g))
+                    else:
+                        carried_group_refs.append(g)
+            elif m is not None:
+                old_entries = m.get("files", [])
             old_by_bucket: dict[int, list] = defaultdict(list)
-            for f in (m["files"] if m else []):
+            for f in old_entries:
                 old_by_bucket[f["bucket"]].append(f)
 
             carried: list[dict] = []
@@ -856,7 +992,6 @@ class SnapshotTable:
 
         manifest = {
             "schema": merged_schema.jsonValue(),
-            "files": carried + new_files,
             **spaces,
             "key_cols": list(self.key_cols),
             "order_col": self.order_col,
@@ -865,6 +1000,10 @@ class SnapshotTable:
             "summary": extra_summary or {},
             "parent": m["version"] if m else None,
         }
+        self._attach_files(
+            manifest, carried + new_files,
+            carried_group_refs=carried_group_refs, prev=m,
+        )
         version = self._commit_manifest(
             manifest, base_version=m["version"] if m else 0
         )
@@ -873,7 +1012,9 @@ class SnapshotTable:
             "epochs": new_ids,
             "version": version,
             "rewritten_buckets": sorted(staged_by_bucket),
-            "carried_files": len(carried),
+            "carried_files": len(carried)
+            + (sum(g["n_files"] for g in carried_group_refs)
+               if carried_group_refs else 0),
             "files_rewritten": len(rewrite_old),
             "files_pruned": files_pruned,
             "rows_written": sum(f["rows"] for f in new_files),

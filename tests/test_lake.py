@@ -155,6 +155,52 @@ def test_merge_dedupes_non_prededuped_updates(spark, tmpdir_path):
     assert t.read().count() == 2
 
 
+def test_grouped_manifest_lifecycle(spark, tmpdir_path):
+    """Past the inline threshold, file entries split into immutable manifest
+    groups; merges parse only touched groups and carry the rest by
+    reference; read/changes/fsck/vacuum/compact/rollback all work."""
+    import json as _json
+    from pathlib import Path
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=8, target_file_rows=10,
+                      max_files_per_bucket=64, manifest_groups=4,
+                      manifest_inline_files=5)
+    rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(300)]
+    t.merge_epoch(_df(spark, rows), 0)
+    m0 = t.manifest()
+    assert "files" not in m0 and "file_groups" in m0
+    assert m0["manifest_n_groups"] == 4
+    assert sum(g["n_files"] for g in m0["file_groups"]) == len(t.files()) > 5
+    # single-key delta: only that bucket's group rewritten, others by ref
+    t.merge_epoch(_df(spark, [("r", "p0000", "c000000000002", "y")]), 1)
+    m1 = t.manifest()
+    same_refs = {g["path"] for g in m0["file_groups"]} & {
+        g["path"] for g in m1["file_groups"]
+    }
+    assert len(same_refs) == 3  # 3 of 4 groups carried by reference
+    assert t.read().count() == 300
+    assert t.read().where("path = 'p0000'").first().content == "y"
+    assert t.fsck()["ok"]
+    # change feed across grouped snapshots: new-file rows only (no epoch
+    # column here, so no provenance filter — the one rewritten file's rows)
+    d = {r["path"] for r in t.changes_between(1, 2).collect()}
+    assert "p0000" in d and len(d) <= 20
+    # group files are valid JSON entry lists
+    g = m1["file_groups"][0]
+    entries = _json.loads(Path(g["path"]).read_text())
+    assert all("bucket" in e and "key_stats" in e for e in entries)
+    # maintenance: expire+vacuum reclaims the replaced group files
+    t.expire_snapshots(retain_last=1)
+    stats = t.vacuum(older_than_s=0)
+    assert stats["group_files_removed"] >= 1
+    assert t.read().count() == 300
+    # compact keeps grouped-or-inline storage consistent and state intact
+    out = t.compact(above=1)
+    assert out["compacted_buckets"] >= 1
+    assert t.read().count() == 300
+    assert t.fsck()["ok"]
+
+
 def test_applied_epochs_stored_as_compact_ranges(spark, tmpdir_path):
     """10^4 epochs applied in one catch-up commit occupy ONE [lo,hi] range in
     the manifest — O(#gaps), not O(#epochs) — and incremental gaps stay
