@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--to", type=int, required=True, help="target version")
     _add_spark_args(rb)
 
+    lk = sub.add_parser("get", help="point-lookup one key (stats-pruned read)")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--repo", required=True)
+    lk.add_argument("--path", required=True)
+    _add_spark_args(lk)
+
     args = ap.parse_args(argv)
 
     from etl_spark.session import get_spark
@@ -189,6 +195,26 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps(t.rollback(args.to)))
         return 0
+
+    if args.cmd == "get":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        key = (args.repo, args.path)
+        cands = t.candidate_files(key)
+        rows = t.lookup(*key).collect()
+        print(json.dumps({
+            "key": {"repo": args.repo, "path": args.path},
+            "files_scanned": len(cands),
+            "files_total": len(t.files()),
+            "found": len(rows),
+        }))
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return 0 if rows else 1
 
     if args.cmd == "status":
         from etl_spark.checkpoint import CheckpointLog

@@ -201,6 +201,19 @@ class SnapshotTable:
         self.manifest_inline_files = manifest_inline_files
         (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
+        # Attaching to an EXISTING table adopts its persisted layout — the
+        # constructor args are initial values for table creation only. A
+        # mismatched n_buckets/key_cols would otherwise silently bucket new
+        # writes (and compactions, and point lookups) under a different
+        # scheme than the manifest's files.
+        m = self.manifest()
+        if m is not None:
+            self.n_buckets = m.get("n_buckets", self.n_buckets)
+            self.key_cols = tuple(m.get("key_cols", self.key_cols))
+            self.order_col = m.get("order_col", self.order_col)
+            self.max_files_per_bucket = m.get(
+                "max_files_per_bucket", self.max_files_per_bucket
+            )
 
     # ---- manifest plumbing ---------------------------------------------------
 
@@ -354,6 +367,42 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def candidate_files(self, key: tuple) -> list[dict[str, Any]]:
+        """Live files that can contain ``key``: its hash bucket's entries
+        narrowed by per-file min/max stats — the P8 'stats replace indexes'
+        path. One trivial 1-row Spark job computes the bucket with the SAME
+        xxhash64 the writer used; no table IO happens here."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(*[F.lit(v) for v in key]), F.lit(self.n_buckets)
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+        )
+        return [
+            f
+            for f in self.files()
+            if f["bucket"] == row["b"]
+            and _keys_hit_file([key], f.get("key_stats"), self.key_cols)
+        ]
+
+    def lookup(self, *key_values) -> DataFrame:
+        """Point read of one key: scans only the candidate files (typically
+        ONE) instead of the table. The CDC-consumer face of cluster-ordered
+        writes + footer stats."""
+        key = tuple(key_values)
+        if len(key) != len(self.key_cols):
+            raise ValueError(f"expected values for {self.key_cols}")
+        files = self.candidate_files(key)
+        df = self._read_files(files, self.schema())
+        for c, v in zip(self.key_cols, key):
+            df = df.where(F.col(c) == v)
+        return df
 
     def changes_between(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
         """Change feed: rows applied after snapshot ``v_from`` up to ``v_to``

@@ -155,6 +155,23 @@ def test_merge_dedupes_non_prededuped_updates(spark, tmpdir_path):
     assert t.read().count() == 2
 
 
+def test_point_lookup_scans_only_candidate_files(spark, tmpdir_path):
+    """lookup() reads the key's bucket narrowed by file stats — a point read
+    touches ~1 file of hundreds, and returns exactly the latest row."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=8, target_file_rows=10,
+                      max_files_per_bucket=64)
+    rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(400)]
+    t.merge_epoch(_df(spark, rows), 0)
+    t.merge_epoch(_df(spark, [("r", "p0123", "c000000000002", "updated")]), 1)
+    total = len(t.files())
+    assert total > 30
+    cands = t.candidate_files(("r", "p0123"))
+    assert 1 <= len(cands) <= 3, (len(cands), total)
+    got = t.lookup("r", "p0123").collect()
+    assert len(got) == 1 and got[0].content == "updated"
+    assert t.lookup("r", "nope").count() == 0
+
+
 def test_grouped_manifest_lifecycle(spark, tmpdir_path):
     """Past the inline threshold, file entries split into immutable manifest
     groups; merges parse only touched groups and carry the rest by
