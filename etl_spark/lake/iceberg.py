@@ -85,6 +85,13 @@ class IcebergTable:
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields)
         return f"ALTER TABLE {_quote(self.identifier)} ADD COLUMNS ({cols})"
 
+    def widen_column_sql(self, field: T.StructField) -> str:
+        """Safe type promotion (Iceberg int->long / float->double)."""
+        return (
+            f"ALTER TABLE {_quote(self.identifier)} ALTER COLUMN "
+            f"`{field.name}` TYPE {field.dataType.simpleString()}"
+        )
+
     # ---- exactly-once MERGE ---------------------------------------------------
 
     def merge_sql(self, updates_view: str, columns: list[str]) -> str:
@@ -139,11 +146,17 @@ class IcebergTable:
         if not new_ids:
             return {"skipped": True, "epochs": sorted(epoch_ids)}
 
-        # additive schema evolution before the merge
-        existing = {f.name for f in self.spark.table(self.identifier).schema.fields}
-        new_fields = [f for f in updates.schema.fields if f.name not in existing]
+        # additive schema evolution (+ safe widening) before the merge
+        from etl_spark.lake.table import _widens_to
+
+        cur = {f.name: f for f in self.spark.table(self.identifier).schema.fields}
+        new_fields = [f for f in updates.schema.fields if f.name not in cur]
         if new_fields:
             self.spark.sql(self.add_columns_sql(new_fields))
+        for f in updates.schema.fields:
+            prev = cur.get(f.name)
+            if prev is not None and _widens_to(prev.dataType, f.dataType):
+                self.spark.sql(self.widen_column_sql(f))
 
         view = f"_etl_updates_{abs(hash(tuple(new_ids)))}"
         updates.createOrReplaceTempView(view)

@@ -143,9 +143,26 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+# Iceberg-compatible safe type promotions (lossless widenings). Old files
+# keep their narrow physical type; Spark's parquet reader upcasts on read
+# under the widened manifest schema (verified: int32->long, float->double).
+_WIDENINGS: dict[tuple[str, str], bool] = {
+    ("byte", "short"): True, ("byte", "integer"): True, ("byte", "long"): True,
+    ("short", "integer"): True, ("short", "long"): True,
+    ("integer", "long"): True,
+    ("float", "double"): True,
+}
+
+
+def _widens_to(a: T.DataType, b: T.DataType) -> bool:
+    return (a.typeName(), b.typeName()) in _WIDENINGS
+
+
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Additive-only schema union: old column order preserved, new columns
-    appended; a type change or implicit drop raises."""
+    """Additive schema union: old column order preserved, new columns
+    appended, lossless type WIDENING allowed (int->long, float->double —
+    Iceberg's safe promotions; the widened type wins in either direction).
+    A lossy type change or implicit drop raises."""
     old_by_name = {f.name: f for f in old.fields}
     fields = list(old.fields)
     for f in new.fields:
@@ -153,10 +170,16 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
         if prev is None:
             fields.append(T.StructField(f.name, f.dataType, True))
         elif prev.dataType != f.dataType:
-            raise SchemaEvolutionError(
-                f"column {f.name!r}: type change {prev.dataType} -> {f.dataType} "
-                "is not additive"
-            )
+            if _widens_to(prev.dataType, f.dataType):
+                i = next(j for j, g in enumerate(fields) if g.name == f.name)
+                fields[i] = T.StructField(f.name, f.dataType, True)
+            elif _widens_to(f.dataType, prev.dataType):
+                pass  # incoming narrower: keep the established wider type
+            else:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: type change {prev.dataType} -> "
+                    f"{f.dataType} is not a safe widening"
+                )
     return T.StructType(fields)
 
 

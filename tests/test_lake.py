@@ -82,6 +82,49 @@ def test_schema_merge_additive_only():
         _merge_schemas(old, bad)
 
 
+def test_schema_widening_promotions(spark, tmpdir_path):
+    """Safe type widening (Iceberg promotions): a column may widen
+    int->long / float->double; old narrow files upcast on read; a narrower
+    late writer is served by the established wider type; lossy changes
+    still raise."""
+    old = T.StructType([T.StructField("a", T.IntegerType()),
+                        T.StructField("f", T.FloatType())])
+    wide = T.StructType([T.StructField("a", T.LongType()),
+                         T.StructField("f", T.DoubleType())])
+    merged = _merge_schemas(old, wide)
+    assert [f.dataType.typeName() for f in merged.fields] == ["long", "double"]
+    # narrower incoming keeps the wider established type
+    merged2 = _merge_schemas(wide, old)
+    assert [f.dataType.typeName() for f in merged2.fields] == ["long", "double"]
+    with pytest.raises(SchemaEvolutionError):
+        _merge_schemas(T.StructType([T.StructField("a", T.LongType())]),
+                       T.StructType([T.StructField("a", T.StringType())]))
+
+    # end-to-end: epoch 0 writes score as int, epoch 1 as long
+    t = _tbl(spark, tmpdir_path)
+    rows0 = spark.createDataFrame(
+        [("r", "a", "c000000000001", "x", 7)],
+        T.StructType([T.StructField("repo", T.StringType()),
+                      T.StructField("path", T.StringType()),
+                      T.StructField("commit", T.StringType()),
+                      T.StructField("content", T.StringType()),
+                      T.StructField("score", T.IntegerType())]))
+    t.merge_epoch(rows0, 0)
+    rows1 = spark.createDataFrame(
+        [("r", "b", "c000000000002", "y", 5_000_000_000)],
+        T.StructType([T.StructField("repo", T.StringType()),
+                      T.StructField("path", T.StringType()),
+                      T.StructField("commit", T.StringType()),
+                      T.StructField("content", T.StringType()),
+                      T.StructField("score", T.LongType())]))
+    t.merge_epoch(rows1, 1)
+    final = t.read()
+    assert dict(final.dtypes)["score"] == "bigint"
+    got = {r.path: r.score for r in final.collect()}
+    assert got == {"a": 7, "b": 5_000_000_000}
+    assert t.fsck()["ok"]
+
+
 def test_old_files_never_rewritten_on_evolution(spark, tmpdir_path):
     t = _tbl(spark, tmpdir_path)
     rows = [("r", f"p{i:03d}", "c000000000001", "x") for i in range(100)]
