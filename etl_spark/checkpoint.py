@@ -11,6 +11,15 @@ data); this log is derived lineage for observability and resumption hints.
 A crash between the manifest commit and the log append is healed on the next
 run: the epoch is skipped because the manifest already lists it, and the log
 row is backfilled.
+
+Row-count semantics, by path: the zero-job fast path (staged-file footers)
+records the epoch's POST-DEDUPE UPDATES — including late re-deliveries that
+subsequently lose latest-wins against a newer table row — and its ``bytes``
+is staged on-disk (compressed) size; the read-back and backfill paths record
+the SURVIVING winners with payload byte sums. Winners are a subset of
+updates, so a crash-healed epoch may log fewer rows than the original commit
+did. Both are valid lineage reads (applied-LSN ranges agree); exactly-once
+correctness never depends on this log.
 """
 
 from __future__ import annotations

@@ -205,11 +205,10 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         key = (args.repo, args.path)
         cands = t.candidate_files(key)
-        rows = t.lookup(*key).collect()
+        rows = t.lookup(*key, candidates=cands).collect()
         print(json.dumps({
             "key": {"repo": args.repo, "path": args.path},
             "files_scanned": len(cands),
-            "files_total": len(t.files()),
             "found": len(rows),
         }))
         for r in rows:

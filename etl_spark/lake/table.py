@@ -51,6 +51,13 @@ from pyspark.sql import types as T
 MANIFEST_DIR = "_meta"
 DATA_DIR = "data"
 
+# Row-level epoch PROVENANCE for streaming-written rows: batch id + this
+# base. Manifest exactly-once sets track raw ids per space, but the rows'
+# shared `epoch` column needs the spaces disjoint — otherwise stream batch 5
+# is indistinguishable from segment epoch 5 in the change feed and in
+# lineage backfill filters.
+STREAM_EPOCH_BASE = 1 << 30
+
 
 def encode_epoch_ranges(epochs) -> list[list[int]]:
     """Compact an epoch set to sorted inclusive ``[lo, hi]`` ranges.
@@ -85,11 +92,19 @@ def _space_key(space: str) -> str:
 
 
 def _all_applied_epochs(manifest: dict[str, Any]) -> set[int]:
-    """Union of applied epochs across ALL commit-id spaces (batch + streaming)."""
+    """Applied epochs across ALL commit-id spaces, mapped into the row-level
+    PROVENANCE domain: batch ids raw, stream ids offset by STREAM_EPOCH_BASE
+    (matching the epoch values streaming writes into its rows), so change
+    feeds over mixed tables never confuse stream batch N with segment epoch
+    N."""
     s: set[int] = set()
     for k, v in manifest.items():
-        if k.startswith("applied_epochs"):
-            s |= decode_epoch_ranges(v)
+        if not k.startswith("applied_epochs"):
+            continue
+        ids = decode_epoch_ranges(v)
+        if k == _space_key("stream"):
+            ids = {e + STREAM_EPOCH_BASE for e in ids}
+        s |= ids
     return s
 
 
@@ -107,10 +122,14 @@ def _keys_hit_file(keys: list[tuple], key_stats: dict | None,
     for key in keys:
         hit = True
         for c, v in zip(key_cols, key):
+            if v is None:
+                # parquet stats exclude nulls: a null key value can live in
+                # ANY file — never prune on it
+                continue
             rng = key_stats.get(c)
             if rng is None or rng[0] is None or rng[1] is None:
                 continue
-            if v is None or v < rng[0] or v > rng[1]:
+            if v < rng[0] or v > rng[1]:
                 hit = False
                 break
         if hit:
@@ -158,11 +177,19 @@ def _widens_to(a: T.DataType, b: T.DataType) -> bool:
     return (a.typeName(), b.typeName()) in _WIDENINGS
 
 
-def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+def _merge_schemas(
+    old: T.StructType,
+    new: T.StructType,
+    frozen: tuple[str, ...] = (),
+) -> T.StructType:
     """Additive schema union: old column order preserved, new columns
     appended, lossless type WIDENING allowed (int->long, float->double —
     Iceberg's safe promotions; the widened type wins in either direction).
-    A lossy type change or implicit drop raises."""
+    A lossy type change or implicit drop raises. ``frozen`` columns (the
+    bucketing KEYS) may not change type AT ALL: xxhash64 hashes int32 and
+    int64 of the same value differently, so widening a key would re-bucket
+    new rows under a different scheme than the table's files and duplicate
+    keys across live files."""
     old_by_name = {f.name: f for f in old.fields}
     fields = list(old.fields)
     for f in new.fields:
@@ -170,6 +197,11 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
         if prev is None:
             fields.append(T.StructField(f.name, f.dataType, True))
         elif prev.dataType != f.dataType:
+            if f.name in frozen:
+                raise SchemaEvolutionError(
+                    f"key column {f.name!r}: type change {prev.dataType} -> "
+                    f"{f.dataType} would change its hash bucketing"
+                )
             if _widens_to(prev.dataType, f.dataType):
                 i = next(j for j, g in enumerate(fields) if g.name == f.name)
                 fields[i] = T.StructField(f.name, f.dataType, True)
@@ -395,13 +427,20 @@ class SnapshotTable:
         """Live files that can contain ``key``: its hash bucket's entries
         narrowed by per-file min/max stats — the P8 'stats replace indexes'
         path. One trivial 1-row Spark job computes the bucket with the SAME
-        xxhash64 the writer used; no table IO happens here."""
+        xxhash64 the writer used (literals CAST to the table's key column
+        types — xxhash64(int32) != xxhash64(int64) of the same value); with
+        a grouped manifest only the bucket's own group file is parsed, so
+        driver IO stays O(group), not O(table)."""
+        schema = self.schema()
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        lits = [
+            F.lit(v).cast(types[c]) if c in types else F.lit(v)
+            for c, v in zip(self.key_cols, key)
+        ]
         row = (
             self.spark.range(1)
             .select(
-                F.pmod(
-                    F.xxhash64(*[F.lit(v) for v in key]), F.lit(self.n_buckets)
-                )
+                F.pmod(F.xxhash64(*lits), F.lit(self.n_buckets))
                 .cast("int")
                 .alias("b")
             )
@@ -409,19 +448,35 @@ class SnapshotTable:
         )
         return [
             f
-            for f in self.files()
-            if f["bucket"] == row["b"]
-            and _keys_hit_file([key], f.get("key_stats"), self.key_cols)
+            for f in self._bucket_entries(row["b"])
+            if _keys_hit_file([key], f.get("key_stats"), self.key_cols)
         ]
 
-    def lookup(self, *key_values) -> DataFrame:
+    def _bucket_entries(self, bucket: int) -> list[dict[str, Any]]:
+        """File entries of ONE bucket — parses a single group file when the
+        manifest is grouped."""
+        m = self.manifest()
+        if m is None:
+            return []
+        if "file_groups" in m:
+            n_groups = m.get("manifest_n_groups", self.manifest_groups)
+            gid = self._group_of(bucket, n_groups)
+            entries: list[dict] = []
+            for g in m["file_groups"]:
+                if g["group_id"] == gid:
+                    entries.extend(self._load_group(g))
+            return [f for f in entries if f["bucket"] == bucket]
+        return [f for f in m.get("files", []) if f["bucket"] == bucket]
+
+    def lookup(self, *key_values, candidates: list[dict] | None = None) -> DataFrame:
         """Point read of one key: scans only the candidate files (typically
         ONE) instead of the table. The CDC-consumer face of cluster-ordered
-        writes + footer stats."""
+        writes + footer stats. Pass ``candidates`` (from
+        :meth:`candidate_files`) to avoid recomputing them."""
         key = tuple(key_values)
         if len(key) != len(self.key_cols):
             raise ValueError(f"expected values for {self.key_cols}")
-        files = self.candidate_files(key)
+        files = candidates if candidates is not None else self.candidate_files(key)
         df = self._read_files(files, self.schema())
         for c, v in zip(self.key_cols, key):
             df = df.where(F.col(c) == v)
@@ -942,7 +997,9 @@ class SnapshotTable:
         )
         if m is not None:
             old_schema = T.StructType.fromJson(m["schema"])
-            merged_schema = _merge_schemas(old_schema, data_schema)
+            merged_schema = _merge_schemas(
+                old_schema, data_schema, frozen=self.key_cols
+            )
         else:
             merged_schema = data_schema
 

@@ -78,34 +78,39 @@ def probe_skew(
     df: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,
     sample_fraction: float = 0.01,
+    min_sample: int = 10_000,
 ) -> dict:
     """Cheap skew probe: sampled per-key histogram -> max key share.
 
     The reference orders work by per-key counts to schedule heavy keys first
     (A5/P3; duckdb_construct_trajs_stops.py:76-94). ONE Spark job over a
-    fixed-fraction sample: the sampled per-key counts reduce to (total, argmax)
-    in the same aggregation, so the probe never scans the full batch — an
-    earlier version ran ``df.count()`` just to size the fraction, which on
-    the ``auto`` strategy cost one extra full-scan job per batch. A fixed 1%
-    sample keeps a mega-key's share estimate order-of-magnitude accurate at
-    any batch size, which is all the strategy choice needs; tiny batches may
-    sample to zero rows and fall through to the safe default.
+    fixed-fraction sample: the sampled per-key counts reduce to (total,
+    argmax) in the same aggregation, so the probe never runs a full-scan
+    ``df.count()`` just to size itself. If the 1% sample lands under
+    ``min_sample`` rows the batch itself is small (~<1M rows), so the probe
+    re-runs over the FULL batch — cheap at that size and noise-free; for
+    large batches (where a full pass would hurt) the sample is >= min_sample
+    by construction.
     """
-    sample = df.sample(fraction=min(1.0, sample_fraction), seed=13)
-    row = (
-        sample.groupBy(*keys)
-        .count()
-        .agg(
-            F.sum("count").alias("n"),
-            F.max(
-                F.struct(
-                    F.col("count").alias("count"),
-                    F.struct(*[F.col(k) for k in keys]).alias("key"),
-                )
-            ).alias("top"),
+    def agg_once(frame):
+        return (
+            frame.groupBy(*keys)
+            .count()
+            .agg(
+                F.sum("count").alias("n"),
+                F.max(
+                    F.struct(
+                        F.col("count").alias("count"),
+                        F.struct(*[F.col(k) for k in keys]).alias("key"),
+                    )
+                ).alias("top"),
+            )
+            .first()
         )
-        .first()
-    )
+
+    row = agg_once(df.sample(fraction=min(1.0, sample_fraction), seed=13))
+    if sample_fraction < 1.0 and (row is None or (row["n"] or 0) < min_sample):
+        row = agg_once(df)
     if row is None or not row["n"]:
         return {"rows_sampled": 0, "max_share": 0.0, "hot_keys": []}
     top = row["top"]

@@ -86,9 +86,15 @@ def stream_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Same core as IngestPipeline._apply_batch, keyed by streaming batch
         # id: the sink's applied-epoch set makes re-delivered batches no-ops.
+        from etl_spark.lake.table import STREAM_EPOCH_BASE
+
+        # row provenance lives in a disjoint id range (base + batch id) so a
+        # mixed batch+stream table's change feed and lineage filters can
+        # attribute every row unambiguously; the manifest's stream space
+        # still tracks raw batch ids for the exactly-once check.
         _, winners = pipe.dedupe_plan(clean_events(batch_df))
         deduped = derive_content_columns(winners).withColumn(
-            "epoch", F.lit(int(batch_id)).cast("int")
+            "epoch", F.lit(int(STREAM_EPOCH_BASE + batch_id)).cast("int")
         )
         # row provenance = streaming batch id (the commit key), replacing the
         # source segment id — keeps lineage derivable from the table rows.

@@ -11,8 +11,10 @@ Semantics: events are grouped per user; within each state invocation rows
 are sorted by (ts, event_id); a gap > ``gap_s`` closes the running session.
 CLOSED sessions are emitted in append mode; the (possibly) still-open last
 session is carried in the group state to the next micro-batch, so a session
-spanning a batch boundary is stitched, not split. ``flush_open=True`` (used
-at stream end by tests) also emits the open session.
+spanning a batch boundary is stitched, not split. A late event older than
+the carried session's end extends the session backwards-in-time only in
+COUNT — the end never regresses (``end = max(end, es)``), so lateness can
+widen but never split a session.
 
 Scale shape: state is O(active keys) x one small tuple; Spark's state store
 checkpoints it per batch. No shuffle beyond the groupBy hash exchange.
@@ -70,7 +72,11 @@ def _session_fn(gap_s: int):
                 closed.append((user_id, start, end, n))
                 start, end, n = es, es, 1
             else:
-                end = es
+                # a late event (es < end) joins the session without
+                # regressing its end — otherwise the NEXT event could see a
+                # false gap and wrongly split the session
+                start = min(start, es)
+                end = max(end, es)
                 n += 1
         state.update((start, end, n))
         if closed:

@@ -198,6 +198,58 @@ def test_merge_dedupes_non_prededuped_updates(spark, tmpdir_path):
     assert t.read().count() == 2
 
 
+def test_key_column_type_change_rejected(spark, tmpdir_path):
+    """Widening a KEY column would re-bucket (xxhash64(int32) != xxhash64
+    (int64) of the same value) — must raise, while payload columns widen."""
+    t = SnapshotTable(spark, tmpdir_path, key_cols=("repo", "line_no"),
+                      order_col="commit", n_buckets=4)
+    s_int = T.StructType([T.StructField("repo", T.StringType()),
+                          T.StructField("line_no", T.IntegerType()),
+                          T.StructField("commit", T.StringType())])
+    t.merge_epoch(spark.createDataFrame([("r", 1, "c000000000001")], s_int), 0)
+    s_long = T.StructType([T.StructField("repo", T.StringType()),
+                           T.StructField("line_no", T.LongType()),
+                           T.StructField("commit", T.StringType())])
+    with pytest.raises(SchemaEvolutionError):
+        t.merge_epoch(
+            spark.createDataFrame([("r", 1, "c000000000002")], s_long), 1
+        )
+
+
+def test_lookup_numeric_key_casts_literal(spark, tmpdir_path):
+    """Point lookup on a numeric key must hash the literal AT the column's
+    type — a python int would otherwise hash as int32 and pick the wrong
+    bucket."""
+    t = SnapshotTable(spark, tmpdir_path, key_cols=("repo", "line_no"),
+                      order_col="commit", n_buckets=8)
+    s = T.StructType([T.StructField("repo", T.StringType()),
+                      T.StructField("line_no", T.LongType()),
+                      T.StructField("commit", T.StringType()),
+                      T.StructField("line", T.StringType())])
+    rows = [("r", i, "c000000000001", f"l{i}") for i in range(200)]
+    t.merge_epoch(spark.createDataFrame(rows, s), 0)
+    got = t.lookup("r", 123).collect()
+    assert len(got) == 1 and got[0].line == "l123"
+
+
+def test_merge_handles_null_key_values(spark, tmpdir_path):
+    """Null key values never prune (parquet stats exclude nulls): a second
+    merge updating the null key must rewrite, not duplicate."""
+    s = T.StructType([T.StructField("repo", T.StringType()),
+                      T.StructField("path", T.StringType()),
+                      T.StructField("commit", T.StringType()),
+                      T.StructField("content", T.StringType())])
+    t = _tbl(spark, tmpdir_path, target_file_rows=10)
+    t.merge_epoch(spark.createDataFrame(
+        [("r", None, "c000000000001", "v1"),
+         ("r", "a", "c000000000001", "x")], s), 0)
+    t.merge_epoch(spark.createDataFrame(
+        [("r", None, "c000000000002", "v2")], s), 1)
+    rows = t.read().where("path IS NULL").collect()
+    assert len(rows) == 1 and rows[0].content == "v2"
+    assert t.read().count() == 2
+
+
 def test_point_lookup_scans_only_candidate_files(spark, tmpdir_path):
     """lookup() reads the key's bucket narrowed by file stats — a point read
     touches ~1 file of hundreds, and returns exactly the latest row."""

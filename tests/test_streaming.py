@@ -101,6 +101,32 @@ def test_streaming_after_batch_replay_does_not_skip(spark, stream, tmpdir_path):
     got = table.read().drop("epoch").toPandas()
     assert_frames_equal(got, oracle_final_state(stream))
     assert table.fsck()["ok"]
+    # change-feed attribution on a MIXED table: an identical re-delivery
+    # changes nothing (empty feed is correct); NEW data arriving via the
+    # stream must surface with provenance in the disjoint stream id range —
+    # before namespacing it was silently dropped as "already-applied epoch N"
+    import shutil as _sh
+
+    from etl_spark.lake.table import STREAM_EPOCH_BASE
+
+    v_after_first_stream = table.current_version()
+    bigger = change_stream(
+        spark, N_EVENTS + N_EVENTS // 2, n_repos=20, paths_per_repo=40,
+        events_per_epoch=N_EVENTS // N_EPOCHS, dup_pct=8,
+    )
+    write_segments(bigger, f"{tmpdir_path}/bigger")
+    try:
+        _sh.copytree(f"{tmpdir_path}/bigger/epoch={N_EPOCHS}",
+                     f"{stream}/epoch={N_EPOCHS}")
+        q2 = stream_ingest(spark, stream, root, n_buckets=8)
+        q2.awaitTermination(120)
+        feed = table.changes_between(v_after_first_stream)
+        assert feed.count() > 0
+        assert feed.where(f"epoch < {STREAM_EPOCH_BASE}").count() == 0
+        got = table.read().drop("epoch").toPandas()
+        assert_frames_equal(got, oracle_final_state(stream))
+    finally:
+        _sh.rmtree(f"{stream}/epoch={N_EPOCHS}", ignore_errors=True)
 
 
 def test_streaming_schema_evolution(spark, tmpdir_path):

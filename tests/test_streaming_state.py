@@ -80,6 +80,22 @@ def test_session_spanning_batches_is_stitched(spark, tmpdir_path):
     assert _sessions(spark, out) == {(7, 0, 200, 3)}
 
 
+def test_late_event_does_not_split_session(spark, tmpdir_path):
+    """A late (out-of-order across batches) event inside the carried session
+    must not regress its end: the following event would otherwise see a
+    false gap and split one session into two."""
+    src = f"{tmpdir_path}/src"
+    out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    # batch 1 leaves open session [0 .. 1000]
+    _write_batch(spark, src, [(5, 0, 0), (5, 1000, 1)])
+    _run_stream(spark, src, out, ckpt)
+    # batch 2: late 100 (inside), then 2500 (within GAP of end=1000), then a
+    # closer far in the future
+    _write_batch(spark, src, [(5, 100, 2), (5, 2500, 3), (5, 99000, 4)])
+    _run_stream(spark, src, out, ckpt)
+    assert _sessions(spark, out) == {(5, 0, 2500, 4)}
+
+
 def test_restart_does_not_duplicate(spark, tmpdir_path):
     src = f"{tmpdir_path}/src"
     out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
