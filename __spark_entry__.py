@@ -647,6 +647,26 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
 
 
+def q_token_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization counts (subword-ish token budgeting) —
+    all-JVM regexp_count, same regex in the DuckDB oracle."""
+    from etl_spark.functions.content import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe("text").alias("n_bpe"))
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS) — positional k-gram hashes,
+    per-window minima; md5-derived ints reproduce bit-for-bit in SQL."""
+    from etl_spark.operators.textdedup import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=3, window=4).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_hier_cover(spark, sf_dir):
     """Hierarchical multi-resolution cover with subtree pruning (the
     reference's z13->z17->z21 polygon-cover algorithm re-expressed on text;
@@ -743,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "embedding_norms": q_embedding_norms,
+        "token_bpe": q_token_bpe,
+        "winnow_fps": q_winnow_fps,
         "hier_cover": q_hier_cover,
         "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
@@ -1233,6 +1255,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN cb b ON b.vec_id = a.bvec
             WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
                              ELSE 0.0 END, 6) >= 0.4
+        """,
+        "token_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe
+            FROM documents
+        """,
+        "winnow_fps": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS tk
+                FROM documents
+            ),
+            kg AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> array_to_string(tk[i:i+2], ' ')) AS grams
+                FROM toks WHERE len(tk) > 0
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(grams,
+                           s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hs
+                FROM kg
+            ),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(hs) - 3, 1)),
+                           i -> list_min(hs[i:i+3]))) AS fps
+                FROM h
+            )
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
         """,
         "hier_cover": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

@@ -86,6 +86,20 @@ def token_count(col) -> Column:
     )
 
 
+# BPE-style PRE-tokenization pattern (the split GPT-2-family tokenizers
+# apply before merges): letter runs, digit runs, single non-space symbols.
+# Counting these approximates subword token counts far better than
+# whitespace words on code/punctuated text, and the same regex runs in SQL.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count: matches of :data:`BPE_SPLIT_RE` — JVM regexp_count,
+    no UDF. 0 for empty/null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_SPLIT_RE)).cast("long")
+
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
 
 

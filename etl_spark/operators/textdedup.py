@@ -131,6 +131,56 @@ def ngram_jaccard_pairs(
     return out
 
 
+# --- winnowing (rolling-hash fingerprints, MOSS-style) ------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer/Wilkerson/
+    Aiken's MOSS algorithm): hash every word ``k``-gram, slide a ``window``
+    over consecutive hashes, keep each window's MINIMUM — the classic
+    guarantee that any sufficiently long match between documents shares a
+    selected fingerprint, at ~1/window the density of full shingling.
+
+    All JVM higher-order functions (transform / slice / array_min), zero
+    Python; hashes are md5-derived 60-bit ints so a SQL oracle reproduces
+    the selection bit-for-bit. Winnowing is POSITIONAL — unlike the
+    dedupe-oriented :func:`shingles`, consecutive (non-distinct) k-grams
+    feed the windows, since window adjacency is what yields the match
+    guarantee. Returns distinct (id, fp) rows; empty docs yield none.
+    """
+    def fps_from(tk):
+        # NB Spark's sequence(1, 0) DESCENDS — empty inputs need guards
+        n = F.size(tk)
+        kgrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+        )
+        hashes = F.transform(
+            kgrams,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+        m = F.size(hashes)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+        return F.when(n == 0, F.array().cast("array<long>")).otherwise(
+            F.array_distinct(wins)
+        )
+
+    # let-bind the token array (regex-heavy) so it evaluates once per row
+    fps = F.get(F.transform(F.array(norm_tokens(text_col)), fps_from), 0)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:

@@ -160,3 +160,48 @@ def test_minhash_table_equals_expression(spark):
         for r in minhash_signature_table(_docs(spark), num_hashes=8).collect()
     }
     assert expr == tab
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing invariants: shared long runs share a fingerprint (the MOSS
+    match guarantee); density is ~1/window of full shingling; empty and
+    short docs behave."""
+    from etl_spark.operators.textdedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " one two three four five six"),
+            (1, "x y z " + shared + " different tail entirely here"),
+            (2, ""),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # guarantee: a 10-token shared run (8 shared 3-grams > window) yields at
+    # least one common selected fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert 2 not in by_doc  # empty doc -> no fingerprints
+    assert len(by_doc[3]) == 1  # single sub-k gram -> one fingerprint
+    # density: far fewer fingerprints than k-grams
+    n_tokens = len((shared + " one two three four five six").split())
+    assert len(by_doc[0]) <= n_tokens - 2
+
+
+def test_token_count_bpe(spark):
+    from etl_spark.functions.content import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "def f(x): return x+1"), (1, ""), (2, None), (3, "hello world")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count_bpe("text").alias("n")).collect()
+    }
+    # def | f | ( | x | ) | : | return | x | + | 1  -> 10
+    assert got == {0: 10, 1: 0, 2: 0, 3: 2}
