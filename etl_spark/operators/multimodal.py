@@ -173,6 +173,75 @@ def extract_media_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing over media bytes via ``mapInPandas`` — schema, batch
+    shape, meta rewrite, and per-row error isolation are real; the pixel
+    work itself is the stubbed decode (``_decode_image_real``), replaced by
+    a deterministic fake so the pipeline is testable in this container.
+
+    Zero shuffle (partition-preserving); output rows keep (media_id,
+    modality), carry the transformed bytes, and meta.width/height reflect
+    the target — exactly the contract a PIL/ffmpeg-backed implementation
+    drops into.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType(), True),
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("duration_ms", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def _fake_resize(b: bytes | None) -> bytes:
+        # deterministic stand-in: content-derived bytes sized w*h/64 so the
+        # output scales with the target like a real thumbnail would
+        h = hashlib.sha256(b or b"").digest()
+        n = max(1, (width * height) // 64)
+        return (h * (n // len(h) + 1))[:n]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def safe(b):
+                try:
+                    return (_fake_resize(b), None)
+                except Exception as exc:  # noqa: BLE001 — isolate per row
+                    return (None, f"{type(exc).__name__}: {exc}")
+
+            res = pdf["media"].map(safe)
+            meta = pdf["meta"].map(
+                lambda mv: {
+                    "mime": (mv or {}).get("mime"),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (mv or {}).get("duration_ms"),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "media": res.map(lambda t: t[0]),
+                    "meta": meta,
+                    "error": res.map(lambda t: t[1]),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame timestamp.
 

@@ -83,3 +83,26 @@ def test_per_row_error_isolation(spark, monkeypatch):
     out = {r["media_id"]: r for r in mm.extract_media_features(df).collect()}
     assert out[1]["feature"] is None and "corrupt media header" in out[1]["error"]
     assert out[2]["feature"] is not None and out[2]["error"] is None
+
+
+def test_resize_media_plumbing(spark):
+    """Resize contract: deterministic output bytes sized to the target,
+    meta rewritten to the new dimensions, mime/duration preserved, no
+    shuffle (partition counts unchanged), errors isolated per row."""
+    from etl_spark.operators.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, 30).repartition(3)
+    out = resize_media(media, 64, 32)
+    assert out.rdd.getNumPartitions() == 3
+    rows = out.collect()
+    assert len(rows) == 30
+    n_expected = (64 * 32) // 64
+    for r in rows:
+        assert r.error is None
+        assert len(r.media) == n_expected
+        assert r.meta.width == 64 and r.meta.height == 32
+        assert r.meta.mime.startswith("x-fake/")
+        assert r.meta.duration_ms is not None
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.media) for r in resize_media(media, 64, 32).collect()}
+    assert {r.media_id: bytes(r.media) for r in rows} == again
