@@ -430,9 +430,13 @@ class SnapshotTable:
         xxhash64 the writer used (literals CAST to the table's key column
         types — xxhash64(int32) != xxhash64(int64) of the same value); with
         a grouped manifest only the bucket's own group file is parsed, so
-        driver IO stays O(group), not O(table)."""
-        schema = self.schema()
-        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        driver IO stays O(group), not O(table). The manifest is loaded
+        once."""
+        m = self.manifest()
+        if m is None:
+            return []
+        schema = T.StructType.fromJson(m["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
         lits = [
             F.lit(v).cast(types[c]) if c in types else F.lit(v)
             for c, v in zip(self.key_cols, key)
@@ -448,14 +452,17 @@ class SnapshotTable:
         )
         return [
             f
-            for f in self._bucket_entries(row["b"])
+            for f in self._bucket_entries(row["b"], m)
             if _keys_hit_file([key], f.get("key_stats"), self.key_cols)
         ]
 
-    def _bucket_entries(self, bucket: int) -> list[dict[str, Any]]:
+    def _bucket_entries(
+        self, bucket: int, m: dict[str, Any] | None = None
+    ) -> list[dict[str, Any]]:
         """File entries of ONE bucket — parses a single group file when the
         manifest is grouped."""
-        m = self.manifest()
+        if m is None:
+            m = self.manifest()
         if m is None:
             return []
         if "file_groups" in m:
@@ -479,7 +486,8 @@ class SnapshotTable:
         files = candidates if candidates is not None else self.candidate_files(key)
         df = self._read_files(files, self.schema())
         for c, v in zip(self.key_cols, key):
-            df = df.where(F.col(c) == v)
+            # `col = NULL` is never true in SQL; a null key needs isNull
+            df = df.where(F.col(c).isNull() if v is None else F.col(c) == v)
         return df
 
     def changes_between(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
@@ -783,6 +791,11 @@ class SnapshotTable:
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
+                    return None
+                # parquet min/max EXCLUDE nulls: a file holding null key
+                # values is not fully described by its range, so it must
+                # never be pruned (on either side of an intersect test)
+                if st.null_count is None or st.null_count > 0:
                     return None
                 mn, mx = _stat_val(st.min), _stat_val(st.max)
                 if mn is None or mx is None:

@@ -87,10 +87,11 @@ def probe_skew(
     fixed-fraction sample: the sampled per-key counts reduce to (total,
     argmax) in the same aggregation, so the probe never runs a full-scan
     ``df.count()`` just to size itself. If the 1% sample lands under
-    ``min_sample`` rows the batch itself is small (~<1M rows), so the probe
-    re-runs over the FULL batch — cheap at that size and noise-free; for
-    large batches (where a full pass would hurt) the sample is >= min_sample
-    by construction.
+    ``min_sample`` rows the estimate is noisy — but a second full pass is
+    only paid when the noisy estimate is actually AMBIGUOUS (within the
+    caller-supplied ``decide`` band); a clearly-uniform or clearly-hot small
+    sample decides immediately, so the common small-batch case stays at one
+    cheap job.
     """
     def agg_once(frame):
         return (
@@ -110,7 +111,14 @@ def probe_skew(
 
     row = agg_once(df.sample(fraction=min(1.0, sample_fraction), seed=13))
     if sample_fraction < 1.0 and (row is None or (row["n"] or 0) < min_sample):
-        row = agg_once(df)
+        # small sample -> noisy estimate. Only re-probe the (small) full
+        # batch when the estimate is ambiguous around the 0.05 hot
+        # threshold; a clear verdict (2x above / 2x below) stands.
+        share = (
+            row["top"]["count"] / row["n"] if row is not None and row["n"] else 0.0
+        )
+        if row is None or not row["n"] or 0.025 <= share <= 0.10:
+            row = agg_once(df)
     if row is None or not row["n"]:
         return {"rows_sampled": 0, "max_share": 0.0, "hot_keys": []}
     top = row["top"]

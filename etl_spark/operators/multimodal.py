@@ -184,25 +184,9 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     the target — exactly the contract a PIL/ffmpeg-backed implementation
     drops into.
     """
+    # same contract as the input media table + per-row error isolation
     out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("modality", T.StringType(), False),
-            T.StructField("media", T.BinaryType(), True),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("mime", T.StringType(), True),
-                        T.StructField("width", T.IntegerType(), True),
-                        T.StructField("height", T.IntegerType(), True),
-                        T.StructField("duration_ms", T.IntegerType(), True),
-                    ]
-                ),
-                True,
-            ),
-            T.StructField("error", T.StringType(), True),
-        ]
+        [*MEDIA_SCHEMA.fields, T.StructField("error", T.StringType(), True)]
     )
 
     def _fake_resize(b: bytes | None) -> bytes:

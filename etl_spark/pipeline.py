@@ -242,7 +242,9 @@ class IngestPipeline:
             )
         return stats
 
-    def _log_lineage(self, commit: dict[str, Any]) -> None:
+    def _log_lineage(
+        self, commit: dict[str, Any], provenance_offset: int = 0
+    ) -> None:
         """Per-(epoch, bucket) lineage for the updates this commit applied.
 
         Single-epoch commits (the steady-state CDC path and every streaming
@@ -291,7 +293,14 @@ class IngestPipeline:
         if new_files:
             schema = self.table.schema()
             df = self.table._read_files(new_files, schema)
-            applied = df.where(F.col("epoch").isin(epochs))
+            # streaming rows carry provenance epoch = offset + batch id; the
+            # log partitions stay keyed by the raw commit ids
+            prov = [int(e) + provenance_offset for e in epochs]
+            applied = df.where(F.col("epoch").isin(prov))
+            if provenance_offset:
+                applied = applied.withColumn(
+                    "epoch", F.col("epoch") - F.lit(provenance_offset)
+                )
             lineage = self.log.lineage_rows_multi(
                 applied, self.table._bucket_expr()
             )

@@ -15,7 +15,10 @@ identical thing with its anti-join vs. target
 (create_duckdb_points.py:164-173).
 
 Streaming batch ids live in their OWN commit-id space (``epoch_space=
-"stream"`` in the manifest, lineage under ``_checkpoint_stream``): batch
+"stream"`` in the manifest, lineage under ``_checkpoint_stream``; row-level
+provenance = STREAM_EPOCH_BASE + batch id — tables stream-written by
+pre-namespacing revisions carry raw ids in their rows and need a one-off
+feed rebuild if change-feed attribution matters): batch
 replay keys the same table on segment epoch numbers, and both sequences start
 at 0 — a shared set would make the first streaming micro-batches into a
 batch-replayed table silently skip as "already applied". The row-level
@@ -106,7 +109,7 @@ def stream_ingest(
             epoch_space="stream",
         )
         if not commit.get("skipped"):
-            pipe._log_lineage(commit)
+            pipe._log_lineage(commit, provenance_offset=STREAM_EPOCH_BASE)
 
     writer = (
         source.writeStream.foreachBatch(apply_batch)

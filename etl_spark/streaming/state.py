@@ -11,10 +11,12 @@ Semantics: events are grouped per user; within each state invocation rows
 are sorted by (ts, event_id); a gap > ``gap_s`` closes the running session.
 CLOSED sessions are emitted in append mode; the (possibly) still-open last
 session is carried in the group state to the next micro-batch, so a session
-spanning a batch boundary is stitched, not split. A late event older than
-the carried session's end extends the session backwards-in-time only in
-COUNT — the end never regresses (``end = max(end, es)``), so lateness can
-widen but never split a session.
+spanning a batch boundary is stitched, not split. Each invocation gap-merges
+the sorted INTERVALS (new events as points plus the carried session), which
+matches batch sessionization over the union of events: a late event within
+``gap_s`` of the carried session joins it; one older than that forms its own
+(earlier) session and closes immediately. The one inherent append-mode
+limit: an already-EMITTED session cannot be amended by an even later event.
 
 Scale shape: state is O(active keys) x one small tuple; Spark's state store
 checkpoints it per batch. No shuffle beyond the groupBy hash exchange.
@@ -57,27 +59,27 @@ def _session_fn(gap_s: int):
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["es", "event_id"])
+        # gap-merge sorted intervals: new events are points; the carried
+        # session is a (contiguous-by-construction) interval — equivalent to
+        # batch sessionization over the union of all events seen so far,
+        # modulo already-emitted sessions
+        items = [(int(es), int(es), 1) for es in rows["es"]]
         if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = None
-            n = 0
+            s0, e0, n0 = state.get
+            items.append((int(s0), int(e0), int(n0)))
+        items.sort()
         closed = []
-        for es in rows["es"]:
-            es = int(es)
+        start = end = None
+        n = 0
+        for s, e, cnt in items:
             if start is None:
-                start, end, n = es, es, 1
-            elif es - end > gap_s:
+                start, end, n = s, e, cnt
+            elif s - end > gap_s:
                 closed.append((user_id, start, end, n))
-                start, end, n = es, es, 1
+                start, end, n = s, e, cnt
             else:
-                # a late event (es < end) joins the session without
-                # regressing its end — otherwise the NEXT event could see a
-                # false gap and wrongly split the session
-                start = min(start, es)
-                end = max(end, es)
-                n += 1
+                end = max(end, e)
+                n += cnt
         state.update((start, end, n))
         if closed:
             yield pd.DataFrame(

@@ -96,6 +96,39 @@ def test_late_event_does_not_split_session(spark, tmpdir_path):
     assert _sessions(spark, out) == {(5, 0, 2500, 4)}
 
 
+def test_too_late_event_forms_own_earlier_session(spark, tmpdir_path):
+    """An event older than gap_s before the carried session belongs to its
+    OWN earlier session (batch semantics over the union), not to the carried
+    one — the interval gap-merge closes it immediately."""
+    src = f"{tmpdir_path}/src"
+    out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    _write_batch(spark, src, [(9, 10_000, 0), (9, 10_100, 1)])
+    _run_stream(spark, src, out, ckpt)
+    _write_batch(spark, src, [(9, 100, 2), (9, 50_000, 3)])
+    _run_stream(spark, src, out, ckpt)
+    # late 100 -> its own closed session; carried [10000,10100] closed by
+    # the far-future 50000 which stays open in state
+    assert _sessions(spark, out) == {(9, 100, 100, 1), (9, 10_000, 10_100, 2)}
+
+
+def test_lookup_null_key_value(spark, tmpdir_path):
+    """lookup() with a None key component must use IS NULL semantics."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import SnapshotTable
+
+    s = T.StructType([T.StructField("repo", T.StringType()),
+                      T.StructField("path", T.StringType()),
+                      T.StructField("commit", T.StringType()),
+                      T.StructField("content", T.StringType())])
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=4)
+    t.merge_epoch(spark.createDataFrame(
+        [("r", None, "c000000000001", "v1"), ("r", "a", "c000000000001", "x")],
+        s), 0)
+    got = t.lookup("r", None).collect()
+    assert len(got) == 1 and got[0].content == "v1"
+
+
 def test_restart_does_not_duplicate(spark, tmpdir_path):
     src = f"{tmpdir_path}/src"
     out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
