@@ -709,6 +709,41 @@ def q_cdc_replay_e2e(spark, sf_dir):
     return pipe.table.read().select("repo", "path", "commit", "lang", "content_sha256")
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """CDC-out: the engine's change feed between snapshots. Replays 4 epochs
+    incrementally into a temp table, then reads changes_between(v2, v4) —
+    manifest file diff + row-level epoch provenance, O(changed data). The
+    oracle recomputes it as 'current winners whose winning epoch is 2 or 3'
+    (epoch assignment is md5-derived so SQL reproduces it exactly)."""
+    import tempfile
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = (
+        _as_change_stream(_t(spark, sf_dir, "events"))
+        .withColumn(
+            "epoch",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("commit")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(4),
+            ).cast("int"),
+        )
+        .withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_feed_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
+    pipe.replay(f"{root}/stream")
+    feed = pipe.table.changes_between(2, 4)
+    return feed.select(
+        "repo", "path", "commit", "lang",
+        F.col("epoch").cast("long").alias("epoch"),
+        "content_sha256",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -722,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_current_state": q_cdc_current_state,
         "cdc_replay_e2e": q_cdc_replay_e2e,
+        "cdc_change_feed": q_cdc_change_feed,
         "w1_latest": q_w1_latest,
         "w1_latest_window": q_w1_latest_window,
         "w1_latest_salted": q_w1_latest_salted,
@@ -884,6 +920,24 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY repo, path ORDER BY "commit" DESC) rn
                 FROM cleaned
             ) WHERE rn = 1
+        """,
+        "cdc_change_feed": f"""
+            WITH src AS ({_CHANGE_STREAM_SQL}),
+            cleaned AS (
+                SELECT repo, path, "commit", {lang_case} AS lang,
+                       (('0x' || substring(md5("commit"), 1, 15))::UBIGINT
+                        % 4)::BIGINT AS epoch,
+                       sha256(content) AS content_sha256
+                FROM src
+                WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+                  AND path <> '' AND content IS NOT NULL
+                  AND regexp_matches("commit", '^c\\d{{12}}$')
+            )
+            SELECT repo, path, "commit", lang, epoch, content_sha256 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                FROM cleaned
+            ) WHERE rn = 1 AND epoch IN (2, 3)
         """,
         "w1_latest": _W1_SQL,
         "w1_latest_window": _W1_SQL,
