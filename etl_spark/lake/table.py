@@ -1058,6 +1058,24 @@ class SnapshotTable:
             for b, olds in old_by_bucket.items():
                 if b not in staged_by_bucket:
                     carried += olds
+            # pre-read all sparse-delta key probes on a thread pool: the
+            # per-bucket loop would otherwise serialize hundreds of tiny
+            # staged-file reads on the driver for a scattered delta
+            from concurrent.futures import ThreadPoolExecutor
+
+            probe_buckets = sorted(staged_by_bucket)
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                probed = dict(
+                    zip(
+                        probe_buckets,
+                        ex.map(
+                            lambda b: self._probe_staged_keys(
+                                staged_by_bucket[b]
+                            ),
+                            probe_buckets,
+                        ),
+                    )
+                )
             for b, sfiles in sorted(staged_by_bucket.items()):
                 olds = old_by_bucket.get(b, [])
                 if len(olds) + len(sfiles) > self.max_files_per_bucket:
@@ -1076,7 +1094,7 @@ class SnapshotTable:
                     # back to envelope overlap (they touch most files
                     # anyway). Files without stats (legacy manifests) are
                     # conservatively treated as intersecting.
-                    delta_keys = self._probe_staged_keys(sfiles)
+                    delta_keys = probed.get(b)
                     if delta_keys is not None:
                         inter = [
                             f for f in olds
