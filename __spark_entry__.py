@@ -626,6 +626,25 @@ def q_ann_ivf(spark, sf_dir):
     ).crossJoin(F.broadcast(recall))
 
 
+def q_ann_ivf_md5(spark, sf_dir):
+    """IVF with a DETERMINISTIC md5-sampled coarse quantizer — the full IVF
+    machinery (argmin assignment, probe-list selection, list equi-join,
+    cosine ranking) verified bit-for-bit against SQL; only KMeans training
+    (the ann_ivf variant) stays outside the oracle."""
+    from etl_spark.operators.similarity import ivf_topk, md5_sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = md5_sample_centroids(emb, n_lists=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=3, centroids=cents)
+    return out.select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH top-k — oracle-backed: md5-derived plane
     components reproduce bit-for-bit in DuckDB SQL."""
@@ -805,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf_md5": q_ann_ivf_md5,
         "media_features": q_media_features,
         # rows-only: KMeans quantizer is not SQL-expressible; the query
         # carries a recall_at_10 column vs exact top-k instead
@@ -1381,6 +1401,52 @@ def oracle_sql() -> dict[str, str]:
                    lead(start::BIGINT) OVER (
                        PARTITION BY doc_id ORDER BY start) AS next_start
             FROM emitted
+        """,
+        "ann_ivf_md5": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (
+                SELECT row_number() OVER (
+                    ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS ci, v AS cv
+                FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ),
+            assigned AS (
+                SELECT c.vec_id, c.v,
+                       (SELECT ci FROM cents
+                        ORDER BY list_sum(list_transform(
+                            generate_series(1, len(c.v)),
+                            j -> (c.v[j] - cv[j]) * (c.v[j] - cv[j]))), ci
+                        LIMIT 1) AS list
+                FROM c
+            ),
+            q AS (
+                SELECT c.vec_id AS query_id, c.v AS qv, p.ci AS list
+                FROM c, LATERAL (
+                    SELECT ci FROM cents
+                    ORDER BY list_sum(list_transform(
+                        generate_series(1, len(c.v)),
+                        j -> (c.v[j] - cv[j]) * (c.v[j] - cv[j]))), ci
+                    LIMIT 3) p(ci)
+                WHERE c.vec_id < 5
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(CASE WHEN nq > 0 AND nc > 0 THEN dp / (nq * nc)
+                                  ELSE 0.0 END, 6) AS score
+                FROM (
+                    SELECT q.query_id, a.vec_id AS neighbor_id,
+                           list_dot_product(q.qv, a.v) AS dp,
+                           sqrt(list_dot_product(q.qv, q.qv)) AS nq,
+                           sqrt(list_dot_product(a.v, a.v)) AS nc
+                    FROM q JOIN assigned a
+                      ON q.list = a.list AND a.vec_id <> q.query_id
+                )
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
         """,
         "media_features": """
             WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),

@@ -159,6 +159,26 @@ def nearest_centroid(vec_col, centroids: list[list[float]]):
     return best_idx
 
 
+def md5_sample_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids WITHOUT training: the
+    ``n_lists`` corpus vectors whose md5(id) sorts first. A hash-ordered
+    sample is an unbiased draw, so the inverted lists are balanced in
+    expectation — and unlike KMeans the selection reproduces exactly in SQL,
+    making the whole IVF pipeline oracle-verifiable."""
+    rows = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,14 +189,21 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only the ``n_probe`` nearest inverted
     lists per query (classic coarse quantization; the standard scale path
     next to LSH). Same output schema as ``brute_force_topk``; recall measured
     in tests. At scale the corpus is scored per colliding list — an equi-join
-    on the list id — instead of the full cross join.
+    on the list id — instead of the full cross join. Pass ``centroids``
+    (e.g. :func:`md5_sample_centroids`) to skip KMeans training.
     """
-    assigned, centroids = ivf_assignments(corpus, vec_col, n_lists, seed)
+    if centroids is not None:
+        assigned = corpus.withColumn(
+            "_list", nearest_centroid(F.col(vec_col), centroids)
+        )
+    else:
+        assigned, centroids = ivf_assignments(corpus, vec_col, n_lists, seed)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),

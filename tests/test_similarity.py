@@ -134,3 +134,25 @@ def test_embedding_near_dup_exact_vs_lsh(spark):
     assert (0, 9999) in lsh  # identical vectors share every sign bucket
     for k, v in lsh.items():
         assert k in exact and abs(v - exact[k]) < 1e-9
+
+
+def test_ivf_md5_centroids_recall(spark):
+    """The deterministic md5-sampled quantizer is a usable IVF: recall vs
+    exact top-k stays reasonable and the output contract matches."""
+    from etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        md5_sample_centroids,
+    )
+
+    corpus = _corpus(spark)
+    cents = md5_sample_centroids(corpus, n_lists=8)
+    assert len(cents) == 8 and all(len(c) == len(cents[0]) for c in cents)
+    # deterministic: same corpus -> same centroids
+    assert cents == md5_sample_centroids(corpus, n_lists=8)
+    queries = corpus.limit(5).selectExpr("vec_id AS query_id", "embedding")
+    approx = ivf_topk(corpus, queries, k=10, n_lists=8, n_probe=4, centroids=cents)
+    exact = brute_force_topk(corpus, queries, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.3  # probing half the lists
