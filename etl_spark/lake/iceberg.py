@@ -32,6 +32,14 @@ from pyspark.sql import types as T
 EPOCH_PROP = "applied-epochs"
 
 
+def _epoch_prop(space: str) -> str:
+    """Snapshot-summary property name for one commit-id SPACE. Namespaced so
+    mixing batch and streaming drivers on the Iceberg backend cannot mistake
+    stream batch N for segment epoch N (parity with SnapshotTable's
+    per-space applied sets, lake/table.py _space_key)."""
+    return EPOCH_PROP if space == "batch" else f"{EPOCH_PROP}-{space}"
+
+
 def _quote(ident: str) -> str:
     return ".".join(f"`{p}`" for p in ident.split("."))
 
@@ -114,14 +122,14 @@ class IcebergTable:
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
 
-    def applied_epochs(self) -> set[int]:
+    def applied_epochs(self, space: str = "batch") -> set[int]:
         rows = self.spark.sql(
             f"SELECT summary FROM {_quote(self.identifier)}.snapshots "
             "ORDER BY committed_at DESC"
         ).collect()
         out: set[int] = set()
         for r in rows:
-            prop = (r["summary"] or {}).get(EPOCH_PROP)
+            prop = (r["summary"] or {}).get(_epoch_prop(space))
             if prop:
                 out |= set(json.loads(prop))
         return out
@@ -133,7 +141,7 @@ class IcebergTable:
         *,
         extra_summary: dict[str, Any] | None = None,
         assume_deduped: bool = False,
-        epoch_space: str = "batch",  # accepted for SnapshotTable signature parity
+        epoch_space: str = "batch",
     ) -> dict[str, Any]:
         if not assume_deduped:
             from etl_spark.operators.dedupe import latest_by_key
@@ -141,7 +149,7 @@ class IcebergTable:
             updates = latest_by_key(
                 updates, keys=self.key_cols, order_col=self.order_col
             )
-        applied = self.applied_epochs()
+        applied = self.applied_epochs(space=epoch_space)
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:
             return {"skipped": True, "epochs": sorted(epoch_ids)}
@@ -160,9 +168,11 @@ class IcebergTable:
 
         view = f"_etl_updates_{abs(hash(tuple(new_ids)))}"
         updates.createOrReplaceTempView(view)
-        # stamp epoch ids into the commit's snapshot summary (exactly-once key)
+        # stamp epoch ids into the commit's snapshot summary (exactly-once
+        # key), under the SPACE-namespaced property
         self.spark.conf.set(
-            f"spark.wap.snapshot-property.{EPOCH_PROP}", json.dumps(sorted(new_ids))
+            f"spark.wap.snapshot-property.{_epoch_prop(epoch_space)}",
+            json.dumps(sorted(new_ids)),
         )
         self.spark.sql(self.merge_sql(view, updates.columns))
         snap = self.spark.sql(

@@ -269,6 +269,23 @@ class SnapshotTable:
             self.max_files_per_bucket = m.get(
                 "max_files_per_bucket", self.max_files_per_bucket
             )
+            self.target_file_rows = m.get(
+                "target_file_rows", self.target_file_rows
+            )
+
+    def _bucket_file_allowance(self, bucket_rows: int) -> int:
+        """Live-file budget for a bucket holding ``bucket_rows`` rows.
+
+        ``max_files_per_bucket`` alone would make a bucket that LEGITIMATELY
+        needs more than that many target-size files (rows > limit *
+        target_file_rows, plausible at 100 TB under default n_buckets) fail
+        fsck forever and force a whole-bucket rewrite on EVERY merge,
+        degrading file-level COW back to bucket granularity. The budget is
+        therefore the minimum file count the rows require plus the configured
+        slack — compaction and fsck trigger on FRAGMENTATION (files >>
+        rows/target_file_rows), never on sheer size."""
+        needed = -(-max(int(bucket_rows), 0) // max(self.target_file_rows, 1))
+        return max(self.max_files_per_bucket, needed + self.max_files_per_bucket)
 
     # ---- manifest plumbing ---------------------------------------------------
 
@@ -514,10 +531,18 @@ class SnapshotTable:
         new_files = [
             f for f in self._files_of(m_to) if f["path"] not in old_paths
         ]
-        delta_epochs = sorted(_all_applied_epochs(m_to) - old_epochs)
+        delta_epochs = _all_applied_epochs(m_to) - old_epochs
         df = self._read_files(new_files, schema)
         if "epoch" in df.columns:
-            df = df.where(F.col("epoch").isin(delta_epochs))
+            # Filter by the RANGE encoding, not a per-id IN-list: at the
+            # nominal 10^6+ epochs a wide version range would otherwise bake
+            # hundreds of thousands of literals into the plan and blow up
+            # driver planning. O(#gaps) BETWEEN clauses instead.
+            ranges = encode_epoch_ranges(delta_epochs)
+            cond = F.lit(False)
+            for lo, hi in ranges:
+                cond = cond | F.col("epoch").between(F.lit(lo), F.lit(hi))
+            df = df.where(cond)
         return df
 
     def _read_files(self, files: list[dict], schema: T.StructType) -> DataFrame:
@@ -643,13 +668,28 @@ class SnapshotTable:
         m = self.manifest()
         if m is None:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
-        if above is None:
-            above = max(2, self.max_files_per_bucket // 2)
         all_files = self._files_of(m)
         by_bucket: dict[int, list] = {}
         for f in all_files:
             by_bucket.setdefault(f["bucket"], []).append(f)
-        victims = {b for b, fl in by_bucket.items() if len(fl) > above}
+        if above is not None:
+            # explicit override: absolute file-count threshold
+            victims = {b for b, fl in by_bucket.items() if len(fl) > above}
+        else:
+            # default trigger is rows-aware: a bucket is a victim when
+            # FRAGMENTED (holds more files than its rows require plus slack),
+            # not merely large — a bucket legitimately needing many
+            # target-size files must not be rewritten on every compact()
+            slack = max(2, self.max_files_per_bucket // 2)
+
+            def _needed(fl):
+                rows = sum(f["rows"] for f in fl)
+                return -(-rows // max(self.target_file_rows, 1))
+
+            victims = {
+                b for b, fl in by_bucket.items()
+                if len(fl) > max(slack, _needed(fl) + slack)
+            }
         if not victims:
             return {"compacted_buckets": 0,
                     "files_before": len(all_files),
@@ -704,6 +744,7 @@ class SnapshotTable:
         else:
             entries = m.get("files", [])
         per_bucket: dict[int, int] = {}
+        rows_per_bucket: dict[int, int] = {}
         for f in entries:
             p = Path(f["path"])
             if not p.exists():
@@ -717,10 +758,13 @@ class SnapshotTable:
             if not 0 <= f["bucket"] < m.get("n_buckets", self.n_buckets):
                 findings.append(f"bucket id {f['bucket']} out of range in {p.name}")
             per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-        limit = m.get("max_files_per_bucket", self.max_files_per_bucket)
+            rows_per_bucket[f["bucket"]] = (
+                rows_per_bucket.get(f["bucket"], 0) + f.get("rows", 0)
+            )
         for b, n in sorted(per_bucket.items()):
-            if n > limit:
-                findings.append(f"bucket {b} has {n} live files (> {limit})")
+            allowed = self._bucket_file_allowance(rows_per_bucket.get(b, 0))
+            if n > allowed:
+                findings.append(f"bucket {b} has {n} live files (> {allowed})")
         prev: dict[str, set[int]] = {}
         for v in self.versions():
             mv = self.manifest(v)
@@ -990,12 +1034,19 @@ class SnapshotTable:
         extra_summary: dict[str, Any] | None,
         epoch_space: str,
     ) -> dict[str, Any]:
-        applied = self.applied_epochs(space=epoch_space)
+        # ONE manifest read: applied epochs, schema, file entries and the
+        # commit's base_version all derive from the same snapshot. Two reads
+        # would be a TOCTOU — a concurrent commit landing between them could
+        # shrink the applied-epoch set (overwritten from the stale read)
+        # without tripping the os.link conflict, re-delivering its rows.
+        m = self.manifest()
+        applied = (
+            decode_epoch_ranges(m.get(_space_key(epoch_space))) if m else set()
+        )
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:
             return {"skipped": True, "epochs": sorted(epoch_ids)}
 
-        m = self.manifest()
         # Every commit-id space from the current snapshot carries over; only
         # this merge's own space gains epochs.
         spaces = {k: v for k, v in (m or {}).items()
@@ -1078,8 +1129,12 @@ class SnapshotTable:
                 )
             for b, sfiles in sorted(staged_by_bucket.items()):
                 olds = old_by_bucket.get(b, [])
-                if len(olds) + len(sfiles) > self.max_files_per_bucket:
-                    # fragmentation cap: compact the whole bucket
+                rows_b = sum(f["rows"] for f in olds) + sum(
+                    f["rows"] for f in sfiles
+                )
+                if len(olds) + len(sfiles) > self._bucket_file_allowance(rows_b):
+                    # fragmentation cap (rows-aware: a bucket that NEEDS many
+                    # target-size files is not fragmented): compact the bucket
                     inter = olds
                 else:
                     # File-level COW: an existing file whose key range can't
@@ -1157,6 +1212,7 @@ class SnapshotTable:
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
             "max_files_per_bucket": self.max_files_per_bucket,
+            "target_file_rows": self.target_file_rows,
             "summary": extra_summary or {},
             "parent": m["version"] if m else None,
         }

@@ -99,7 +99,9 @@ def sessionize_stream(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("ts").cast("long").alias("es"),
         F.col("event_id").cast("long").alias("event_id"),
-    )
+    # a null ts would reach the state fn as NaN and int(NaN) would kill the
+    # whole streaming query — drop it here (per-row error isolation)
+    ).where(F.col("es").isNotNull())
     return keyed.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_s),
         outputStructType=SESSION_SCHEMA,

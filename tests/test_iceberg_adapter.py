@@ -56,3 +56,13 @@ def test_maintenance_sql():
 def test_runtime_gate(spark):
     with pytest.raises(RuntimeError, match="Iceberg runtime not on the classpath"):
         IcebergTable(spark, "lake.db.files")
+
+
+def test_epoch_property_namespaced_per_space():
+    """ADVICE r2: stream batch N must not collide with segment epoch N on the
+    Iceberg backend — the snapshot-summary property is namespaced by space."""
+    from etl_spark.lake.iceberg import _epoch_prop
+
+    assert _epoch_prop("batch") == "applied-epochs"
+    assert _epoch_prop("stream") == "applied-epochs-stream"
+    assert _epoch_prop("batch") != _epoch_prop("stream")

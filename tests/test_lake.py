@@ -335,3 +335,74 @@ def test_applied_epochs_stored_as_compact_ranges(spark, tmpdir_path):
     assert decode_epoch_ranges([0, 1, 2, 9]) == {0, 1, 2, 9}
     assert encode_epoch_ranges({5, 3, 4, 9}) == [[3, 5], [9, 9]]
     assert decode_epoch_ranges(encode_epoch_ranges(range(100))) == set(range(100))
+
+
+def test_large_healthy_bucket_not_perma_compacted(spark, tmpdir_path):
+    """ADVICE r2 (medium): a bucket legitimately holding more than
+    max_files_per_bucket target-size files (rows > limit * target_file_rows)
+    must neither fail fsck nor trigger whole-bucket rewrites on every sparse
+    merge — only FRAGMENTATION (files >> rows/target) compacts."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=1, target_file_rows=10,
+                      max_files_per_bucket=4)
+    # 200 rows -> needs 20 files in the single bucket, 5x the nominal limit
+    rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(200)]
+    t.merge_epoch(_df(spark, rows), 0)
+    n0 = len(t.files())
+    assert n0 >= 20  # legitimately above max_files_per_bucket
+    assert t.fsck()["ok"], t.fsck()["findings"]
+    # sparse single-key merge: file-level COW, NOT a whole-bucket rewrite
+    stats = t.merge_epoch(_df(spark, [("r", "p0000", "c000000000002", "y")]), 1)
+    assert stats["files_rewritten"] <= 2
+    assert stats["files_pruned"] >= n0 - 2
+    assert t.fsck()["ok"]
+    # default compact() leaves the healthy-but-large bucket alone
+    out = t.compact()
+    assert out["compacted_buckets"] == 0
+    assert t.read().count() == 200
+
+
+def test_merge_single_manifest_read_no_toctou(spark, tmpdir_path):
+    """ADVICE r2: applied-epoch set and base_version must come from ONE
+    manifest read — a concurrent commit landing between two reads would
+    shrink the applied set without tripping the os.link conflict."""
+    t = _tbl(spark, tmpdir_path)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+
+    # interleave: a competing writer commits epoch 5 AFTER this merge loaded
+    # its manifest. The os.link race must force a re-plan that PRESERVES 5.
+    orig = SnapshotTable.manifest
+    fired = {"n": 0}
+
+    def racing_manifest(self, version=None):
+        m = orig(self, version)
+        if version is None and fired["n"] == 0 and m and m["version"] == 2:
+            fired["n"] = 1
+            t2 = SnapshotTable(self.spark, str(self.root))
+            t2.merge_epoch(_df(self.spark, [("r", "z", "c000000000003", "zz")]), 5)
+        return m
+
+    t.merge_epoch(_df(spark, [("r", "b", "c000000000002", "v2")]), 1)
+    SnapshotTable.manifest = racing_manifest
+    try:
+        t.merge_epoch(_df(spark, [("r", "c", "c000000000004", "v4")]), 2)
+    finally:
+        SnapshotTable.manifest = orig
+    assert t.applied_epochs() == {0, 1, 2, 5}
+    got = {r.path for r in t.read().collect()}
+    assert got == {"a", "b", "c", "z"}
+
+
+def test_change_feed_filter_is_ranges_not_inlist(spark, tmpdir_path):
+    """ADVICE r2: a wide epoch delta must reach the plan as O(#gaps) BETWEEN
+    clauses, not 10^4+ IN-list literals that blow up driver planning."""
+    t = _tbl(spark, tmpdir_path)
+    rows = spark.createDataFrame(
+        [("r", "a", "c000000000001", "x", 0)],
+        ["repo", "path", "commit", "content", "epoch"],
+    )
+    t.merge_epochs(rows, list(range(10_000)))
+    feed = t.changes_between(None)
+    assert [r.path for r in feed.collect()] == ["a"]
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert " IN " not in plan and "10,000" not in plan
+    assert len(plan) < 4000, len(plan)

@@ -139,3 +139,18 @@ def test_restart_does_not_duplicate(spark, tmpdir_path):
     # re-run with no new data: checkpoint makes it a no-op
     _run_stream(spark, src, out, ckpt)
     assert _sessions(spark, out) == first
+
+
+def test_null_ts_event_is_isolated_not_fatal(spark, tmpdir_path):
+    """ADVICE r2: a null ts must be dropped before the state fn — int(NaN)
+    there would kill the whole streaming query instead of one bad row."""
+    src = f"{tmpdir_path}/src"
+    spark.createDataFrame(
+        [(1, 0, 0), (1, 100, 1), (1, None, 2), (1, 5000, 3)],
+        "user_id long, es long, event_id long",
+    ).selectExpr(
+        "user_id", "CAST(es AS timestamp) AS ts", "event_id"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt")
+    got = _sessions(spark, f"{tmpdir_path}/out")
+    assert got == {(1, 0, 100, 2)}  # null row ignored, query survived
