@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                    default="fused",
                    help="physical dedupe strategy (fused = one-shuffle "
                         "dedupe+stage; see pipeline.dedupe_plan)")
+    r.add_argument("--merge-mode", choices=["cow", "mor"], default=None,
+                   help="write policy: cow rewrites touched files; mor "
+                        "writes delta files folded on read (scattered "
+                        "hot-key updates). Default: table's persisted mode")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
     _add_spark_args(r)
@@ -115,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         pipe = IngestPipeline(
             spark, args.table, n_buckets=args.buckets,
             dedupe_strategy=args.dedupe, maintain_rollup=args.rollup,
+            merge_mode=args.merge_mode,
         )
         stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:

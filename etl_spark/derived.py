@@ -132,12 +132,16 @@ class LineIndex:
     """Stage-3 derived projection: per-line index over immutable file versions.
 
     The reference's transform stage processes each trajectory id exactly once,
-    discovering work via ``ls EXCEPT cs`` (SURVEY §3.4, J4;
+    discovering work via a per-stage WATERMARK plus ``ls EXCEPT cs`` repair
+    (SURVEY §3.4, J4; duckdb_construct_trajs_stops.py:45-73,
     duckdb_transform_ls_to_cs.py:56-60). File *versions* (repo, path, commit)
-    are equally immutable, so the line index is append-only: discovery is an
-    anti-join of snapshot versions against already-indexed versions, and each
-    version's lines are exploded and appended under the fact commit's epoch
-    ids (same exactly-once bookkeeping).
+    are equally immutable, so the line index is append-only. Steady-state
+    discovery is O(delta): the index records the SOURCE SNAPSHOT VERSION it
+    last synced to, and pending versions come from the source's change feed
+    past that version (a manifest diff + epoch-provenance filter) — the
+    line-grained index itself is never scanned. The anti-join form survives
+    as :meth:`pending_versions_scan` (bootstrap / repair; differential-tested
+    equal).
     """
 
     def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
@@ -149,20 +153,55 @@ class LineIndex:
             order_col="commit", n_buckets=n_buckets,
         )
 
+    _VERSION_COLS = ("repo", "path", "commit", "content")
+
+    def synced_to_version(self) -> int | None:
+        """Source snapshot version the index last synced to (the stage
+        watermark). Walks retained index snapshots newest-first so an
+        interleaved maintenance commit (compaction, rollback) whose summary
+        lacks the marker doesn't reset discovery to a full rebuild."""
+        for v in reversed(self.table.versions()):
+            s = (self.table.manifest(v) or {}).get("summary") or {}
+            if "synced_to_version" in s:
+                return s["synced_to_version"]
+        return None
+
     def pending_versions(self) -> DataFrame:
-        """Snapshot versions not yet indexed (J4: EXCEPT / left_anti)."""
-        current = self.source.read().select("repo", "path", "commit", "content")
+        """Versions not yet indexed — O(delta, never O(index)).
+
+        Reads the source's change feed past the synced watermark: only files
+        NEW since that snapshot are scanned, filtered to rows whose epoch
+        provenance is new (carried rewrites excluded). Falls back to the
+        full state only on bootstrap or when the watermarked snapshot has
+        been expired from the source's history."""
+        sv = self.synced_to_version()
+        if sv is None:
+            return self.source.read().select(*self._VERSION_COLS)
+        try:
+            feed = self.source.changes_between(sv)
+        except FileNotFoundError:
+            # watermark snapshot expired: repair via the EXCEPT scan
+            return self.pending_versions_scan()
+        return feed.select(*self._VERSION_COLS)
+
+    def pending_versions_scan(self) -> DataFrame:
+        """J4 EXCEPT discovery (anti-join vs the full index) — the bootstrap/
+        repair path; O(index), so not for steady-state use."""
+        current = self.source.read().select(*self._VERSION_COLS)
         if not self.table.exists():
             return current
         done = self.table.read().select("repo", "path", "commit").distinct()
         return current.join(done, ["repo", "path", "commit"], "left_anti")
 
     def update(self, epoch_ids: list[int]) -> dict[str, Any]:
-        """Index all pending versions in one idempotent commit."""
+        """Index all pending versions in one idempotent commit, advancing the
+        watermark to the source version the pending set was computed at."""
+        cur = self.source.current_version()
         lines = explode_lines(self.pending_versions())
         return self.table.merge_epochs(
             lines, [int(e) for e in epoch_ids],
-            extra_summary={"derived": "line_index"},
+            extra_summary={"derived": "line_index",
+                           "synced_to_version": cur},
             assume_deduped=True,  # line_no makes each exploded row unique
         )
 

@@ -228,6 +228,7 @@ class SnapshotTable:
         max_files_per_bucket: int = 16,
         manifest_groups: int = 32,
         manifest_inline_files: int = 2048,
+        merge_mode: str | None = None,
     ) -> None:
         """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
         the bucketed, key-sorted write), so each bucket holds several files
@@ -236,6 +237,17 @@ class SnapshotTable:
         ``max_files_per_bucket`` bounds fragmentation: a merge that would
         leave more live files than this in a bucket compacts the whole bucket
         instead.
+
+        ``merge_mode``: ``"cow"`` (default) rewrites the files a delta's keys
+        can touch (copy-on-write — best for read-heavy tables and clustered
+        deltas); ``"mor"`` (merge-on-read — Iceberg's equality-delete MERGE
+        analog) instead promotes the staged delta as small DELTA files after
+        dropping write-stale rows, folding them into the base on read via a
+        per-key anti-join. A scattered hot-key delta then writes O(delta
+        rows) bytes instead of O(delta keys x target_file_rows); buckets
+        whose live delta files exceed ``max_files_per_bucket // 2`` are
+        folded back into base files at merge time, and ``compact()`` folds
+        everything lazily. Differential-tested: MOR == COW final state.
 
         Manifest scaling: up to ``manifest_inline_files`` file entries live
         inline in the manifest JSON; past that, entries split into
@@ -254,6 +266,12 @@ class SnapshotTable:
         self.max_files_per_bucket = max_files_per_bucket
         self.manifest_groups = manifest_groups
         self.manifest_inline_files = manifest_inline_files
+        if merge_mode not in (None, "cow", "mor"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        # None = adopt the table's persisted write policy (default "cow");
+        # an EXPLICIT value wins — merge_mode is a mutable write-policy knob
+        # (Iceberg: ALTER ... write.merge.mode), not a layout invariant
+        self.merge_mode = merge_mode
         (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
         # Attaching to an EXISTING table adopts its persisted layout — the
@@ -272,6 +290,9 @@ class SnapshotTable:
             self.target_file_rows = m.get(
                 "target_file_rows", self.target_file_rows
             )
+            if self.merge_mode is None:
+                self.merge_mode = m.get("merge_mode")
+        self.merge_mode = self.merge_mode or "cow"
 
     def _bucket_file_allowance(self, bucket_rows: int) -> int:
         """Live-file budget for a bucket holding ``bucket_rows`` rows.
@@ -426,19 +447,66 @@ class SnapshotTable:
 
     # ---- read ----------------------------------------------------------------
 
+    @staticmethod
+    def _split_kinds(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+        """(base_files, delta_files). Entries without a ``kind`` are base —
+        pre-MOR manifests stay readable unchanged."""
+        base = [f for f in entries if f.get("kind") != "delta"]
+        deltas = [f for f in entries if f.get("kind") == "delta"]
+        return base, deltas
+
+    def _latest_delta_rows(self, delta_df: DataFrame) -> DataFrame:
+        """One row per key across live delta files (max ``order_col`` wins).
+
+        Write-time stale filtering guarantees that for any key, a later
+        delta commit carries a strictly greater order value, so max-order IS
+        the latest — no per-file sequence tiebreak needed. max_by is a
+        partial aggregate (map-side combine), and deltas are small by
+        construction."""
+        payload = [c for c in delta_df.columns if c not in self.key_cols]
+        agged = delta_df.groupBy(*[F.col(k) for k in self.key_cols]).agg(
+            F.max_by(F.struct(*payload), F.col(self.order_col)).alias("_w")
+        )
+        return agged.select(
+            *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+        )
+
+    def _fold(self, base_df: DataFrame, delta_df: DataFrame) -> DataFrame:
+        """Merge-on-read fold: per key, a delta row supersedes the base row.
+
+        The delta side collapses to latest-per-key (small); base rows whose
+        key appears there are dropped via a BROADCAST null-safe anti-join —
+        the 100-TB base side is scanned ONCE with no shuffle; only the tiny
+        delta side moves. Null-safe (<=>) because keys may be null and a
+        plain anti-join would let a stale null-key base row survive."""
+        latest = self._latest_delta_rows(delta_df)
+        keys_only = F.broadcast(
+            latest.select(*[F.col(k).alias(f"_d_{k}") for k in self.key_cols])
+        )
+        cond = None
+        for k in self.key_cols:
+            c = base_df[k].eqNullSafe(F.col(f"_d_{k}"))
+            cond = c if cond is None else (cond & c)
+        kept_base = base_df.join(keys_only, cond, "left_anti")
+        return kept_base.unionByName(latest.select(*base_df.columns))
+
     def read(self, version: int | None = None) -> DataFrame:
         """Table state at ``version`` (default: current) — snapshot isolation
         gives time travel for free, like Iceberg's VERSION AS OF. Old files
         missing newly-added columns read as null (explicit manifest schema
-        drives the scan)."""
+        drives the scan). Live MOR delta files are folded in (latest per key
+        wins) via a broadcast anti-join — one base scan, no base shuffle."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
         schema = T.StructType.fromJson(m["schema"])
-        files = [f["path"] for f in self._files_of(m)]
-        if not files:
+        base, deltas = self._split_kinds(self._files_of(m))
+        if not base and not deltas:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        base_df = self._read_files(base, schema)
+        if not deltas:
+            return base_df
+        return self._fold(base_df, self._read_files(deltas, schema))
 
     def candidate_files(self, key: tuple) -> list[dict[str, Any]]:
         """Live files that can contain ``key``: its hash bucket's entries
@@ -501,10 +569,17 @@ class SnapshotTable:
         if len(key) != len(self.key_cols):
             raise ValueError(f"expected values for {self.key_cols}")
         files = candidates if candidates is not None else self.candidate_files(key)
+        base, deltas = self._split_kinds(files)
         df = self._read_files(files, self.schema())
         for c, v in zip(self.key_cols, key):
             # `col = NULL` is never true in SQL; a null key needs isNull
             df = df.where(F.col(c).isNull() if v is None else F.col(c) == v)
+        if deltas:
+            # a candidate delta row supersedes a stale base row for the key;
+            # all candidate rows read the same few files, so folding here is
+            # a trivial aggregate over <= a handful of rows
+            cols = df.columns
+            df = self._latest_delta_rows(df).select(*cols)
         return df
 
     def changes_between(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
@@ -609,14 +684,27 @@ class SnapshotTable:
                 referenced.add(os.path.realpath(f["path"]))
         removed, freed, skipped_young = 0, 0, 0
         now = time.time()
+
+        def _mtime(p):
+            # a concurrent writer may unlink its own staging/losing files
+            # between our glob and stat — a vanished path is simply no longer
+            # our problem, never an error
+            try:
+                return p.stat().st_mtime, p.stat().st_size
+            except FileNotFoundError:
+                return None, 0
+
         for p in (self.root / DATA_DIR).glob("*.parquet"):
             if os.path.realpath(p) in referenced:
                 continue
-            if now - p.stat().st_mtime < older_than_s:
+            mt, size = _mtime(p)
+            if mt is None:
+                continue
+            if now - mt < older_than_s:
                 skipped_young += 1
                 continue
-            freed += p.stat().st_size
-            p.unlink()
+            freed += size
+            p.unlink(missing_ok=True)
             removed += 1
         # orphaned manifest-group files (losing commit attempts, expired
         # versions' groups) — same referenced-set + grace rules
@@ -624,10 +712,13 @@ class SnapshotTable:
         for p in (self.root / MANIFEST_DIR / self.GROUPS_DIR).glob("g*.json"):
             if os.path.realpath(p) in referenced_groups:
                 continue
-            if now - p.stat().st_mtime < older_than_s:
+            mt, _ = _mtime(p)
+            if mt is None:
+                continue
+            if now - mt < older_than_s:
                 skipped_young += 1
                 continue
-            p.unlink()
+            p.unlink(missing_ok=True)
             groups_removed += 1
         # staging dirs abandoned by a killed writer (same age guard: a live
         # writer's staging is always younger than the grace window)
@@ -635,7 +726,8 @@ class SnapshotTable:
 
         staging_removed = 0
         for d in self.root.glob("_staging-*"):
-            if now - d.stat().st_mtime > max(older_than_s, 3600.0):
+            mt, _ = _mtime(d)
+            if mt is not None and now - mt > max(older_than_s, 3600.0):
                 _shutil.rmtree(d, ignore_errors=True)
                 staging_removed += 1
         return {"files_removed": removed, "bytes_freed": freed,
@@ -672,6 +764,13 @@ class SnapshotTable:
         by_bucket: dict[int, list] = {}
         for f in all_files:
             by_bucket.setdefault(f["bucket"], []).append(f)
+        # buckets holding MOR delta files are always folded: compaction is
+        # the lazy path that turns accumulated read-side fold work back into
+        # clean base files (Iceberg rewrite_data_files on a MOR table)
+        delta_buckets = {
+            b for b, fl in by_bucket.items()
+            if any(f.get("kind") == "delta" for f in fl)
+        }
         if above is not None:
             # explicit override: absolute file-count threshold
             victims = {b for b, fl in by_bucket.items() if len(fl) > above}
@@ -690,6 +789,7 @@ class SnapshotTable:
                 b for b, fl in by_bucket.items()
                 if len(fl) > max(slack, _needed(fl) + slack)
             }
+        victims |= delta_buckets
         if not victims:
             return {"compacted_buckets": 0,
                     "files_before": len(all_files),
@@ -968,6 +1068,7 @@ class SnapshotTable:
         extra_summary: dict[str, Any] | None = None,
         assume_deduped: bool = False,
         epoch_space: str = "batch",
+        merge_mode: str | None = None,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one epoch (MERGE INTO semantics).
 
@@ -981,6 +1082,7 @@ class SnapshotTable:
         return self.merge_epochs(
             updates, [epoch_id], extra_summary=extra_summary,
             assume_deduped=assume_deduped, epoch_space=epoch_space,
+            merge_mode=merge_mode,
         )
 
     def merge_epochs(
@@ -992,8 +1094,14 @@ class SnapshotTable:
         max_retries: int = 3,
         assume_deduped: bool = False,
         epoch_space: str = "batch",
+        merge_mode: str | None = None,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
+
+        ``merge_mode`` overrides the table's write policy for THIS commit
+        (``"cow"`` rewrite / ``"mor"`` delta files folded on read) — e.g. a
+        bulk backfill on a MOR table wants COW, a scattered hot-key patch on
+        a COW table wants MOR. Default: the table's configured mode.
 
         The multi-epoch form backs catch-up/bootstrap replay: N pending
         segments deduped together and applied in ONE snapshot commit — one
@@ -1018,7 +1126,8 @@ class SnapshotTable:
         for _ in range(max_retries):
             try:
                 return self._merge_epochs_once(
-                    updates, epoch_ids, extra_summary, epoch_space
+                    updates, epoch_ids, extra_summary, epoch_space,
+                    merge_mode or self.merge_mode,
                 )
             except FileExistsError as err:
                 last_err = err  # manifest swap lost; re-plan from new snapshot
@@ -1033,6 +1142,7 @@ class SnapshotTable:
         epoch_ids: list[int],
         extra_summary: dict[str, Any] | None,
         epoch_space: str,
+        mode: str = "cow",
     ) -> dict[str, Any]:
         # ONE manifest read: applied epochs, schema, file entries and the
         # commit's base_version all derive from the same snapshot. Two reads
@@ -1127,42 +1237,86 @@ class SnapshotTable:
                         ),
                     )
                 )
+            def _hit(files, keys, sref):
+                # File-level pruning: an existing file whose key range can't
+                # contain any delta key is untouched — a scattered-key delta
+                # touches O(delta keys) files, not O(bucket). A SPARSE
+                # per-bucket delta (the steady-state CDC shape) gets exact
+                # per-key containment: its few keys are read driver-side from
+                # the tiny staged file, because the staged file's min/max
+                # ENVELOPE spans the whole domain when keys are scattered and
+                # would defeat range-vs-range pruning. Large per-bucket
+                # deltas fall back to envelope overlap (they touch most files
+                # anyway). Files without stats (legacy manifests) are
+                # conservatively treated as intersecting.
+                if keys is not None:
+                    return [
+                        f for f in files
+                        if _keys_hit_file(keys, f.get("key_stats"),
+                                          self.key_cols)
+                    ]
+                return [
+                    f for f in files
+                    if any(_stats_intersect(f.get("key_stats"),
+                                            s.get("key_stats")) for s in sref)
+                ]
+
+            mor_cap = max(2, self.max_files_per_bucket // 2)
+            mor_delta_raw: list[dict] = []   # staged files -> delta promote
+            stale_check: list[dict] = []     # live files defining existing orders
+            folded_buckets: list[int] = []
             for b, sfiles in sorted(staged_by_bucket.items()):
                 olds = old_by_bucket.get(b, [])
+                base_olds, live_deltas = self._split_kinds(olds)
                 rows_b = sum(f["rows"] for f in olds) + sum(
                     f["rows"] for f in sfiles
                 )
-                if len(olds) + len(sfiles) > self._bucket_file_allowance(rows_b):
-                    # fragmentation cap (rows-aware: a bucket that NEEDS many
-                    # target-size files is not fragmented): compact the bucket
-                    inter = olds
-                else:
-                    # File-level COW: an existing file whose key range can't
-                    # contain any delta key is carried untouched — a
-                    # scattered-key delta rewrites O(delta keys) files, not
-                    # O(bucket). A SPARSE per-bucket delta (the steady-state
-                    # CDC shape) gets exact per-key containment: its few keys
-                    # are read driver-side from the tiny staged file, because
-                    # the staged file's min/max ENVELOPE spans the whole
-                    # domain when keys are scattered and would defeat
-                    # range-vs-range pruning. Large per-bucket deltas fall
-                    # back to envelope overlap (they touch most files
-                    # anyway). Files without stats (legacy manifests) are
-                    # conservatively treated as intersecting.
-                    delta_keys = probed.get(b)
-                    if delta_keys is not None:
-                        inter = [
-                            f for f in olds
-                            if _keys_hit_file(delta_keys, f.get("key_stats"),
-                                              self.key_cols)
-                        ]
+                # fragmentation cap (rows-aware: a bucket that NEEDS many
+                # target-size files is not fragmented): compact the bucket
+                frag = (
+                    len(olds) + len(sfiles)
+                    > self._bucket_file_allowance(rows_b)
+                )
+                delta_keys = probed.get(b)
+                if (
+                    mode == "mor"
+                    and not frag
+                    and len(live_deltas) + len(sfiles) <= mor_cap
+                ):
+                    inter = _hit(base_olds, delta_keys, sfiles)
+                    if not inter and not live_deltas:
+                        # disjoint new keys: staged output IS final base —
+                        # rename, no conflicts possible, no fold needed
+                        carried += olds
+                        files_pruned += len(base_olds)
+                        promote_staged += sfiles
                     else:
-                        inter = [
-                            f for f in olds
-                            if any(_stats_intersect(f.get("key_stats"),
-                                                    s.get("key_stats"))
-                                   for s in sfiles)
-                        ]
+                        # MERGE-ON-READ: base files (even the intersecting
+                        # ones) and live deltas all stay — write amplification
+                        # is O(delta rows). Intersecting files feed the
+                        # write-time stale filter so a late/duplicate delta
+                        # row can never shadow a newer table row.
+                        carried += olds
+                        files_pruned += len(base_olds) - len(inter)
+                        stale_check += inter + live_deltas
+                        mor_delta_raw += sfiles
+                    continue
+                if mode == "mor":
+                    # FOLD: the bucket hit its delta cap (or is fragmented) —
+                    # merge its intersecting base files + live deltas + the
+                    # staged delta back into clean base files
+                    folded_buckets.append(b)
+                    if frag:
+                        inter = base_olds
+                    else:
+                        probe_all = self._probe_staged_keys(
+                            sfiles + live_deltas
+                        )
+                        inter = _hit(base_olds, probe_all,
+                                     sfiles + live_deltas)
+                    inter = inter + live_deltas
+                else:
+                    inter = olds if frag else _hit(olds, delta_keys, sfiles)
                 inter_paths = {f["path"] for f in inter}
                 disjoint = [f for f in olds if f["path"] not in inter_paths]
                 carried += disjoint
@@ -1186,6 +1340,74 @@ class SnapshotTable:
                 for f in staged
             ]
             new_files = [self._promote(f) for f in promote_staged]
+            stale_dropped = 0
+            if mor_delta_raw:
+                # WRITE-TIME STALE FILTER: drop staged rows that do not
+                # strictly beat the newest live row (base or prior delta) of
+                # their key. This makes delta files self-sufficient — for any
+                # key, later files always carry strictly greater order — so
+                # the read-side fold is a plain broadcast anti-join with no
+                # per-file sequencing. Cost: one column-pruned (keys + order)
+                # scan of exactly the files the delta's keys can touch.
+                seq = (m["version"] + 1) if m else 1
+                n_staged = sum(f["rows"] for f in mor_delta_raw)
+                kcols = list(self.key_cols)
+                staged_df = self._read_files(mor_delta_raw, data_schema)
+                existing = self._read_files(stale_check, merged_schema).select(
+                    *kcols, self.order_col
+                )
+                # pre-filter to the delta's keys so the max-order aggregate
+                # shuffles O(delta keys) rows, not O(touched files x rows)
+                skeys = F.broadcast(
+                    staged_df.select(
+                        *[F.col(k).alias(f"_s_{k}") for k in kcols]
+                    )
+                )
+                sem = None
+                for k in kcols:
+                    c = existing[k].eqNullSafe(F.col(f"_s_{k}"))
+                    sem = c if sem is None else (sem & c)
+                emax = (
+                    existing.join(skeys, sem, "left_semi")
+                    .groupBy(*kcols)
+                    .agg(F.max(self.order_col).alias("_e_order"))
+                    .select(
+                        *[F.col(k).alias(f"_e_{k}") for k in kcols],
+                        "_e_order",
+                    )
+                )
+                jc = None
+                for k in kcols:
+                    c = staged_df[k].eqNullSafe(F.col(f"_e_{k}"))
+                    jc = c if jc is None else (jc & c)
+                kept = (
+                    staged_df.join(F.broadcast(emax), jc, "left")
+                    .where(
+                        F.col("_e_order").isNull()
+                        | (staged_df[self.order_col] > F.col("_e_order"))
+                    )
+                    .select(*[f.name for f in data_schema.fields])
+                )
+                n_kept = kept.count()
+                stale_dropped = n_staged - n_kept
+                if n_kept == n_staged:
+                    # the common CDC case (every delta row is fresh): the
+                    # staged files ARE the delta files — rename, no rewrite
+                    new_files += [
+                        {**self._promote(f), "kind": "delta", "seq": seq}
+                        for f in mor_delta_raw
+                    ]
+                elif n_kept > 0:
+                    staging3, staged3 = self._stage_bucketed(kept)
+                    try:
+                        new_files += [
+                            {**self._promote(f), "kind": "delta", "seq": seq}
+                            for f in staged3
+                        ]
+                    finally:
+                        shutil.rmtree(staging3, ignore_errors=True)
+                # n_kept == 0: the whole delta was stale — metadata-only
+                # commit (the epochs are still recorded as applied)
             if rewrite_staged:
                 # Re-merge via the same fused plan: one shuffle over exactly
                 # the touched files' rows + delta, latest-wins inside the
@@ -1213,6 +1435,7 @@ class SnapshotTable:
             "n_buckets": self.n_buckets,
             "max_files_per_bucket": self.max_files_per_bucket,
             "target_file_rows": self.target_file_rows,
+            "merge_mode": self.merge_mode,
             "summary": extra_summary or {},
             "parent": m["version"] if m else None,
         }
@@ -1227,6 +1450,12 @@ class SnapshotTable:
             "skipped": False,
             "epochs": new_ids,
             "version": version,
+            "mode": mode,
+            "delta_files": sum(
+                1 for f in new_files if f.get("kind") == "delta"
+            ),
+            "stale_rows_dropped": stale_dropped,
+            "folded_buckets": folded_buckets,
             "rewritten_buckets": sorted(staged_by_bucket),
             "carried_files": len(carried)
             + (sum(g["n_files"] for g in carried_group_refs)

@@ -119,6 +119,7 @@ class IngestPipeline:
         count_input: bool = True,
         dedupe_strategy: str = "fused",
         maintain_rollup: bool = False,
+        merge_mode: str | None = None,
     ) -> None:
         """``dedupe_strategy``: ``fused`` (default; dedupe + bucket
         arrangement in ONE payload shuffle — the window over the write
@@ -133,7 +134,7 @@ class IngestPipeline:
         self.table = SnapshotTable(
             spark, table_root, key_cols=key_cols, order_col=order_col,
             n_buckets=n_buckets, target_file_rows=target_file_rows,
-            max_files_per_bucket=max_files_per_bucket,
+            max_files_per_bucket=max_files_per_bucket, merge_mode=merge_mode,
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)
