@@ -19,7 +19,15 @@ from selfcheck import canon, duck_con  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 _ORACLES = entry_mod.oracle_sql()
-_QUERIES = entry_mod.queries()
+# main 50-entry driver registry plus the trimmed redundant variants — the
+# oracle gate covers BOTH (the driver only sees the first dict)
+_QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
+
+
+def test_driver_registry_is_exactly_50_with_ann_ivf_last():
+    q = entry_mod.queries()
+    assert len(q) == 50  # round-2 driver recorded exactly the first 50
+    assert list(q)[-1] == "ann_ivf"  # rows-only query stays last
 
 
 def test_every_oracle_has_query():

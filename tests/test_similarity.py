@@ -156,3 +156,16 @@ def test_ivf_md5_centroids_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.3  # probing half the lists
+
+
+def test_driver_ann_ivf_recall_floor(spark):
+    """VERDICT r2 #8: the driver query's recall@10 column rides along in
+    CORRECTNESS; this pins a hard floor so a quantizer regression fails
+    loudly instead of silently degrading the approximate path."""
+    import __spark_entry__ as e
+
+    out = e.queries()["ann_ivf"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 50  # 5 queries x k=10
+    recall = out[0]["recall_at_10"]
+    assert all(abs(r["recall_at_10"] - recall) < 1e-12 for r in out)
+    assert recall >= 0.8, f"IVF recall@10 regressed to {recall}"

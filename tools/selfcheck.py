@@ -49,7 +49,9 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("selfcheck", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
-    qs = e.queries()
+    qs = dict(e.queries())
+    if hasattr(e, "extra_queries"):
+        qs.update(e.extra_queries())
     oracles = e.oracle_sql()
     failures = []
     for name, fn in qs.items():
