@@ -757,6 +757,41 @@ def q_cdc_replay_mor(spark, sf_dir):
     )
 
 
+def q_cdc_deletes(spark, sf_dir):
+    """CDC DELETE end-to-end: replay the full change stream, then tombstone
+    an md5-selected fifth of the keys (delete commit strictly newer than any
+    upsert). The oracle is the COW replay's SQL minus the deleted keys —
+    proving delete_epochs hides exactly those keys from the final state."""
+    import tempfile
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = tempfile.mkdtemp(prefix="etl_spark_del_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
+    pipe.replay(f"{root}/stream", mode="catchup")
+    doomed = (
+        pipe.table.read()
+        .where(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.concat_ws("|", "repo", "path")),
+                                   1, 15), 16, 10).cast("long"),
+                F.lit(5),
+            ) == 0
+        )
+        .select("repo", "path", F.lit("c999999999999").alias("commit"))
+    )
+    pipe.table.delete_epochs(doomed, [1000])
+    return pipe.table.read().select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """CDC-out: the engine's change feed between snapshots. Replays 4 epochs
     incrementally into a temp table, then reads changes_between(v2, v4) —
@@ -877,6 +912,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_pandas": q_sessionize_pandas,    # U1 via applyInPandas
         "doc_fingerprints": q_doc_fingerprints,      # rolling-hash fp variant
         "lang_normalize": q_lang_normalize,          # subsumed by dim_enrich
+        "cdc_deletes": q_cdc_deletes,                # tombstone replay (r3)
     }
 
 
@@ -1568,4 +1604,11 @@ def oracle_sql() -> dict[str, str]:
     # the MOR replay answers the SAME question as the COW replay — one
     # oracle, two physical write paths (MOR == COW == SQL differential)
     out["cdc_replay_mor"] = out["cdc_replay_e2e"]
+    # delete replay: the COW replay's winners minus the tombstoned fifth of
+    # the key space (same md5 selection as q_cdc_deletes)
+    out["cdc_deletes"] = out["cdc_replay_e2e"].replace(
+        "WHERE rn = 1",
+        "WHERE rn = 1 AND ('0x' || substring(md5(repo || '|' || path), 1, 15))"
+        "::UBIGINT % 5 <> 0",
+    )
     return out

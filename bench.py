@@ -57,7 +57,9 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
+def _sparse_epoch_case(
+    spark, n_events: int, *, scattered: bool, merge_mode: str | None = None
+) -> dict:
     """Steady-state CDC cost: bootstrap a table, then apply ONE small delta.
 
     ``scattered=False``: a burst of commits to ~50 keys of one repo (activity
@@ -69,6 +71,10 @@ def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
     thousands of files a 100-TB bucket holds), only files whose range
     intersects a delta key are rewritten; the report's files_pruned /
     files_rewritten split is the direct measurement.
+
+    ``merge_mode="mor"``: the delta lands as merge-on-read delta files —
+    bytes written are O(delta rows) instead of O(touched files x
+    target_file_rows); ``read_sec`` then measures the fold-on-read cost.
     """
     root = tempfile.mkdtemp(prefix="etl_spark_sparse_")
     try:
@@ -78,6 +84,7 @@ def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
         pipe = IngestPipeline(
             spark, f"{root}/table", n_buckets=256, count_input=False,
             target_file_rows=8, max_files_per_bucket=64,
+            merge_mode=merge_mode,
         )
         pipe.replay(f"{root}/stream", mode="catchup")
         table_files = len(pipe.table.files())
@@ -105,14 +112,24 @@ def _sparse_epoch_case(spark, n_events: int, *, scattered: bool) -> dict:
         stats = pipe.replay(f"{root}/stream")
         secs = time.time() - t0
         c = stats[0].commit
+        t0 = time.time()
+        rows_after = pipe.table.read().count()
+        read_s = time.time() - t0
         return {
             "delta_events": c.get("staged_rows"),
             "seconds": round(secs, 2),
+            "mode": c.get("mode", "cow"),
             "table_files": table_files,
             "buckets_touched": len(c.get("rewritten_buckets", [])),
             "files_rewritten": c.get("files_rewritten"),
             "files_pruned": c.get("files_pruned"),
             "files_carried": c.get("carried_files"),
+            "delta_files": c.get("delta_files", 0),
+            "bytes_written": sum(
+                f.get("bytes", 0) for f in c.get("new_files", [])
+            ),
+            "rows_after": rows_after,
+            "read_sec": round(read_s, 2),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -122,6 +139,10 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
     return {
         "clustered": _sparse_epoch_case(spark, n_events, scattered=False),
         "scattered": _sparse_epoch_case(spark, n_events, scattered=True),
+        # the round-2 scale risk, closed: same adversarial delta via MOR
+        "scattered_mor": _sparse_epoch_case(
+            spark, n_events, scattered=True, merge_mode="mor"
+        ),
     }
 
 
@@ -183,6 +204,7 @@ def main() -> int:
     sparse = bench_sparse_epoch(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["cdc_sparse_epoch"] = sparse["clustered"]["seconds"]
     timings["cdc_sparse_epoch_scattered"] = sparse["scattered"]["seconds"]
+    timings["cdc_sparse_epoch_scattered_mor"] = sparse["scattered_mor"]["seconds"]
 
     total = round(sum(timings.values()), 3)
     print(

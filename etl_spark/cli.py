@@ -92,6 +92,21 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--path", required=True)
     _add_spark_args(lk)
 
+    dl = sub.add_parser(
+        "delete",
+        help="CDC DELETE: tombstone one key under an idempotent epoch "
+             "(latest-wins vs upserts; hidden from reads, visible in the "
+             "change feed)",
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--repo", required=True)
+    dl.add_argument("--path", required=True)
+    dl.add_argument("--commit", required=True,
+                    help="the delete's commit/LSN (arbitrates ordering)")
+    dl.add_argument("--epoch", type=int, required=True)
+    dl.add_argument("--merge-mode", choices=["cow", "mor"], default=None)
+    _add_spark_args(dl)
+
     args = ap.parse_args(argv)
 
     from etl_spark.session import get_spark
@@ -219,6 +234,26 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
         return 0 if rows else 1
+
+    if args.cmd == "delete":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        keys = spark.createDataFrame(
+            [(args.repo, args.path, args.commit)],
+            f"repo string, path string, {t.order_col} string",
+        )
+        out = t.delete_epochs(keys, [args.epoch], merge_mode=args.merge_mode)
+        print(json.dumps({
+            "key": {"repo": args.repo, "path": args.path},
+            "skipped": bool(out.get("skipped")),
+            "epoch": args.epoch,
+            "version": out.get("version"),
+        }))
+        return 0
 
     if args.cmd == "status":
         from etl_spark.checkpoint import CheckpointLog

@@ -14,9 +14,13 @@ only repos present in the commit's new files changed; the maintainer reads
 those files (bucket-pure, small), recomputes rollups for exactly that repo
 set from the snapshot, and upserts them — cost scales with the epoch's
 footprint, not the table. The rollup table is itself a SnapshotTable keyed on
-``repo`` ordered by ``last_commit`` (self-hosted: same atomic-commit /
-idempotence machinery as the fact table), so rollup maintenance inherits
-exactly-once semantics keyed by the same epoch ids.
+``repo`` ordered by ``as_of_version`` — the SOURCE SNAPSHOT VERSION the
+rollup was computed at (self-hosted: same atomic-commit / idempotence
+machinery as the fact table), so rollup maintenance inherits exactly-once
+semantics keyed by the same epoch ids. The order must be the source version,
+not the repo's ``last_commit``: a CDC DELETE can make the recomputed
+``max(commit)`` tie with or drop BELOW the stale rollup's, so last_commit is
+not monotonic under deletes and the stale row would win latest-wins.
 
 A full recompute (``refresh_full``) is differential-tested equal to the
 incremental path.
@@ -29,7 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.lake.table import SnapshotTable
+from etl_spark.lake.table import TOMBSTONE_COL, SnapshotTable
 
 
 def rollup_expr(snapshot_rows: DataFrame) -> DataFrame:
@@ -70,7 +74,7 @@ class RepoRollup:
         self.spark = spark
         self.source = table
         self.table = SnapshotTable(
-            spark, root, key_cols=("repo",), order_col="last_commit",
+            spark, root, key_cols=("repo",), order_col="as_of_version",
             n_buckets=n_buckets,
         )
 
@@ -87,30 +91,42 @@ class RepoRollup:
         if not new_files:
             return {"skipped": True}
         schema = self.source.schema()
-        touched_repos = (
-            self.source._read_files(new_files, schema).select("repo").distinct()
-        )
+        as_of = int(commit["version"])
+        new_rows = self.source._read_files(new_files, schema)
+        touched_repos = new_rows.select("repo").distinct()
         current = self.source.read().join(
             F.broadcast(touched_repos), "repo", "left_semi"
         )
-        updates = rollup_expr(current)
+        updates = rollup_expr(current).withColumn(
+            "as_of_version", F.lit(as_of).cast("long")
+        )
+        # a repo whose EVERY file was tombstoned has no current rows and so
+        # no rollup row in `updates` — its stale rollup must be tombstoned
+        # too, in the SAME commit (two commits would break epoch idempotence)
+        gone = touched_repos.join(updates.select("repo"), "repo", "left_anti")
+        tomb = gone.withColumn(
+            "as_of_version", F.lit(as_of).cast("long")
+        ).withColumn(TOMBSTONE_COL, F.lit(True))
         return self.table.merge_epochs(
-            updates,
+            updates.unionByName(tomb, allowMissingColumns=True),
             [int(e) for e in commit["epochs"]],
             extra_summary={"derived_from_version": commit.get("version")},
-            assume_deduped=True,  # groupBy("repo") yields one row per key
+            assume_deduped=True,  # one row per repo across both branches
         )
 
     def refresh_full(self, epoch_id: int) -> dict[str, Any]:
         """Recompute every repo's rollup from scratch (bootstrap / repair)."""
-        updates = rollup_expr(self.source.read())
+        updates = rollup_expr(self.source.read()).withColumn(
+            "as_of_version",
+            F.lit(int(self.source.current_version())).cast("long"),
+        )
         return self.table.merge_epochs(
             updates, [epoch_id], extra_summary={"full_refresh": True},
             assume_deduped=True,
         )
 
     def read(self) -> DataFrame:
-        return self.table.read().drop("epoch")
+        return self.table.read().drop("epoch", TOMBSTONE_COL, "as_of_version")
 
 
 def explode_lines(rows: DataFrame) -> DataFrame:
@@ -182,6 +198,9 @@ class LineIndex:
         except FileNotFoundError:
             # watermark snapshot expired: repair via the EXCEPT scan
             return self.pending_versions_scan()
+        if TOMBSTONE_COL in feed.columns:
+            # a delete creates no new immutable version to index
+            feed = feed.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return feed.select(*self._VERSION_COLS)
 
     def pending_versions_scan(self) -> DataFrame:

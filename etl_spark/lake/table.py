@@ -58,6 +58,16 @@ DATA_DIR = "data"
 # lineage backfill filters.
 STREAM_EPOCH_BASE = 1 << 30
 
+# CDC DELETE support: a row whose TOMBSTONE_COL is true is a tombstone — it
+# competes in latest-wins like any row (so a LATE, STALE upsert re-delivered
+# after the delete still loses and cannot resurrect the key), is invisible to
+# read()/lookup(), stays visible in the change feed, and persists through
+# compaction (physical removal would forget the delete's order and break
+# out-of-order replay). merge_epochs needs no special casing: tombstones are
+# ordinary rows with one extra boolean column (additive schema evolution
+# introduces it on first use).
+TOMBSTONE_COL = "_deleted"
+
 
 def encode_epoch_ranges(epochs) -> list[list[int]]:
     """Compact an epoch set to sorted inclusive ``[lo, hi]`` ranges.
@@ -490,12 +500,16 @@ class SnapshotTable:
         kept_base = base_df.join(keys_only, cond, "left_anti")
         return kept_base.unionByName(latest.select(*base_df.columns))
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, *, include_deleted: bool = False
+    ) -> DataFrame:
         """Table state at ``version`` (default: current) — snapshot isolation
         gives time travel for free, like Iceberg's VERSION AS OF. Old files
         missing newly-added columns read as null (explicit manifest schema
         drives the scan). Live MOR delta files are folded in (latest per key
-        wins) via a broadcast anti-join — one base scan, no base shuffle."""
+        wins) via a broadcast anti-join — one base scan, no base shuffle.
+        Tombstoned keys (CDC deletes) are hidden unless ``include_deleted``.
+        """
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
@@ -503,10 +517,14 @@ class SnapshotTable:
         base, deltas = self._split_kinds(self._files_of(m))
         if not base and not deltas:
             return self.spark.createDataFrame([], schema)
-        base_df = self._read_files(base, schema)
-        if not deltas:
-            return base_df
-        return self._fold(base_df, self._read_files(deltas, schema))
+        df = self._read_files(base, schema)
+        if deltas:
+            df = self._fold(df, self._read_files(deltas, schema))
+        if not include_deleted and TOMBSTONE_COL in schema.fieldNames():
+            # filter AFTER the fold: a tombstone must first win latest-wins
+            # (shadowing the stale base row), THEN hide the key
+            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df
 
     def candidate_files(self, key: tuple) -> list[dict[str, Any]]:
         """Live files that can contain ``key``: its hash bucket's entries
@@ -580,6 +598,8 @@ class SnapshotTable:
             # a trivial aggregate over <= a handful of rows
             cols = df.columns
             df = self._latest_delta_rows(df).select(*cols)
+        if TOMBSTONE_COL in df.columns:
+            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df
 
     def changes_between(self, v_from: int | None, v_to: int | None = None) -> DataFrame:
@@ -748,13 +768,21 @@ class SnapshotTable:
         v = self._commit_manifest(new, base_version=cur)
         return {"version": v, "rolled_back_to": version}
 
-    def compact(self, *, above: int | None = None) -> dict[str, Any]:
+    def compact(
+        self, *, above: int | None = None, purge_tombstones: bool = False
+    ) -> dict[str, Any]:
         """Rewrite fragmented buckets into fresh key-clustered files
         (Iceberg rewrite_data_files): every bucket holding more than
         ``above`` live files (default max_files_per_bucket // 2) is read
         back and rewritten through the arranged single-shuffle plan.
         Metadata-only with respect to epochs — applied sets are unchanged —
-        and snapshot-isolated like any other commit."""
+        and snapshot-isolated like any other commit.
+
+        ``purge_tombstones`` physically drops winning delete tombstones from
+        the rewritten buckets. Only sound once the upstream can no longer
+        re-deliver events older than the tombstones (the tombstone's order is
+        what blocks a stale upsert from resurrecting the key) — an operator
+        decision, off by default."""
         import shutil
 
         m = self.manifest()
@@ -798,6 +826,10 @@ class SnapshotTable:
         carried = [f for f in all_files if f["bucket"] not in victims]
         schema = T.StructType.fromJson(m["schema"])
         merged = self.arranged_updates(self._read_files(old, schema))
+        if purge_tombstones and TOMBSTONE_COL in schema.fieldNames():
+            merged = merged.where(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            )
         staging, staged = self._stage_bucketed(merged, arranged=True)
         try:
             new_files = [self._promote(f) for f in staged]
@@ -984,6 +1016,19 @@ class SnapshotTable:
         payload = [c for c in df.columns if c not in self.key_cols]
         return (
             df.withColumn("_bucket", self._bucket_expr())
+            # EXPLICIT wide exchange (4x buckets) that the window reuses
+            # (hashpartitioning on _bucket satisfies its ClusteredDistribution
+            # — no second shuffle). At the default shuffle_partitions ~= a
+            # few x cores, hashing n_buckets DISTINCT bucket values into that
+            # few reducers leaves task sizes varying by whole-bucket
+            # multiples: measured 79% core utilization on the big reduce
+            # stage (the wave tail is a reducer that drew 3-4 buckets).
+            # 4 x n_buckets bins give ~1 bucket per non-empty reducer —
+            # uniform waves at every core count, which is exactly the N->4N
+            # scaling criterion's bottleneck. Bucket-purity per task (and so
+            # per file) is untouched: a bucket still lands in exactly one
+            # reducer.
+            .repartition(4 * self.n_buckets, "_bucket")
             .withColumn("_prevk", F.lag(key_struct).over(w))
             .where(F.col("_prevk").isNull() | (F.col("_prevk") != key_struct))
             # keys-first layout, matching the latest_by_key strategies, so
@@ -1014,7 +1059,10 @@ class SnapshotTable:
             # widen every file's key range to the whole domain.
             df = (
                 df.withColumn("_bucket", self._bucket_expr())
-                .repartition(self.n_buckets, "_bucket")
+                # 4x buckets for uniform reducer waves (see arranged_updates);
+                # a bucket still maps to exactly one task, so files stay
+                # bucket-pure and per-bucket file counts are unchanged
+                .repartition(4 * self.n_buckets, "_bucket")
                 .sortWithinPartitions("_bucket", *self.key_cols)
             )
         # arranged=True: df comes from arranged_updates — already bucketed,
@@ -1083,6 +1131,43 @@ class SnapshotTable:
             updates, [epoch_id], extra_summary=extra_summary,
             assume_deduped=assume_deduped, epoch_space=epoch_space,
             merge_mode=merge_mode,
+        )
+
+    def delete_epochs(
+        self,
+        keys: DataFrame,
+        epoch_ids: list[int],
+        *,
+        epoch_space: str = "batch",
+        merge_mode: str | None = None,
+    ) -> dict[str, Any]:
+        """CDC DELETE: apply tombstones for ``keys`` (a DataFrame carrying
+        the key columns plus ``order_col`` — the delete's commit/LSN, which
+        must arbitrate against upserts like any change event).
+
+        Same idempotent exactly-once merge as upserts; the tombstone wins
+        latest-wins against any older row and loses to a newer upsert, so
+        out-of-order re-deliveries can neither resurrect a deleted key nor
+        delete a newer version. Deleted keys vanish from ``read()``/
+        ``lookup()`` but remain visible (flagged) in the change feed."""
+        extra = [c for c in keys.columns
+                 if c not in self.key_cols and c != self.order_col]
+        tomb = keys.drop(*extra).withColumn(TOMBSTONE_COL, F.lit(True))
+        schema = self.schema() if self.exists() else None
+        if (
+            schema is not None
+            and "epoch" in schema.fieldNames()
+            and "epoch" not in tomb.columns
+        ):
+            # the table carries per-row epoch provenance (pipeline tables do);
+            # a NULL-epoch tombstone would be dropped by the change feed's
+            # epoch-range filter — stamp it like any other change row
+            tomb = tomb.withColumn(
+                "epoch", F.lit(int(epoch_ids[-1])).cast(schema["epoch"].dataType)
+            )
+        return self.merge_epochs(
+            tomb, epoch_ids, epoch_space=epoch_space, merge_mode=merge_mode,
+            extra_summary={"deletes": True},
         )
 
     def merge_epochs(

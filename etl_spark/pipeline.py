@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,7 +186,23 @@ class IngestPipeline:
         table as row-level provenance. mergeSchema: a catch-up batch may span
         the binlog position where an additive column first appears; without
         footer merging Spark samples one file's schema and silently drops the
-        new column for the whole batch."""
+        new column for the whole batch.
+
+        Scan splits are RIGHT-SIZED to the batch: the default 128 MB
+        maxPartitionBytes gives a medium catch-up batch (say 1.2 GB) only ~10
+        scan tasks — on 8+ cores that is two ragged waves and the map stage
+        runs half-idle, which measurably caps N->4N scaling. Segment bytes
+        are already known from the driver-side listing (O(#segment files),
+        the pending delta only — never the table), so the split size is set
+        to keep at least ~4 waves-worth of tasks per core, floored at 16 MB
+        so tiny batches don't fragment into per-row tasks."""
+        total = 0
+        for s in segments:
+            for p in Path(s.path).glob("*.parquet"):
+                total += p.stat().st_size
+        par = max(1, self.spark.sparkContext.defaultParallelism)
+        split = min(128 << 20, max(16 << 20, total // (4 * par)))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         base = os.path.dirname(segments[0].path)
         return (
             self.spark.read.option("basePath", base)

@@ -1,0 +1,155 @@
+"""CDC DELETE (tombstones): the other half of binlog/WAL replay.
+
+A delete is a change event with an order (commit/LSN) like any other — it
+must arbitrate via latest-wins, or an out-of-order redelivery could
+resurrect a deleted key (if deletes removed rows physically, the table
+would forget the delete's order and a stale upsert would win by default).
+So tombstones persist as flagged rows: hidden from read()/lookup(), visible
+in the change feed, purgeable at compaction once the operator knows no
+older events can still arrive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.lake.table import TOMBSTONE_COL, SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+
+
+def _keys(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, commit string")
+
+
+def _state(t):
+    return {r.path: (r.commit, r.content) for r in t.read().collect()}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_hides_key_and_blocks_stale_resurrection(spark, tmpdir_path, mode):
+    t = SnapshotTable(spark, f"{tmpdir_path}/{mode}", n_buckets=4,
+                      merge_mode=mode)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000003", "v3"),
+                              ("r", "b", "c000000000003", "w3")]), 0)
+    out = t.delete_epochs(_keys(spark, [("r", "a", "c000000000005")]), [1])
+    assert not out["skipped"]
+    assert _state(t) == {"b": ("c000000000003", "w3")}
+    assert t.lookup("r", "a").count() == 0
+    # LATE STALE upsert (older than the delete) must NOT resurrect the key
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000004", "ZOMBIE")]), 2)
+    assert _state(t) == {"b": ("c000000000003", "w3")}
+    # a genuinely NEWER upsert recreates it
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000007", "v7")]), 3)
+    assert _state(t) == {"a": ("c000000000007", "v7"),
+                         "b": ("c000000000003", "w3")}
+    assert t.lookup("r", "a").first().content == "v7"
+    assert t.fsck()["ok"]
+
+
+def test_delete_visible_in_change_feed_and_idempotent(spark, tmpdir_path):
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+    v1 = t.current_version()
+    t.delete_epochs(_keys(spark, [("r", "a", "c000000000002")]), [1])
+    feed = t.changes_between(v1).collect()
+    assert len(feed) == 1
+    assert feed[0].path == "a" and feed[0][TOMBSTONE_COL] is True
+    # replaying the delete epoch is a no-op
+    v = t.current_version()
+    out = t.delete_epochs(_keys(spark, [("r", "a", "c000000000009")]), [1])
+    assert out["skipped"] and t.current_version() == v
+    # read(include_deleted=True) exposes the tombstone row
+    raw = {r.path: r[TOMBSTONE_COL] for r in
+           t.read(include_deleted=True).collect()}
+    assert raw == {"a": True}
+    assert t.read().count() == 0
+
+
+def test_delete_feed_visible_with_epoch_provenance_column(spark, tmpdir_path):
+    """Pipeline tables carry a per-row `epoch` provenance column and the
+    change feed filters by epoch ranges — a tombstone must be stamped with
+    its epoch or the feed's range filter silently drops it (NULL BETWEEN)."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    df = _df(spark, [("r", "a", "c000000000001", "v1"),
+                     ("r", "b", "c000000000001", "w1")]
+             ).withColumn("epoch", F.lit(0))
+    t.merge_epoch(df, 0)
+    v1 = t.current_version()
+    t.delete_epochs(_keys(spark, [("r", "a", "c000000000002")]), [7])
+    feed = t.changes_between(v1).collect()
+    assert [(r.path, r.epoch, r[TOMBSTONE_COL]) for r in feed] == [("a", 7, True)]
+    assert _state(t) == {"b": ("c000000000001", "w1")}
+
+
+def test_mor_equals_cow_with_interleaved_deletes(spark, tmpdir_path):
+    import random
+
+    rng = random.Random(11)
+    cow = SnapshotTable(spark, f"{tmpdir_path}/cow", n_buckets=4)
+    mor = SnapshotTable(spark, f"{tmpdir_path}/mor", n_buckets=4,
+                        merge_mode="mor")
+    e = 0
+    for _ in range(5):
+        ups, dels = [], []
+        for _ in range(60):
+            k, order = rng.randrange(30), rng.randrange(1, 50)
+            if rng.random() < 0.25:
+                dels.append(("r", f"p{k:02d}", f"c{order:012d}"))
+            else:
+                ups.append(("r", f"p{k:02d}", f"c{order:012d}", f"v:{k}:{order}"))
+        for t in (cow, mor):
+            if ups:
+                t.merge_epoch(_df(spark, ups), e)
+            if dels:
+                t.delete_epochs(_keys(spark, dels), [e + 1])
+        e += 2
+
+    def full(t):
+        return sorted(
+            (r.path, r.commit, r.content)
+            for r in t.read().collect()
+        )
+
+    assert full(mor) == full(cow)
+    mor.compact()
+    assert full(mor) == full(cow)
+
+
+def test_compact_purge_tombstones(spark, tmpdir_path):
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1"),
+                              ("r", "b", "c000000000001", "w1")]), 0)
+    t.delete_epochs(_keys(spark, [("r", "a", "c000000000002")]), [1])
+    # default compact keeps the tombstone (late events may still arrive)
+    t.compact(above=0)
+    assert {r.path for r in t.read(include_deleted=True).collect()} == {"a", "b"}
+    # explicit purge drops it physically
+    t.compact(above=0, purge_tombstones=True)
+    raw = t.read(include_deleted=True).collect()
+    assert {r.path for r in raw} == {"b"}
+    assert _state(t) == {"b": ("c000000000001", "w1")}
+
+
+def test_derived_tables_ignore_deleted_keys(spark, tmpdir_path):
+    from etl_spark.derived import RepoRollup
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=4)
+    rows = [("r1", "a", "c000000000001", "xx"),
+            ("r1", "b", "c000000000001", "yy"),
+            ("r2", "c", "c000000000001", "zz")]
+    # rollup_expr needs lang; widen via a second schema-evolving epoch
+    df = _df(spark, rows).selectExpr("repo", "path", "commit",
+                                     "'python' AS lang", "content")
+    c0 = t.merge_epoch(df, 0)
+    roll = RepoRollup(spark, t, f"{tmpdir_path}/roll", n_buckets=4)
+    roll.update_for_commit(c0)
+    c1 = t.delete_epochs(_keys(spark, [("r1", "a", "c000000000002")]), [1])
+    roll.update_for_commit(c1)
+    got = {r.repo: r.n_files for r in roll.read().collect()}
+    assert got == {"r1": 1, "r2": 1}

@@ -51,9 +51,17 @@ if work:
 # reducer IS the stage time; the tail dominates the fast leg)
 spark = get_spark("scaling", master="local[{cpus}]",
                   shuffle_partitions={max(8, 4 * cpus)}, extra_conf=extra)
-# warm JVM/codegen so the measurement is the job, not startup
-spark.range(1_000_000).selectExpr("sum(id)").collect()
 root = work or tempfile.mkdtemp(prefix="etl_scaling_")
+# Warm JVM + whole-stage codegen + Arrow/pandas-UDF workers on the REAL code
+# path (one epoch replayed to a throwaway table): JIT compilation is a fixed
+# serial cost identical at every level — on a real cluster it amortizes over
+# a long-lived service, so leaving it in the timed region would understate
+# the fast leg and the scaling efficiency both.
+warm = IngestPipeline(spark, root + "/warm_table", n_buckets=64,
+                      count_input=False, dedupe_strategy={dedupe!r})
+warm.replay({stream!r}, max_epoch=0)
+import shutil as _sh
+_sh.rmtree(root + "/warm_table", ignore_errors=True)
 t0 = time.time()
 pipe = IngestPipeline(spark, root + "/table", n_buckets=64, count_input=False,
                       dedupe_strategy={dedupe!r})
