@@ -792,6 +792,45 @@ def q_cdc_deletes(spark, sf_dir):
     )
 
 
+def q_cdc_deletes_stream(spark, sf_dir):
+    """Stream-NATIVE CDC deletes: the change stream itself carries a
+    WAL-style ``op`` column ('u' upsert / 'd' delete, ~1/8 deletes selected
+    from md5(commit) so SQL reproduces the choice; delete records are
+    binlog-shaped — key + commit only, payload NULL). ``clean_events`` folds
+    op into the lake layer's tombstone flag, and the replay merge arbitrates
+    deletes against upserts by commit WITHIN the same batch: upsert-then-
+    newer-delete hides the key, delete-then-newer-upsert re-creates it.
+    Oracle: latest-per-key over the same op-stamped stream, keeping only
+    keys whose winner is an upsert."""
+    import tempfile
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    is_del = (
+        F.conv(F.substring(F.md5(F.col("commit")), 17, 15), 16, 10)
+        .cast("long") % 8 == 0
+    )
+    null_s = F.lit(None).cast("string")
+    stream = (
+        _as_change_stream(_t(spark, sf_dir, "events"))
+        .withColumn(
+            "epoch", F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int")
+        )
+        .withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+        .withColumn("op", F.when(is_del, F.lit("d")).otherwise(F.lit("u")))
+        .withColumn("content", F.when(is_del, null_s).otherwise(F.col("content")))
+        .withColumn("lang", F.when(is_del, null_s).otherwise(F.col("lang")))
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_sdel_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
+    pipe.replay(f"{root}/stream")
+    return pipe.table.read().select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """CDC-out: the engine's change feed between snapshots. Replays 4 epochs
     incrementally into a temp table, then reads changes_between(v2, v4) —
@@ -913,6 +952,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,      # rolling-hash fp variant
         "lang_normalize": q_lang_normalize,          # subsumed by dim_enrich
         "cdc_deletes": q_cdc_deletes,                # tombstone replay (r3)
+        "cdc_deletes_stream": q_cdc_deletes_stream,  # WAL op-column replay (r3)
     }
 
 
@@ -1611,4 +1651,31 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND ('0x' || substring(md5(repo || '|' || path), 1, 15))"
         "::UBIGINT % 5 <> 0",
     )
+    # stream-native deletes: op is an md5(commit)-derived column of the
+    # stream itself; the winner-per-key must be an upsert to survive
+    out["cdc_deletes_stream"] = f"""
+        WITH src AS ({_CHANGE_STREAM_SQL}),
+        opped AS (
+            SELECT repo, path, "commit", lang, content,
+                   (('0x' || substring(md5("commit"), 17, 15))::UBIGINT
+                    % 8 = 0) AS is_del
+            FROM src
+        ),
+        cleaned AS (
+            SELECT repo, path, "commit",
+                   CASE WHEN is_del THEN NULL ELSE {lang_case} END AS lang,
+                   CASE WHEN is_del THEN NULL
+                        ELSE sha256(content) END AS content_sha256,
+                   is_del
+            FROM opped
+            WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+              AND path <> '' AND (is_del OR content IS NOT NULL)
+              AND regexp_matches("commit", '^c\\d{{12}}$')
+        )
+        SELECT repo, path, "commit", lang, content_sha256 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY "commit" DESC) rn
+            FROM cleaned
+        ) WHERE rn = 1 AND NOT is_del
+    """
     return out

@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--repos", type=int, default=100)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--metadata-from-epoch", type=int, default=None)
+    g.add_argument("--delete-pct", type=int, default=0,
+                   help="emit a WAL-style op column with ~N%% DELETE events "
+                        "(binlog-shaped: key + commit, NULL payload)")
     _add_spark_args(g)
 
     r = sub.add_parser("replay", help="replay pending segments into the table")
@@ -122,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
             n_repos=args.repos,
             events_per_epoch=max(1, args.events // args.epochs),
             seed=args.seed,
+            delete_pct=args.delete_pct,
             with_metadata_from_epoch=args.metadata_from_epoch,
         )
         write_segments(df, args.out)

@@ -48,6 +48,7 @@ def change_stream(
     paths_per_repo: int = 200,
     skew: float = 3.0,
     dup_pct: int = 5,
+    delete_pct: int = 0,
     events_per_epoch: int | None = None,
     seed: int = 42,
     with_metadata_from_epoch: int | None = None,
@@ -57,6 +58,12 @@ def change_stream(
     Columns: epoch int, lsn long, repo, path, commit, lang, content (+ optional
     additive ``metadata`` from ``with_metadata_from_epoch`` on — the
     schema-evolution fixture, FIXTURES.md §4).
+
+    ``delete_pct`` > 0 adds a WAL-style ``op`` column ('u' upsert / 'd'
+    delete): a deterministic ~delete_pct% of events are DELETEs carrying only
+    the key + commit (content/lang/metadata NULL, as in a real binlog delete
+    record). A later upsert to the same key re-creates it — ordering is
+    arbitrated by commit like any change.
     """
     if events_per_epoch is None:
         events_per_epoch = max(1, n_events // 4)
@@ -100,6 +107,21 @@ def change_stream(
                 F.format_string('{"gen":%d,"rev":1}', F.col("lsn")),
             ),
         )
+
+    if delete_pct > 0:
+        is_del = (
+            F.pmod(F.xxhash64(F.col("lsn"), F.lit(seed + 6)), F.lit(100))
+            < delete_pct
+        )
+        df = df.withColumn("op", F.when(is_del, F.lit("d")).otherwise(F.lit("u")))
+        # binlog delete records carry only the key + order: payload columns
+        # are NULL, exactly what a MySQL/Postgres WAL delete row looks like
+        null_s = F.lit(None).cast("string")
+        payload = ["lang", "content"] + (
+            ["metadata"] if with_metadata_from_epoch is not None else []
+        )
+        for c in payload:
+            df = df.withColumn(c, F.when(is_del, null_s).otherwise(F.col(c)))
 
     # Exact re-deliveries: a deterministic subset of rows appears twice in the
     # SAME epoch (at-least-once delivery); replay must stay idempotent.

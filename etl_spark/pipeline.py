@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from etl_spark.checkpoint import CheckpointLog
 from etl_spark.metrics import MetricsSink
 from etl_spark.functions.content import content_sha256, normalize_lang
-from etl_spark.lake.table import SnapshotTable
+from etl_spark.lake.table import TOMBSTONE_COL, SnapshotTable
 from etl_spark.operators.dedupe import (
     choose_dedupe_strategy,
     latest_by_key,
@@ -59,18 +59,46 @@ def clean_events(raw: DataFrame) -> DataFrame:
     - normalize lang (F3/F6 analog)
     Derivations over content (sha256) belong AFTER dedupe — see
     ``derive_content_columns``.
+
+    Streams carrying a WAL-style ``op`` column ('u' upsert / 'd' delete) are
+    folded into the lake layer's tombstone flag here: a delete record
+    legitimately carries NULL payload (content/lang), so the content
+    null-guard applies to upserts only, and ``op`` becomes the boolean
+    ``_deleted`` column that SnapshotTable's latest-wins merge arbitrates
+    like any other change (a stale upsert cannot resurrect a deleted key;
+    a newer upsert re-creates it). Rows with a malformed op are dropped.
     """
-    return (
+    has_op = "op" in raw.columns
+    if has_op:
+        raw = (
+            raw.where(F.col("op").isin("u", "d"))
+            .withColumn(TOMBSTONE_COL, F.col("op") == "d")
+            .drop("op")
+        )
+    content_ok = (
+        (F.col(TOMBSTONE_COL) | F.col("content").isNotNull())
+        if has_op
+        else F.col("content").isNotNull()
+    )
+    df = (
         raw.where(
             F.col("repo").isNotNull()
             & (F.col("repo") != "")
             & F.col("path").isNotNull()
             & (F.col("path") != "")
-            & F.col("content").isNotNull()
+            & content_ok
         )
         .where(F.col("commit").rlike(COMMIT_RE))
-        .withColumn("lang", normalize_lang("lang"))
     )
+    if has_op:
+        # keep payload NULL on tombstones (normalize_lang(NULL) -> 'unknown')
+        return df.withColumn(
+            "lang",
+            F.when(F.col(TOMBSTONE_COL), F.lit(None).cast("string")).otherwise(
+                normalize_lang("lang")
+            ),
+        )
+    return df.withColumn("lang", normalize_lang("lang"))
 
 
 def derive_content_columns(df: DataFrame) -> DataFrame:

@@ -136,6 +136,64 @@ def test_compact_purge_tombstones(spark, tmpdir_path):
     assert _state(t) == {"b": ("c000000000001", "w1")}
 
 
+def test_stream_native_deletes_end_to_end(spark, tmpdir_path):
+    """WAL-style op column: datagen(delete_pct) -> clean_events folds op into
+    the tombstone flag -> replay. The final state must equal latest-per-key
+    over the raw stream keeping only keys whose WINNER is an upsert — i.e.
+    deletes arbitrate by commit inside the same batch as upserts (a delete
+    then later upsert re-creates the key; upsert then later delete hides it),
+    identically under incremental and catch-up replay."""
+    from pyspark.sql import Window
+
+    from etl_spark.datagen import change_stream, write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    ev = change_stream(
+        spark, 4000, n_repos=10, paths_per_repo=40, dup_pct=5, delete_pct=15
+    )
+    assert "op" in ev.columns
+    # delete records are binlog-shaped: key + commit only, payload NULL
+    d = ev.where("op = 'd'")
+    assert d.count() > 100
+    assert d.where(F.col("content").isNotNull()).count() == 0
+    write_segments(ev, f"{tmpdir_path}/stream", files_per_epoch=4)
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    expected = {
+        (r.repo, r.path): (r.commit, r.content)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1 AND op = 'u'")
+        .collect()
+    }
+    # sanity: both transitions occur in the fixture
+    winners_del = ev.withColumn("rn", F.row_number().over(w)).where(
+        "rn = 1 AND op = 'd'"
+    )
+    assert winners_del.count() > 0
+
+    for mode, merge_mode in (
+        ("incremental", None), ("catchup", None), ("incremental", "mor")
+    ):
+        pipe = IngestPipeline(
+            spark, f"{tmpdir_path}/{mode}_{merge_mode}", n_buckets=4,
+            count_input=False, merge_mode=merge_mode,
+        )
+        pipe.replay(f"{tmpdir_path}/stream", mode=mode)
+        got = {
+            (r.repo, r.path): (r.commit, r.content)
+            for r in pipe.table.read().collect()
+        }
+        assert got == expected, f"mode={mode}"
+        # tombstone winners persist flagged (ordering survives for late data)
+        tombs = (
+            pipe.table.read(include_deleted=True)
+            .where(F.col(TOMBSTONE_COL))
+            .count()
+        )
+        assert tombs == winners_del.count()
+        assert pipe.table.fsck()["ok"]
+
+
 def test_derived_tables_ignore_deleted_keys(spark, tmpdir_path):
     from etl_spark.derived import RepoRollup
 

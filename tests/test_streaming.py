@@ -129,6 +129,38 @@ def test_streaming_after_batch_replay_does_not_skip(spark, stream, tmpdir_path):
         _sh.rmtree(f"{stream}/epoch={N_EPOCHS}", ignore_errors=True)
 
 
+def test_streaming_deletes(spark, tmpdir_path):
+    """WAL op-column deletes flow through the streaming path identically to
+    batch replay: whatever micro-batch boundaries availableNow picks, the
+    tombstone arbitration is order-independent (deletes persist flagged and
+    arbitrate by commit), so the final state equals latest-per-key keeping
+    only upsert winners."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    root = str(tmpdir_path)
+    df = change_stream(
+        spark, N_EVENTS, n_repos=20, paths_per_repo=40,
+        events_per_epoch=N_EVENTS // N_EPOCHS, delete_pct=15,
+    )
+    write_segments(df, f"{root}/stream")
+    q = stream_ingest(
+        spark, f"{root}/stream", f"{root}/table", n_buckets=8,
+        extra_schema="op string",
+    )
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, f"{root}/table")
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    expected = {
+        (r.repo, r.path): r.commit
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1 AND op = 'u'")
+        .collect()
+    }
+    got = {(r.repo, r.path): r.commit for r in table.read().collect()}
+    assert got == expected
+
+
 def test_streaming_schema_evolution(spark, tmpdir_path):
     """Additive column flows through the streaming path: new rows populate it,
     pre-evolution keys read back null."""
