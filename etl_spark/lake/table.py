@@ -825,7 +825,10 @@ class SnapshotTable:
         old = [f for f in all_files if f["bucket"] in victims]
         carried = [f for f in all_files if f["bucket"] not in victims]
         schema = T.StructType.fromJson(m["schema"])
-        merged = self.arranged_updates(self._read_files(old, schema))
+        merged = self.arranged_updates(
+            self._read_files(old, schema),
+            size_bytes=sum(f.get("bytes") or 0 for f in old),
+        )
         if purge_tombstones and TOMBSTONE_COL in schema.fieldNames():
             merged = merged.where(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
@@ -989,7 +992,28 @@ class SnapshotTable:
             key_stats[c] = r
         return key_stats, col_range(self.order_col)
 
-    def arranged_updates(self, df: DataFrame) -> DataFrame:
+    def _staging_width(self, size_bytes: int | None) -> int:
+        """Reducer count for the bucket-staging exchange.
+
+        4 x n_buckets gives uniform reducer waves on a big batch (see
+        arranged_updates) but is pure scheduler overhead on a small one —
+        a KB-sized steady-state CDC delta would pay ~1,000 near-empty
+        tasks per commit. Callers that know the batch's input size (the
+        pipeline from its segment listing, the merge/compaction paths from
+        manifest byte counts) pass it here: one reducer per ~256 KB of
+        input, floored at the cluster's parallelism and capped at the
+        wide default. Unknown size keeps the wide default — correct for
+        the big-batch paths, merely slow for tiny ad-hoc merges.
+        """
+        wide = 4 * self.n_buckets
+        if not size_bytes or size_bytes <= 0:
+            return wide
+        par = max(1, self.spark.sparkContext.defaultParallelism)
+        return max(par, min(wide, -(-size_bytes // (256 << 10))))
+
+    def arranged_updates(
+        self, df: DataFrame, size_bytes: int | None = None
+    ) -> DataFrame:
         """Fused dedupe + bucket arrangement in ONE payload shuffle.
 
         The window (partitioned on ``_bucket``, ordered by key columns then
@@ -1027,8 +1051,8 @@ class SnapshotTable:
             # uniform waves at every core count, which is exactly the N->4N
             # scaling criterion's bottleneck. Bucket-purity per task (and so
             # per file) is untouched: a bucket still lands in exactly one
-            # reducer.
-            .repartition(4 * self.n_buckets, "_bucket")
+            # reducer. Small batches narrow the exchange via _staging_width.
+            .repartition(self._staging_width(size_bytes), "_bucket")
             .withColumn("_prevk", F.lag(key_struct).over(w))
             .where(F.col("_prevk").isNull() | (F.col("_prevk") != key_struct))
             # keys-first layout, matching the latest_by_key strategies, so
@@ -1037,7 +1061,8 @@ class SnapshotTable:
         )
 
     def _stage_bucketed(
-        self, df: DataFrame, *, arranged: bool = False
+        self, df: DataFrame, *, arranged: bool = False,
+        size_bytes: int | None = None,
     ) -> tuple[Path, list[dict[str, Any]]]:
         """Materialize df ONCE as bucket-pure, key-sorted parquet in a staging
         dir, split into files of at most ``target_file_rows`` rows.
@@ -1062,7 +1087,7 @@ class SnapshotTable:
                 # 4x buckets for uniform reducer waves (see arranged_updates);
                 # a bucket still maps to exactly one task, so files stay
                 # bucket-pure and per-bucket file counts are unchanged
-                .repartition(4 * self.n_buckets, "_bucket")
+                .repartition(self._staging_width(size_bytes), "_bucket")
                 .sortWithinPartitions("_bucket", *self.key_cols)
             )
         # arranged=True: df comes from arranged_updates — already bucketed,
@@ -1180,8 +1205,14 @@ class SnapshotTable:
         assume_deduped: bool = False,
         epoch_space: str = "batch",
         merge_mode: str | None = None,
+        size_hint: int | None = None,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
+
+        ``size_hint``: input bytes of the batch, when the caller knows it
+        (the pipeline's segment listing does) — sizes the staging exchange
+        so a KB-sized delta does not pay a 4 x n_buckets-task shuffle
+        (:meth:`_staging_width`).
 
         ``merge_mode`` overrides the table's write policy for THIS commit
         (``"cow"`` rewrite / ``"mor"`` delta files folded on read) — e.g. a
@@ -1206,13 +1237,13 @@ class SnapshotTable:
             # COW correct — enforce it here unless the caller's plan already
             # guarantees it. The fused arranged plan dedupes and bucket-
             # arranges in the same single shuffle the staging write needs.
-            updates = self.arranged_updates(updates)
+            updates = self.arranged_updates(updates, size_bytes=size_hint)
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
                 return self._merge_epochs_once(
                     updates, epoch_ids, extra_summary, epoch_space,
-                    merge_mode or self.merge_mode,
+                    merge_mode or self.merge_mode, size_hint=size_hint,
                 )
             except FileExistsError as err:
                 last_err = err  # manifest swap lost; re-plan from new snapshot
@@ -1228,6 +1259,7 @@ class SnapshotTable:
         extra_summary: dict[str, Any] | None,
         epoch_space: str,
         mode: str = "cow",
+        size_hint: int | None = None,
     ) -> dict[str, Any]:
         # ONE manifest read: applied epochs, schema, file entries and the
         # commit's base_version all derive from the same snapshot. Two reads
@@ -1268,7 +1300,9 @@ class SnapshotTable:
         import shutil
         from collections import defaultdict
 
-        staging, staged = self._stage_bucketed(updates, arranged=arranged)
+        staging, staged = self._stage_bucketed(
+            updates, arranged=arranged, size_bytes=size_hint
+        )
         try:
             staged_by_bucket: dict[int, list] = defaultdict(list)
             for f in staged:
@@ -1483,7 +1517,12 @@ class SnapshotTable:
                         for f in mor_delta_raw
                     ]
                 elif n_kept > 0:
-                    staging3, staged3 = self._stage_bucketed(kept)
+                    staging3, staged3 = self._stage_bucketed(
+                        kept,
+                        size_bytes=sum(
+                            f.get("bytes") or 0 for f in mor_delta_raw
+                        ),
+                    )
                     try:
                         new_files += [
                             {**self._promote(f), "kind": "delta", "seq": seq}
@@ -1502,7 +1541,11 @@ class SnapshotTable:
                 existing = self._read_files(rewrite_old, merged_schema)
                 incoming = self._read_files(rewrite_staged, merged_schema)
                 merged = self.arranged_updates(
-                    existing.unionByName(incoming, allowMissingColumns=True)
+                    existing.unionByName(incoming, allowMissingColumns=True),
+                    size_bytes=sum(
+                        f.get("bytes") or 0
+                        for f in rewrite_old + rewrite_staged
+                    ),
                 )
                 staging2, staged2 = self._stage_bucketed(merged, arranged=True)
                 try:

@@ -196,7 +196,9 @@ class IngestPipeline:
             if strategy == "maxby":
                 strategy = "fused"
         if strategy == "fused":
-            return strategy, self.table.arranged_updates(cleaned)
+            return strategy, self.table.arranged_updates(
+                cleaned, size_bytes=getattr(self, "_batch_bytes", None)
+            )
         fn = {
             "maxby": latest_by_key,
             "window": latest_by_key_window,
@@ -228,6 +230,9 @@ class IngestPipeline:
         for s in segments:
             for p in Path(s.path).glob("*.parquet"):
                 total += p.stat().st_size
+        # remembered so dedupe_plan / merge can right-size their staging
+        # exchange the same way the scan splits are right-sized below
+        self._batch_bytes = total
         par = max(1, self.spark.sparkContext.defaultParallelism)
         split = min(128 << 20, max(16 << 20, total // (4 * par)))
         self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
@@ -255,6 +260,7 @@ class IngestPipeline:
             extra_summary={"segments": len(segments), "mode": mode,
                            "dedupe": strategy},
             assume_deduped=True,  # dedupe_fn guarantees one row per key
+            size_hint=getattr(self, "_batch_bytes", None),
         )
         stats.commit = commit
         if not commit.get("skipped"):

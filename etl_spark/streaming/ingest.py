@@ -34,6 +34,7 @@ table itself is the state store (SURVEY §2.9 "state store" row).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +96,15 @@ def stream_ingest(
         # mixed batch+stream table's change feed and lineage filters can
         # attribute every row unambiguously; the manifest's stream space
         # still tracks raw batch ids for the exactly-once check.
+        # size the staging exchange to THIS micro-batch: a trigger's file
+        # set is bounded (maxFilesPerTrigger), so statting it is O(batch)
+        try:
+            pipe._batch_bytes = sum(
+                os.path.getsize(f[7:] if f.startswith("file:") else f)
+                for f in batch_df.inputFiles()
+            )
+        except OSError:
+            pipe._batch_bytes = None
         _, winners = pipe.dedupe_plan(clean_events(batch_df))
         deduped = derive_content_columns(winners).withColumn(
             "epoch", F.lit(int(STREAM_EPOCH_BASE + batch_id)).cast("int")
