@@ -250,6 +250,15 @@ def main(argv: list[str] | None = None) -> int:
             [(args.repo, args.path, args.commit)],
             f"repo string, path string, {t.order_col} string",
         )
+        # the order column is whatever type the table persisted (commit
+        # string here, but lsn tables use long) — cast the CLI's string
+        # form to it rather than hardcoding string
+        from pyspark.sql import functions as F
+
+        keys = keys.withColumn(
+            t.order_col,
+            F.col(t.order_col).cast(t.schema()[t.order_col].dataType),
+        )
         out = t.delete_epochs(keys, [args.epoch], merge_mode=args.merge_mode)
         print(json.dumps({
             "key": {"repo": args.repo, "path": args.path},

@@ -77,6 +77,17 @@ class RepoRollup:
             spark, root, key_cols=("repo",), order_col="as_of_version",
             n_buckets=n_buckets,
         )
+        # attach adopts the persisted layout; a rollup created before the
+        # as_of_version ordering (order_col=last_commit) would make the
+        # constructor arg silently inert AND break `gone` tombstones (they
+        # carry no last_commit, so they'd sort last and never win). Fail
+        # loudly: rebuild via refresh_full into a fresh root.
+        if self.table.exists() and self.table.order_col != "as_of_version":
+            raise ValueError(
+                f"rollup at {root} is ordered by {self.table.order_col!r}; "
+                "this version maintains rollups ordered by as_of_version — "
+                "rebuild it (refresh_full) into a fresh root"
+            )
 
     def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
         """Maintain the rollup after one fact-table commit.
@@ -115,14 +126,33 @@ class RepoRollup:
         )
 
     def refresh_full(self, epoch_id: int) -> dict[str, Any]:
-        """Recompute every repo's rollup from scratch (bootstrap / repair)."""
+        """Recompute every repo's rollup from scratch (bootstrap / repair).
+
+        Repos present in the rollup but absent from the recompute (every
+        fact row tombstoned since the rollup last saw them) are tombstoned
+        in the same commit — without this, repair would leave zombie rollup
+        rows the incremental path (update_for_commit's ``gone`` branch)
+        would have removed, breaking refresh ≡ incremental.
+        """
         updates = rollup_expr(self.source.read()).withColumn(
             "as_of_version",
             F.lit(int(self.source.current_version())).cast("long"),
         )
+        if self.table.exists():
+            gone = (
+                self.table.read()
+                .select("repo")
+                .join(updates.select("repo"), "repo", "left_anti")
+                .withColumn(
+                    "as_of_version",
+                    F.lit(int(self.source.current_version())).cast("long"),
+                )
+                .withColumn(TOMBSTONE_COL, F.lit(True))
+            )
+            updates = updates.unionByName(gone, allowMissingColumns=True)
         return self.table.merge_epochs(
             updates, [epoch_id], extra_summary={"full_refresh": True},
-            assume_deduped=True,
+            assume_deduped=True,  # one row per repo across both branches
         )
 
     def read(self) -> DataFrame:

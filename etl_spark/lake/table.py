@@ -234,8 +234,8 @@ class SnapshotTable:
         key_cols: tuple[str, ...] = ("repo", "path"),
         order_col: str = "commit",
         n_buckets: int = 32,
-        target_file_rows: int = 1_000_000,
-        max_files_per_bucket: int = 16,
+        target_file_rows: int | None = None,
+        max_files_per_bucket: int | None = None,
         manifest_groups: int = 32,
         manifest_inline_files: int = 2048,
         merge_mode: str | None = None,
@@ -294,15 +294,20 @@ class SnapshotTable:
             self.n_buckets = m.get("n_buckets", self.n_buckets)
             self.key_cols = tuple(m.get("key_cols", self.key_cols))
             self.order_col = m.get("order_col", self.order_col)
-            self.max_files_per_bucket = m.get(
-                "max_files_per_bucket", self.max_files_per_bucket
-            )
-            self.target_file_rows = m.get(
-                "target_file_rows", self.target_file_rows
-            )
+            # file-sizing knobs are MUTABLE write policy like merge_mode
+            # (Iceberg: write.target-file-size-bytes), not layout: None
+            # adopts the persisted value, an explicit value wins and is
+            # persisted by the next commit — so an existing table CAN be
+            # retuned (e.g. bigger files for a bulk backfill)
+            if self.max_files_per_bucket is None:
+                self.max_files_per_bucket = m.get("max_files_per_bucket")
+            if self.target_file_rows is None:
+                self.target_file_rows = m.get("target_file_rows")
             if self.merge_mode is None:
                 self.merge_mode = m.get("merge_mode")
         self.merge_mode = self.merge_mode or "cow"
+        self.target_file_rows = self.target_file_rows or 1_000_000
+        self.max_files_per_bucket = self.max_files_per_bucket or 16
 
     def _bucket_file_allowance(self, bucket_rows: int) -> int:
         """Live-file budget for a bucket holding ``bucket_rows`` rows.
@@ -316,7 +321,7 @@ class SnapshotTable:
         slack — compaction and fsck trigger on FRAGMENTATION (files >>
         rows/target_file_rows), never on sheer size."""
         needed = -(-max(int(bucket_rows), 0) // max(self.target_file_rows, 1))
-        return max(self.max_files_per_bucket, needed + self.max_files_per_bucket)
+        return needed + self.max_files_per_bucket
 
     # ---- manifest plumbing ---------------------------------------------------
 
@@ -710,7 +715,8 @@ class SnapshotTable:
             # between our glob and stat — a vanished path is simply no longer
             # our problem, never an error
             try:
-                return p.stat().st_mtime, p.stat().st_size
+                st = p.stat()
+                return st.st_mtime, st.st_size
             except FileNotFoundError:
                 return None, 0
 
@@ -1186,9 +1192,17 @@ class SnapshotTable:
         ):
             # the table carries per-row epoch provenance (pipeline tables do);
             # a NULL-epoch tombstone would be dropped by the change feed's
-            # epoch-range filter — stamp it like any other change row
+            # epoch-range filter — stamp it like any other change row. The
+            # stamp must be an epoch the commit will actually APPLY: on a
+            # partial replay (some of epoch_ids already applied) a row
+            # stamped with an applied id falls outside changes_between's
+            # new-epoch ranges and the delete becomes invisible to CDC-out
+            # consumers. If every id is applied the merge no-ops anyway.
+            applied = self.applied_epochs(epoch_space)
+            fresh = [e for e in epoch_ids if int(e) not in applied]
+            stamp = int(fresh[-1] if fresh else epoch_ids[-1])
             tomb = tomb.withColumn(
-                "epoch", F.lit(int(epoch_ids[-1])).cast(schema["epoch"].dataType)
+                "epoch", F.lit(stamp).cast(schema["epoch"].dataType)
             )
         return self.merge_epochs(
             tomb, epoch_ids, epoch_space=epoch_space, merge_mode=merge_mode,

@@ -66,12 +66,17 @@ def clean_events(raw: DataFrame) -> DataFrame:
     null-guard applies to upserts only, and ``op`` becomes the boolean
     ``_deleted`` column that SnapshotTable's latest-wins merge arbitrates
     like any other change (a stale upsert cannot resurrect a deleted key;
-    a newer upsert re-creates it). Rows with a malformed op are dropped.
+    a newer upsert re-creates it). Rows with a malformed op are dropped;
+    a NULL op means UPSERT — when the op column is introduced mid-history
+    (the additive evolution mergeSchema supports), segments written before
+    it read back with op=NULL, and dropping them would silently lose all
+    pre-op data on a catch-up replay spanning the boundary.
     """
     has_op = "op" in raw.columns
     if has_op:
         raw = (
-            raw.where(F.col("op").isin("u", "d"))
+            raw.withColumn("op", F.coalesce(F.col("op"), F.lit("u")))
+            .where(F.col("op").isin("u", "d"))
             .withColumn(TOMBSTONE_COL, F.col("op") == "d")
             .drop("op")
         )
@@ -235,6 +240,13 @@ class IngestPipeline:
         self._batch_bytes = total
         par = max(1, self.spark.sparkContext.defaultParallelism)
         split = min(128 << 20, max(16 << 20, total // (4 * par)))
+        # session conf is global: stash the previous split size so
+        # _apply_batch can restore it once the batch is materialized —
+        # otherwise a KB-sized delta leaves a 16 MB split behind for every
+        # FULL-table scan that follows (rollup maintenance, driver queries)
+        self._prev_split = self.spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", None
+        )
         self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         base = os.path.dirname(segments[0].path)
         return (
@@ -262,6 +274,14 @@ class IngestPipeline:
             assume_deduped=True,  # dedupe_fn guarantees one row per key
             size_hint=getattr(self, "_batch_bytes", None),
         )
+        # the merge is the batch's one materialization — restore the
+        # session-wide split size before anything scans the FULL table
+        # (rollup maintenance below, driver queries after)
+        prev_split = getattr(self, "_prev_split", None)
+        if prev_split is not None:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        else:
+            self.spark.conf.unset("spark.sql.files.maxPartitionBytes")
         stats.commit = commit
         if not commit.get("skipped"):
             self._log_lineage(commit)

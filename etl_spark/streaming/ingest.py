@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 from typing import Any
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,7 +101,9 @@ def stream_ingest(
         # set is bounded (maxFilesPerTrigger), so statting it is O(batch)
         try:
             pipe._batch_bytes = sum(
-                os.path.getsize(f[7:] if f.startswith("file:") else f)
+                os.path.getsize(
+                    urlparse(f).path if f.startswith("file:") else f
+                )
                 for f in batch_df.inputFiles()
             )
         except OSError:

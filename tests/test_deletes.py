@@ -211,3 +211,42 @@ def test_derived_tables_ignore_deleted_keys(spark, tmpdir_path):
     roll.update_for_commit(c1)
     got = {r.repo: r.n_files for r in roll.read().collect()}
     assert got == {"r1": 1, "r2": 1}
+
+
+def test_delete_feed_visible_on_partial_replay(spark, tmpdir_path):
+    """A delete replayed with a MIX of applied and fresh epoch ids must stamp
+    its tombstone with a FRESH id: stamped with an applied one, the row falls
+    outside changes_between's new-epoch ranges and the delete is invisible
+    to CDC-out consumers even though read() hides the key."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    df = _df(spark, [("r", "a", "c000000000001", "v1"),
+                     ("r", "b", "c000000000001", "w1")]
+             ).withColumn("epoch", F.lit(0))
+    t.merge_epoch(df, 0)
+    # epoch 7 already applied by an earlier (say, crashed-and-retried) batch
+    t.delete_epochs(_keys(spark, [("r", "b", "c000000000002")]), [7])
+    v = t.current_version()
+    # redelivery spans applied(7) + fresh(8): tombstone must carry 8
+    out = t.delete_epochs(_keys(spark, [("r", "a", "c000000000002")]), [7, 8])
+    assert not out.get("skipped")
+    feed = t.changes_between(v).collect()
+    assert [(r.path, r.epoch, r[TOMBSTONE_COL]) for r in feed] == [("a", 8, True)]
+    assert _state(t) == {}
+
+
+def test_null_op_rows_default_to_upsert(spark):
+    """Streams that gain the op column mid-history read old segments back
+    with op=NULL under mergeSchema — those are plain upserts, not droppable
+    malformed rows (dropping them loses all pre-op data on catch-up)."""
+    from etl_spark.pipeline import clean_events
+
+    df = spark.createDataFrame(
+        [("r", "a", "c000000000001", "v1", "py", None),    # pre-op history
+         ("r", "b", "c000000000002", "v2", "py", "u"),
+         ("r", "c", "c000000000003", None, None, "d"),
+         ("r", "d", "c000000000004", "v4", "py", "bogus")],  # malformed
+        "repo string, path string, commit string, content string, "
+        "lang string, op string",
+    )
+    got = {r.path: r[TOMBSTONE_COL] for r in clean_events(df).collect()}
+    assert got == {"a": False, "b": False, "c": True}

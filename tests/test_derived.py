@@ -154,3 +154,49 @@ def test_line_index_watermark_expiry_falls_back_to_scan(spark, stream, tmpdir_pa
     assert pend.count() > 0
     idx.update(epoch_ids=[2, 3])
     assert idx.pending_versions().count() == 0
+
+
+def test_refresh_full_tombstones_fully_deleted_repos(spark, tmpdir_path):
+    """Repair path parity under deletes: a repo whose EVERY fact row was
+    tombstoned must disappear from refresh_full's result exactly as the
+    incremental `gone` branch would remove it — otherwise repair leaves
+    zombie rollups."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import SnapshotTable
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=4)
+    df = spark.createDataFrame(
+        [("r1", "a", "c000000000001", "python", "xx"),
+         ("r2", "b", "c000000000001", "python", "yy")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.merge_epoch(df, 0)
+    roll = RepoRollup(spark, t, f"{tmpdir_path}/roll", n_buckets=4)
+    roll.refresh_full(100)
+    assert {r.repo for r in roll.read().collect()} == {"r1", "r2"}
+    # tombstone r1's only row, then REPAIR (not incremental maintenance)
+    t.delete_epochs(
+        spark.createDataFrame([("r1", "a", "c000000000002")],
+                              "repo string, path string, commit string"),
+        [1],
+    )
+    roll.refresh_full(101)
+    assert {r.repo for r in roll.read().collect()} == {"r2"}
+
+
+def test_rollup_rejects_foreign_order_col(spark, tmpdir_path):
+    """Attaching RepoRollup to a table persisted under a different ordering
+    must fail loudly — adopted order_col would make as_of_version inert and
+    `gone` tombstones (no last_commit) would never win latest-wins."""
+    from etl_spark.lake.table import SnapshotTable
+
+    legacy = SnapshotTable(spark, f"{tmpdir_path}/legacy",
+                           key_cols=("repo",), order_col="last_commit",
+                           n_buckets=4)
+    legacy.merge_epoch(
+        spark.createDataFrame([("r1", "c000000000001")],
+                              "repo string, last_commit string"), 0)
+    fact = SnapshotTable(spark, f"{tmpdir_path}/fact", n_buckets=4)
+    with pytest.raises(ValueError, match="as_of_version"):
+        RepoRollup(spark, fact, f"{tmpdir_path}/legacy", n_buckets=4)

@@ -406,3 +406,22 @@ def test_change_feed_filter_is_ranges_not_inlist(spark, tmpdir_path):
     plan = feed._jdf.queryExecution().optimizedPlan().toString()
     assert " IN " not in plan and "10,000" not in plan
     assert len(plan) < 4000, len(plan)
+
+
+def test_explicit_file_sizing_knobs_win_on_attach(spark, tmpdir_path):
+    """target_file_rows/max_files_per_bucket are mutable write policy like
+    merge_mode: None adopts the persisted value, an explicit value retunes
+    the existing table and persists on the next commit."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2, target_file_rows=8,
+                      max_files_per_bucket=4)
+    t.merge_epoch(_df(spark, [("r", f"p{i}", "c000000000001", "x")
+                                     for i in range(32)]), 0)
+    # default attach adopts the persisted knobs
+    adopted = SnapshotTable(spark, tmpdir_path)
+    assert adopted.target_file_rows == 8
+    assert adopted.max_files_per_bucket == 4
+    # explicit attach wins and is persisted by its next commit
+    retuned = SnapshotTable(spark, tmpdir_path, target_file_rows=1 << 20)
+    assert retuned.target_file_rows == 1 << 20
+    retuned.merge_epoch(_df(spark, [("r", "q", "c000000000001", "x")]), 1)
+    assert SnapshotTable(spark, tmpdir_path).target_file_rows == 1 << 20
