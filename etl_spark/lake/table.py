@@ -280,6 +280,11 @@ class SnapshotTable:
             "spark.sql.sources.parallelPartitionDiscovery.parallelism",
             str(min(10_000, max(64, 4 * par))),
         )
+        # broadcast guard for the MOR fold (rows, exact from the manifest):
+        # ~100 B of key per row puts 1M rows ≈ 100 MB on the driver and
+        # every executor — past this the fold degrades to one shuffle
+        # rather than OOM (see _fold)
+        self.fold_broadcast_rows = 1_000_000
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
         self.order_col = order_col
@@ -498,15 +503,36 @@ class SnapshotTable:
             *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
         )
 
-    def _fold(self, base_df: DataFrame, delta_df: DataFrame) -> DataFrame:
+    def _fold(
+        self, base_df: DataFrame, delta_df: DataFrame,
+        delta_rows: int | None = None,
+    ) -> DataFrame:
         """Merge-on-read fold: per key, a delta row supersedes the base row.
 
         The delta side collapses to latest-per-key (small); base rows whose
         key appears there are dropped via a BROADCAST null-safe anti-join —
         the 100-TB base side is scanned ONCE with no shuffle; only the tiny
         delta side moves. Null-safe (<=>) because keys may be null and a
-        plain anti-join would let a stale null-key base row survive."""
+        plain anti-join would let a stale null-key base row survive.
+
+        ``delta_rows`` (exact, from manifest entries) guards the broadcast:
+        past ``fold_broadcast_rows`` live delta rows (a compaction-overdue
+        table) an explicit broadcast of the key set would OOM the driver
+        and every executor, so the fold falls back to ONE latest-wins
+        shuffle over base ∪ delta — write-time stale filtering guarantees a
+        live delta row is strictly newer than its base row, so max-order
+        arbitration is exact. Slower than the broadcast path but bounded;
+        ``compact()`` restores the fast path."""
         latest = self._latest_delta_rows(delta_df)
+        if delta_rows is not None and delta_rows > self.fold_broadcast_rows:
+            union = base_df.unionByName(latest.select(*base_df.columns))
+            payload = [c for c in union.columns if c not in self.key_cols]
+            agged = union.groupBy(*[F.col(k) for k in self.key_cols]).agg(
+                F.max_by(F.struct(*payload), F.col(self.order_col)).alias("_w")
+            )
+            return agged.select(
+                *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+            )
         keys_only = F.broadcast(
             latest.select(*[F.col(k).alias(f"_d_{k}") for k in self.key_cols])
         )
@@ -536,7 +562,10 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         df = self._read_files(base, schema)
         if deltas:
-            df = self._fold(df, self._read_files(deltas, schema))
+            df = self._fold(
+                df, self._read_files(deltas, schema),
+                delta_rows=sum(f.get("rows") or 0 for f in deltas),
+            )
         if not include_deleted and TOMBSTONE_COL in schema.fieldNames():
             # filter AFTER the fold: a tombstone must first win latest-wins
             # (shadowing the stale base row), THEN hide the key
@@ -1027,7 +1056,10 @@ class SnapshotTable:
         if not size_bytes or size_bytes <= 0:
             return wide
         par = max(1, self.spark.sparkContext.defaultParallelism)
-        return max(par, min(wide, -(-size_bytes // (256 << 10))))
+        # cap LAST: reducers beyond 4 x n_buckets are empty by construction
+        # (only n_buckets distinct _bucket values exist), so on a cluster
+        # whose parallelism exceeds the wide default the cap must still win
+        return min(wide, max(par, -(-size_bytes // (256 << 10))))
 
     def arranged_updates(
         self, df: DataFrame, size_bytes: int | None = None

@@ -211,3 +211,21 @@ def test_mor_idempotent_replay(spark, tmpdir_path):
     out = t.merge_epoch(_df(spark, [("r", "a", "c000000000009", "EVIL")]), 1)
     assert out["skipped"] is True and t.current_version() == v
     assert _state(t) == [("r", "a", "c000000000002", "v2")]
+
+
+def test_fold_falls_back_to_shuffle_past_broadcast_guard(spark, tmpdir_path):
+    """A compaction-overdue table's live delta rows can exceed what an
+    explicit broadcast can hold (it would OOM the driver + every executor);
+    past fold_broadcast_rows the fold must yield the SAME state via a
+    latest-wins shuffle instead, with no broadcast join in the plan."""
+    t = _mk(spark, tmpdir_path, "mor")
+    t.merge_epoch(_df(spark, [("r", f"p{i}", "c000000000001", "v1")
+                              for i in range(50)]), 0)
+    t.merge_epoch(_df(spark, [("r", f"p{i}", "c000000000002", "v2")
+                              for i in range(0, 50, 2)]), 1)
+    assert any(f.get("kind") == "delta" for f in t.files())
+    want = _state(t)  # broadcast path
+    t.fold_broadcast_rows = 0
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert _state(t) == want
