@@ -1534,8 +1534,16 @@ class SnapshotTable:
                     *kcols, self.order_col
                 )
                 # pre-filter to the delta's keys so the max-order aggregate
-                # shuffles O(delta keys) rows, not O(touched files x rows)
-                skeys = F.broadcast(
+                # shuffles O(delta keys) rows, not O(touched files x rows).
+                # Same broadcast guard as the read fold: a backfill-sized
+                # commit mis-routed through MOR must degrade to a shuffle,
+                # not OOM (n_staged is exact, from the staged footers)
+                def _bc(df: DataFrame) -> DataFrame:
+                    if n_staged > self.fold_broadcast_rows:
+                        return df
+                    return F.broadcast(df)
+
+                skeys = _bc(
                     staged_df.select(
                         *[F.col(k).alias(f"_s_{k}") for k in kcols]
                     )
@@ -1558,7 +1566,7 @@ class SnapshotTable:
                     c = staged_df[k].eqNullSafe(F.col(f"_e_{k}"))
                     jc = c if jc is None else (jc & c)
                 kept = (
-                    staged_df.join(F.broadcast(emax), jc, "left")
+                    staged_df.join(_bc(emax), jc, "left")
                     .where(
                         F.col("_e_order").isNull()
                         | (staged_df[self.order_col] > F.col("_e_order"))
