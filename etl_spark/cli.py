@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--to", type=int, required=True, help="target version")
     _add_spark_args(rb)
 
+    rbk = sub.add_parser(
+        "rebucket",
+        help="re-cluster the table under a new bucket count (partition "
+             "evolution; one full rewrite)")
+    rbk.add_argument("--table", required=True)
+    rbk.add_argument("--to", type=int, required=True, help="new bucket count")
+    _add_spark_args(rbk)
+
     lk = sub.add_parser("get", help="point-lookup one key (stats-pruned read)")
     lk.add_argument("--table", required=True)
     lk.add_argument("--repo", required=True)
@@ -218,6 +226,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
         print(json.dumps(t.rollback(args.to)))
+        return 0
+
+    if args.cmd == "rebucket":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        print(json.dumps(t.rebucket(args.to)))
         return 0
 
     if args.cmd == "get":

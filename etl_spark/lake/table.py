@@ -900,6 +900,74 @@ class SnapshotTable:
             "version": version,
         }
 
+    def rebucket(self, n_buckets: int) -> dict[str, Any]:
+        """Re-cluster the WHOLE table under a new bucket count — Iceberg's
+        bucket-transform partition evolution (``ALTER TABLE ... REPLACE
+        PARTITION FIELD bucket(N, key)``) for this layout.
+
+        ``n_buckets`` is otherwise a frozen layout invariant (merges,
+        compaction, staging width and point lookups all derive placement
+        from it), which would make the creation-time choice permanent: a
+        table bucketed for its first TB is mis-bucketed at 100 TB — huge
+        buckets, coarse lookup pruning, capped merge parallelism. This
+        rewrites every live row through the same arranged single-shuffle
+        plan at the NEW width in one snapshot-isolated commit: applied-epoch
+        spaces, schema and row-level provenance carry over; tombstones are
+        preserved (they still arbitrate late data); MOR delta files are
+        folded into base in passing. Cost: one full-table rewrite — a rare,
+        deliberate maintenance action (run it like a compaction window).
+        Concurrent writers planned under the old layout are rejected by the
+        merge path's layout-drift guard and must re-attach."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        import shutil
+
+        m = self.manifest()
+        if m is None:
+            # nothing committed yet: the new width simply becomes the
+            # creation layout
+            self.n_buckets = n_buckets
+            return {"rebucketed": False, "n_buckets": n_buckets}
+        all_files = self._files_of(m)
+        schema = T.StructType.fromJson(m["schema"])
+        old_n = self.n_buckets
+        # raw read of base AND delta files: arranged_updates arbitrates
+        # latest-wins per key (live deltas are strictly newer than their
+        # base rows by the write-time invariant), folding MOR state for free
+        df = self._read_files(all_files, schema)
+        self.n_buckets = n_buckets
+        try:
+            merged = self.arranged_updates(
+                df, size_bytes=sum(f.get("bytes") or 0 for f in all_files)
+            )
+            staging, staged = self._stage_bucketed(merged, arranged=True)
+            try:
+                new_files = [self._promote(f) for f in staged]
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            manifest = {
+                **{k: v for k, v in m.items()
+                   if k not in ("version", "committed_at", "files",
+                                "file_groups", "manifest_n_groups",
+                                "n_buckets")},
+                "n_buckets": n_buckets,
+                "summary": {"rebucket": {"from": old_n, "to": n_buckets}},
+                "parent": m["version"],
+            }
+            self._attach_files(manifest, new_files)
+            version = self._commit_manifest(manifest, base_version=m["version"])
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return {
+            "rebucketed": True,
+            "from": old_n,
+            "to": n_buckets,
+            "files_before": len(all_files),
+            "files_after": len(new_files),
+            "version": version,
+        }
+
     def fsck(self) -> dict[str, Any]:
         """Verify snapshot integrity against the filesystem.
 
@@ -1325,6 +1393,15 @@ class SnapshotTable:
         # shrink the applied-epoch set (overwritten from the stale read)
         # without tripping the os.link conflict, re-delivering its rows.
         m = self.manifest()
+        if m is not None and m.get("n_buckets", self.n_buckets) != self.n_buckets:
+            # a rebucket() landed after this handle attached: its arranged
+            # plan would place rows under the OLD bucket scheme — corrupt
+            # clustering, wrong lookups. Fail loudly; the caller re-attaches.
+            raise RuntimeError(
+                f"table {self.root} was rebucketed to {m['n_buckets']} "
+                f"buckets (this handle attached at {self.n_buckets}); "
+                "re-attach before writing"
+            )
         applied = (
             decode_epoch_ranges(m.get(_space_key(epoch_space))) if m else set()
         )

@@ -255,3 +255,49 @@ def test_changes_between_snapshots(spark, tmpdir_path):
     base = t.changes_between(None, 1).count()
     # deltas can overwrite earlier keys, so base+deltas >= final rows
     assert base + total >= t.read().count()
+
+
+def test_rebucket_partition_evolution(spark, tmpdir_path):
+    """rebucket(): the bucket count is mutable after all (Iceberg
+    bucket-transform partition evolution) — state, applied epochs,
+    tombstones and MOR deltas all survive; stale handles are rejected."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4, merge_mode="mor",
+                      target_file_rows=8)
+    t.merge_epoch(_df([("r", f"p{i}", "c000000000001", "v1")
+                       for i in range(40)]), 0)
+    t.merge_epoch(_df([("r", f"p{i}", "c000000000002", "v2")
+                       for i in range(0, 40, 4)]), 1)  # MOR delta files
+    t.delete_epochs(
+        spark.createDataFrame([("r", "p1", "c000000000003")],
+                              "repo string, path string, commit string"), [2])
+    assert any(f.get("kind") == "delta" for f in t.files())
+    before = sorted((r.repo, r.path, r.commit, r.content)
+                    for r in t.read().collect())
+    stale = SnapshotTable(spark, tmpdir_path)  # attaches at 4 buckets
+
+    out = t.rebucket(16)
+    assert out["rebucketed"] and out["to"] == 16
+    # state identical; deltas folded; lookups + fsck healthy at the new width
+    assert sorted((r.repo, r.path, r.commit, r.content)
+                  for r in t.read().collect()) == before
+    assert not any(f.get("kind") == "delta" for f in t.files())
+    assert {f["bucket"] for f in t.files()} <= set(range(16))
+    assert t.lookup("r", "p2").first().content == "v1"
+    assert t.lookup("r", "p1").count() == 0  # tombstone survived
+    assert t.fsck()["ok"]
+    # applied epochs carried: replaying an old epoch is a no-op
+    assert t.merge_epoch(_df([("r", "p0", "c000000000001", "ZOMBIE")]), 0)[
+        "skipped"]
+    # late stale upsert still loses to the carried tombstone
+    t.merge_epoch(_df([("r", "p1", "c000000000002", "ZOMBIE")]), 3)
+    assert t.lookup("r", "p1").count() == 0
+    # a handle attached under the old layout must be rejected, then
+    # re-attaching adopts the new width
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        stale.merge_epoch(_df([("r", "px", "c000000000009", "x")]), 9)
+    assert SnapshotTable(spark, tmpdir_path).n_buckets == 16
