@@ -275,11 +275,6 @@ class SnapshotTable:
         # 26 s -> 8 s for a read of a 12,345-file table at local[32]).
         # Size it to the cluster; the 10,000 cap restores Spark's default
         # on clusters big enough to want it.
-        par = max(1, spark.sparkContext.defaultParallelism)
-        spark.conf.set(
-            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
-            str(min(10_000, max(64, 4 * par))),
-        )
         # broadcast guard for the MOR fold (rows, exact from the manifest):
         # ~100 B of key per row puts 1M rows ≈ 100 MB on the driver and
         # every executor — past this the fold degrades to one shuffle
@@ -523,16 +518,13 @@ class SnapshotTable:
         live delta row is strictly newer than its base row, so max-order
         arbitration is exact. Slower than the broadcast path but bounded;
         ``compact()`` restores the fast path."""
-        latest = self._latest_delta_rows(delta_df)
         if delta_rows is not None and delta_rows > self.fold_broadcast_rows:
-            union = base_df.unionByName(latest.select(*base_df.columns))
-            payload = [c for c in union.columns if c not in self.key_cols]
-            agged = union.groupBy(*[F.col(k) for k in self.key_cols]).agg(
-                F.max_by(F.struct(*payload), F.col(self.order_col)).alias("_w")
+            # the RAW delta goes into the union: pre-collapsing it first
+            # would be a second full shuffle of exactly the oversized side
+            return self._latest_delta_rows(
+                base_df.unionByName(delta_df.select(*base_df.columns))
             )
-            return agged.select(
-                *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
-            )
+        latest = self._latest_delta_rows(delta_df)
         keys_only = F.broadcast(
             latest.select(*[F.col(k).alias(f"_d_{k}") for k in self.key_cols])
         )
@@ -590,10 +582,14 @@ class SnapshotTable:
             F.lit(v).cast(types[c]) if c in types else F.lit(v)
             for c, v in zip(self.key_cols, key)
         ]
+        # bucket count from the MANIFEST, not the handle: a long-lived
+        # reader attached before a rebucket() must probe under the layout
+        # the files were actually written with, or lookups silently miss
+        n_buckets = m.get("n_buckets", self.n_buckets)
         row = (
             self.spark.range(1)
             .select(
-                F.pmod(F.xxhash64(*lits), F.lit(self.n_buckets))
+                F.pmod(F.xxhash64(*lits), F.lit(n_buckets))
                 .cast("int")
                 .alias("b")
             )
@@ -689,7 +685,27 @@ class SnapshotTable:
     def _read_files(self, files: list[dict], schema: T.StructType) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        # Explicit-file-list reads trigger Spark's distributed listing job,
+        # which defaults to parallelPartitionDiscovery.parallelism = 10,000
+        # TASKS regardless of cluster size — pure scheduler overhead below
+        # that scale (measured 26 s -> 8 s for a 12,345-file read at
+        # local[32]). The listing runs eagerly inside the .parquet() call,
+        # so the override is scoped here (set, read, restore): other
+        # workloads in the shared session keep their own value, and the
+        # width tracks the CURRENT defaultParallelism (dynamic allocation).
+        key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+        par = max(1, self.spark.sparkContext.defaultParallelism)
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, str(min(10_000, max(64, 4 * par))))
+        try:
+            return self.spark.read.schema(schema).parquet(
+                *[f["path"] for f in files]
+            )
+        finally:
+            if prev is not None:
+                self.spark.conf.set(key, prev)
+            else:
+                self.spark.conf.unset(key)
 
     # ---- maintenance ---------------------------------------------------------
 
@@ -835,6 +851,15 @@ class SnapshotTable:
         m = self.manifest()
         if m is None:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        if m.get("n_buckets", self.n_buckets) != self.n_buckets:
+            # same layout-drift guard as the merge path: compaction re-stages
+            # rows with THIS handle's bucket expr — under a stale width it
+            # would commit corrupt clustering that lookups then miss
+            raise RuntimeError(
+                f"table {self.root} was rebucketed to {m['n_buckets']} "
+                f"buckets (this handle attached at {self.n_buckets}); "
+                "re-attach before compacting"
+            )
         all_files = self._files_of(m)
         by_bucket: dict[int, list] = {}
         for f in all_files:
@@ -930,7 +955,11 @@ class SnapshotTable:
             return {"rebucketed": False, "n_buckets": n_buckets}
         all_files = self._files_of(m)
         schema = T.StructType.fromJson(m["schema"])
-        old_n = self.n_buckets
+        # the PRIOR layout is the manifest's, not this handle's (a stale
+        # handle may rebucket too — the rewrite is correct either way, but
+        # the audit summary must report the real lineage)
+        old_n = m.get("n_buckets", self.n_buckets)
+        prev_attached = self.n_buckets
         # raw read of base AND delta files: arranged_updates arbitrates
         # latest-wins per key (live deltas are strictly newer than their
         # base rows by the write-time invariant), folding MOR state for free
@@ -957,7 +986,7 @@ class SnapshotTable:
             self._attach_files(manifest, new_files)
             version = self._commit_manifest(manifest, base_version=m["version"])
         except BaseException:
-            self.n_buckets = old_n
+            self.n_buckets = prev_attached
             raise
         return {
             "rebucketed": True,

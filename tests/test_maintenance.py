@@ -300,4 +300,8 @@ def test_rebucket_partition_evolution(spark, tmpdir_path):
     # re-attaching adopts the new width
     with pytest.raises(RuntimeError, match="rebucketed"):
         stale.merge_epoch(_df([("r", "px", "c000000000009", "x")]), 9)
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        stale.compact(above=0)
+    # stale READS stay correct: candidate probing uses the manifest's width
+    assert stale.lookup("r", "p2").first().content == "v1"
     assert SnapshotTable(spark, tmpdir_path).n_buckets == 16
