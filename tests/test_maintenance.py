@@ -305,3 +305,26 @@ def test_rebucket_partition_evolution(spark, tmpdir_path):
     # stale READS stay correct: candidate probing uses the manifest's width
     assert stale.lookup("r", "p2").first().content == "v1"
     assert SnapshotTable(spark, tmpdir_path).n_buckets == 16
+
+
+def test_rebucket_old_layout_reclaimed_by_vacuum(spark, tmpdir_path):
+    """After a rebucket, the previous layout's files are unreferenced by the
+    new snapshot but still referenced by retained history — expire + vacuum
+    must reclaim them without touching the live state."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    t.merge_epoch(_df([("r", f"p{i}", "c000000000001", "v")
+                       for i in range(40)]), 0)
+    old_paths = {f["path"] for f in t.files()}
+    t.rebucket(16)
+    assert all(Path(p).exists() for p in old_paths)  # history still serves
+    t.expire_snapshots(retain_last=1)
+    out = t.vacuum(older_than_s=0)
+    assert out["files_removed"] >= len(old_paths)
+    assert not any(Path(p).exists() for p in old_paths)
+    assert t.read().count() == 40
+    assert t.fsck()["ok"]

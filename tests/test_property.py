@@ -103,3 +103,39 @@ def test_schema_widening_is_idempotent_and_monotone():
     assert _merge_schemas(m1, old) == m1
     assert _merge_schemas(m1, new) == m1
     assert _merge_schemas(m1, m1) == m1
+
+
+@given(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=1 << 45)),
+    st.integers(min_value=1, max_value=1 << 14),   # n_buckets
+    st.integers(min_value=1, max_value=100_000),   # defaultParallelism
+)
+def test_staging_width_bounds(size_bytes, n_buckets, par):
+    """_staging_width invariants: capped at 4*n_buckets ALWAYS (reducers
+    past that are empty by construction), at least min(cap, parallelism)
+    when sized, wide default when size unknown."""
+
+    class _T:
+        pass
+
+    t = _T()
+    t.n_buckets = n_buckets
+
+    class _SC:
+        defaultParallelism = par
+
+    class _S:
+        sparkContext = _SC()
+
+    t.spark = _S()
+    from etl_spark.lake.table import SnapshotTable
+
+    w = SnapshotTable._staging_width(t, size_bytes)
+    wide = 4 * n_buckets
+    assert 1 <= w <= wide
+    if not size_bytes:
+        assert w == wide
+    else:
+        assert w >= min(wide, max(1, par))
+        if size_bytes >= wide * (256 << 10):
+            assert w == wide
