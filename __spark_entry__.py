@@ -757,6 +757,31 @@ def q_cdc_replay_mor(spark, sf_dir):
     )
 
 
+def q_cdc_rebucket(spark, sf_dir):
+    """Full engine loop + bucket-count partition evolution: identical input
+    stream and oracle as ``cdc_replay_e2e``, replayed at 8 buckets and then
+    ``rebucket(32)``-ed (lake/table.py) before the read — oracle-green here
+    proves the full-table re-cluster preserves every row, every tombstone
+    arbitration and the epoch bookkeeping bit-for-bit."""
+    import tempfile
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = tempfile.mkdtemp(prefix="etl_spark_rebucket_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=8, count_input=False)
+    pipe.replay(f"{root}/stream")
+    pipe.table.rebucket(32)
+    return pipe.table.read().select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
 def q_cdc_deletes(spark, sf_dir):
     """CDC DELETE end-to-end: replay the full change stream, then tombstone
     an md5-selected fifth of the keys (delete commit strictly newer than any
@@ -953,6 +978,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_normalize": q_lang_normalize,          # subsumed by dim_enrich
         "cdc_deletes": q_cdc_deletes,                # tombstone replay (r3)
         "cdc_deletes_stream": q_cdc_deletes_stream,  # WAL op-column replay (r3)
+        "cdc_rebucket": q_cdc_rebucket,              # partition evolution (r3)
     }
 
 
@@ -1644,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
     # the MOR replay answers the SAME question as the COW replay — one
     # oracle, two physical write paths (MOR == COW == SQL differential)
     out["cdc_replay_mor"] = out["cdc_replay_e2e"]
+    out["cdc_rebucket"] = out["cdc_replay_e2e"]
     # delete replay: the COW replay's winners minus the tombstoned fifth of
     # the key space (same md5 selection as q_cdc_deletes)
     out["cdc_deletes"] = out["cdc_replay_e2e"].replace(
