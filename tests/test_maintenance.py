@@ -328,3 +328,33 @@ def test_rebucket_old_layout_reclaimed_by_vacuum(spark, tmpdir_path):
     assert not any(Path(p).exists() for p in old_paths)
     assert t.read().count() == 40
     assert t.fsck()["ok"]
+
+
+def test_rebucket_crash_before_publish_leaves_state_intact(spark, tmpdir_path):
+    """A rebucket that dies before the manifest swap must leave the table
+    serving its old state (orphans only, reclaimed by vacuum), and the
+    handle must revert to its attached width."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    t.merge_epoch(_df([("r", f"p{i}", "c000000000001", "v")
+                       for i in range(30)]), 0)
+    before = sorted(map(tuple, t.read().collect()))
+
+    def boom(manifest, base_version=None):
+        raise OSError("simulated crash before publish")
+
+    orig = t._commit_manifest
+    t._commit_manifest = boom
+    with pytest.raises(OSError):
+        t.rebucket(16)
+    t._commit_manifest = orig
+    assert t.n_buckets == 4
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.fsck()["ok"]
+    swept = t.vacuum(older_than_s=0)
+    assert swept["files_removed"] >= 1  # the crashed attempt's promotions
+    assert sorted(map(tuple, t.read().collect())) == before
