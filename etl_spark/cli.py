@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("maintain", help="expire old snapshots + vacuum orphan files")
     m.add_argument("--table", required=True)
     m.add_argument("--retain", type=int, default=3, help="snapshots to keep")
+    m.add_argument("--expire-older-than", type=float, default=None,
+                   help="only expire snapshots committed more than this many "
+                        "seconds ago (time-based retention on top of "
+                        "--retain; busy tables keep their time-travel "
+                        "window)")
     m.add_argument("--vacuum-older-than", type=float, default=3600.0,
                    help="only delete unreferenced files older than this many "
                         "seconds (guards in-flight concurrent merges)")
@@ -212,7 +217,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {}
         if args.compact_above:
             out["compaction"] = t.compact(above=args.compact_above)
-        expired = t.expire_snapshots(retain_last=args.retain)
+        expired = t.expire_snapshots(
+            retain_last=args.retain, older_than_s=args.expire_older_than)
         stats = t.vacuum(older_than_s=args.vacuum_older_than)
         print(json.dumps({"expired_versions": expired, **stats, **out,
                           "current_version": t.current_version()}))
@@ -310,8 +316,12 @@ def main(argv: list[str] | None = None) -> int:
                     else m["applied_epochs"],
                     "applied_epoch_count": len(eps),
                     "files": len(fl),
+                    "delta_files": sum(1 for f in fl
+                                       if f.get("kind") == "delta"),
                     "rows": sum(f["rows"] for f in fl),
                     "bytes": sum(f["bytes"] for f in fl),
+                    "n_buckets": m.get("n_buckets"),
+                    "merge_mode": m.get("merge_mode", "cow"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
                 }

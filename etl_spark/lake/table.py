@@ -734,12 +734,32 @@ class SnapshotTable:
             )
         return out
 
-    def expire_snapshots(self, retain_last: int = 3) -> list[int]:
+    def expire_snapshots(
+        self, retain_last: int = 3, *, older_than_s: float | None = None
+    ) -> list[int]:
         """Drop manifest versions older than the newest ``retain_last``
         (Iceberg's expire_snapshots). Data files they reference become
-        orphans reclaimable by ``vacuum``. Returns expired versions."""
+        orphans reclaimable by ``vacuum``. Returns expired versions.
+
+        ``older_than_s`` additionally REQUIRES a version's commit timestamp
+        to be at least this old before it may expire (Iceberg's
+        ``older_than``): retention policies are usually time-based ("keep a
+        week of history for time travel"), and count-based expiry alone
+        would silently shorten the window on a busy table (10^4 commits/day
+        at steady state). The newest snapshot never expires."""
+        import time as _time
+
         versions = self.versions()
         expired = versions[:-retain_last] if retain_last > 0 else versions[:-1]
+        if older_than_s is not None:
+            cutoff = _time.time() - older_than_s
+            keep = []
+            for v in expired:
+                ts = self.manifest(v).get("committed_at")
+                if ts is not None and ts > cutoff:
+                    continue  # too young for the time-based policy
+                keep.append(v)
+            expired = keep
         for v in expired:
             (self.root / MANIFEST_DIR / f"v{v:012d}.json").unlink(missing_ok=True)
         return expired

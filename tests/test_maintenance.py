@@ -358,3 +358,28 @@ def test_rebucket_crash_before_publish_leaves_state_intact(spark, tmpdir_path):
     swept = t.vacuum(older_than_s=0)
     assert swept["files_removed"] >= 1  # the crashed attempt's promotions
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_expire_snapshots_time_based_retention(spark, tmpdir_path):
+    """--retain alone would shorten the time-travel window on a busy table;
+    older_than_s keeps young snapshots alive past the count policy."""
+    import json
+    import time as _time
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2)
+    for e in range(4):
+        t.merge_epoch(_df([("r", "p", f"c00000000000{e+1}", f"v{e}")]), e)
+    assert t.versions() == [1, 2, 3, 4]
+    # age v1 artificially; v2/v3 stay young
+    mpath = Path(t.root) / "_meta" / "v000000000001.json"
+    m1 = json.loads(mpath.read_text())
+    m1["committed_at"] = _time.time() - 7200
+    mpath.write_text(json.dumps(m1))
+    expired = t.expire_snapshots(retain_last=1, older_than_s=3600)
+    assert expired == [1]  # v2/v3 protected by age despite retain_last=1
+    assert t.versions() == [2, 3, 4]
+    assert t.expire_snapshots(retain_last=1, older_than_s=0) == [2, 3]
