@@ -849,6 +849,11 @@ class SnapshotTable:
         cur = self.current_version()
         new = {**m, "summary": {"rollback_of": version}, "parent": cur}
         v = self._commit_manifest(new, base_version=cur)
+        # the restored snapshot carries ITS layout (a rollback across a
+        # rebucket restores the old bucket count) — re-adopt it so this
+        # handle keeps writing under the now-current scheme instead of
+        # tripping the layout-drift guard
+        self.n_buckets = m.get("n_buckets", self.n_buckets)
         return {"version": v, "rolled_back_to": version}
 
     def compact(

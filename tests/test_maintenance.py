@@ -383,3 +383,47 @@ def test_expire_snapshots_time_based_retention(spark, tmpdir_path):
     assert expired == [1]  # v2/v3 protected by age despite retain_last=1
     assert t.versions() == [2, 3, 4]
     assert t.expire_snapshots(retain_last=1, older_than_s=0) == [2, 3]
+
+
+def test_change_feed_empty_across_rebucket(spark, tmpdir_path):
+    """A rebucket rewrites every file but applies NO epochs — the change
+    feed's epoch-range filter must report zero changed rows across it, and
+    only genuinely-new epochs after it."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    t.merge_epoch(_df([("r", "a", "c000000000001", "v1")]).selectExpr(
+        "*", "CAST(0 AS INT) AS epoch"), 0)
+    v_pre = t.current_version()
+    t.rebucket(16)
+    assert t.changes_between(v_pre).count() == 0
+    t.merge_epoch(_df([("r", "b", "c000000000002", "v2")]).selectExpr(
+        "*", "CAST(1 AS INT) AS epoch"), 1)
+    feed = t.changes_between(v_pre).collect()
+    assert [(r.path, r.epoch) for r in feed] == [("b", 1)]
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmpdir_path):
+    """rollback to a pre-rebucket snapshot restores the OLD bucket count
+    (the manifest carries its layout); the handle re-adopts it, so lookups
+    and subsequent writes keep working without re-attaching."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    t.merge_epoch(_df([("r", f"p{i}", "c000000000001", "v")
+                       for i in range(20)]), 0)
+    v_pre = t.current_version()
+    t.rebucket(16)
+    rb = t.rollback(v_pre)
+    assert rb["rolled_back_to"] == v_pre
+    assert t.n_buckets == 4  # handle re-adopted the restored layout
+    assert t.lookup("r", "p3").first().content == "v"
+    t.merge_epoch(_df([("r", "q", "c000000000002", "w")]), 1)  # no drift error
+    assert t.lookup("r", "q").first().content == "w"
+    assert t.fsck()["ok"]
