@@ -159,15 +159,95 @@ class CheckpointLog:
             old.unlink()
         pq.write_table(tbl, d / "part-0.parquet")
 
+    # ---- consolidation ----------------------------------------------------
+    #
+    # Steady state appends ONE tiny parquet dir per epoch — at 10^6 epochs
+    # that is 10^6 directories and a million-root-path read. compact()
+    # folds old per-epoch dirs into a consolidated parquet dir recorded by
+    # an atomically-swapped JSON marker carrying the covered epoch set
+    # (range-encoded, same codec as the table manifest). Every crash window
+    # is consistent by construction: read()/logged_epochs() EXCLUDE
+    # per-epoch dirs whose epoch the marker already covers, so the
+    # marker-swapped-but-dirs-not-yet-removed window cannot double-count,
+    # and an orphaned consolidated dir (crash before swap) is ignored and
+    # reclaimed by the next compact().
+
+    _MARKER = "compacted.json"
+
+    def _marker(self) -> dict | None:
+        import json
+
+        p = self.root / self._MARKER
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def compacted_epochs(self) -> set[int]:
+        from etl_spark.lake.table import decode_epoch_ranges
+
+        m = self._marker()
+        return decode_epoch_ranges(m["epochs"]) if m else set()
+
+    def _live_parts(self) -> tuple[list[str], set[int]]:
+        """(paths to read, epochs in per-epoch dirs NOT covered by the
+        marker) — the consistent view under any compaction crash window."""
+        covered = self.compacted_epochs()
+        m = self._marker()
+        dirs, live = [], set()
+        for p in sorted(self.root.glob("epoch=*")):
+            e = int(p.name.split("=")[1])
+            if e in covered:
+                continue
+            dirs.append(str(p))
+            live.add(e)
+        paths = ([str(self.root / m["dir"])] if m else []) + dirs
+        return paths, live
+
     def read(self) -> DataFrame:
-        dirs = sorted(str(p) for p in self.root.glob("epoch=*"))
-        if not dirs:
+        paths, _ = self._live_parts()
+        if not paths:
             return self.spark.createDataFrame([], LOG_SCHEMA)
-        return self.spark.read.schema(LOG_SCHEMA).parquet(*dirs)
+        return self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
 
     def logged_epochs(self) -> set[int]:
-        return {
-            int(p.name.split("=")[1])
-            for p in self.root.glob("epoch=*")
-            if p.is_dir()
-        }
+        _, live = self._live_parts()
+        return live | self.compacted_epochs()
+
+    def compact(self, keep_last: int = 64) -> dict:
+        """Fold per-epoch lineage dirs older than the newest ``keep_last``
+        (plus any previous consolidation) into one consolidated dir."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        from etl_spark.lake.table import encode_epoch_ranges
+
+        m = self._marker()
+        covered = self.compacted_epochs()
+        per_epoch = sorted(
+            ((int(p.name.split("=")[1]), p) for p in self.root.glob("epoch=*")
+             if int(p.name.split("=")[1]) not in covered),
+        )
+        victims = per_epoch[:-keep_last] if keep_last > 0 else per_epoch
+        if not victims:
+            return {"compacted_epochs": 0, "covered": len(covered)}
+        srcs = [str(p) for _, p in victims]
+        if m:
+            srcs.append(str(self.root / m["dir"]))
+        df = self.spark.read.schema(LOG_SCHEMA).parquet(*srcs)
+        new_dir = f"compacted-{uuid.uuid4().hex}"
+        # a handful of files regardless of history depth: rows are tiny
+        df.coalesce(8).write.mode("overwrite").parquet(str(self.root / new_dir))
+        new_epochs = covered | {e for e, _ in victims}
+        tmp = self.root / f".{self._MARKER}.{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(
+            {"dir": new_dir, "epochs": encode_epoch_ranges(new_epochs)}))
+        os.replace(tmp, self.root / self._MARKER)  # the atomic publish
+        # cleanup is best-effort: any window left behind is consistent
+        for _, p in victims:
+            shutil.rmtree(p, ignore_errors=True)
+        for p in self.root.glob("compacted-*"):
+            if p.name != new_dir:
+                shutil.rmtree(p, ignore_errors=True)
+        return {"compacted_epochs": len(victims), "covered": len(new_epochs)}

@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--compact-above", type=int, default=0,
                    help="rewrite buckets holding more than N live files "
                         "(0 = skip compaction)")
+    m.add_argument("--compact-lineage", type=int, default=0,
+                   help="fold per-epoch lineage dirs older than the newest "
+                        "N into one consolidated parquet (0 = skip)")
     _add_spark_args(m)
 
     rb = sub.add_parser("rollback",
@@ -217,6 +220,12 @@ def main(argv: list[str] | None = None) -> int:
         out = {}
         if args.compact_above:
             out["compaction"] = t.compact(above=args.compact_above)
+        if args.compact_lineage:
+            from etl_spark.checkpoint import CheckpointLog
+
+            out["lineage"] = CheckpointLog(
+                spark, f"{args.table}/_checkpoint"
+            ).compact(keep_last=args.compact_lineage)
         expired = t.expire_snapshots(
             retain_last=args.retain, older_than_s=args.expire_older_than)
         stats = t.vacuum(older_than_s=args.vacuum_older_than)

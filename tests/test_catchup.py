@@ -68,3 +68,45 @@ def test_catchup_lineage_covers_all_epochs(spark, stream, tmpdir_path):
     assert (log["row_count"] > 0).all()
     # every logged row count sums to the applied (deduped) total
     assert log["row_count"].sum() == pipe.table.read().count()
+
+
+def test_lineage_compaction_preserves_log_and_heals_crash_windows(
+    spark, stream, tmpdir_path
+):
+    """compact() folds per-epoch lineage dirs into one consolidated parquet:
+    read()/logged_epochs() are unchanged, the dir count shrinks, further
+    appends + compactions chain, and the marker-swapped-but-dirs-present
+    crash window cannot double-count."""
+    import shutil
+    from pathlib import Path
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=4)
+    pipe.replay(stream)  # 3 epochs -> 3 per-epoch lineage dirs
+    log = pipe.log
+    before = sorted(map(tuple, log.read().collect()))
+    epochs_before = log.logged_epochs()
+    assert len(list(Path(log.root).glob("epoch=*"))) == 3
+
+    out = log.compact(keep_last=1)
+    assert out["compacted_epochs"] == 2
+    assert sorted(map(tuple, log.read().collect())) == before
+    assert log.logged_epochs() == epochs_before
+    assert len(list(Path(log.root).glob("epoch=*"))) == 1
+
+    # crash window: victim dirs still present AFTER the marker swap — the
+    # covered-epoch exclusion must keep the view duplicate-free
+    log._write_pandas(
+        log.read().where("epoch = 0").toPandas(), 0
+    )  # resurrect a covered per-epoch dir, as an interrupted cleanup would
+    assert sorted(map(tuple, log.read().collect())) == before
+    assert log.logged_epochs() == epochs_before
+
+    # chained compaction folds the remainder into the consolidated dir
+    out2 = log.compact(keep_last=0)
+    assert out2["compacted_epochs"] == 1
+    assert sorted(map(tuple, log.read().collect())) == before
+    assert log.logged_epochs() == epochs_before
+    assert len([p for p in Path(log.root).glob("compacted-*")]) == 1
+    # the pipeline's resume logic still sees every epoch as logged
+    assert pipe.replay(stream) == []
+    shutil.rmtree(f"{tmpdir_path}/t", ignore_errors=True)
