@@ -221,11 +221,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact_above:
             out["compaction"] = t.compact(above=args.compact_above)
         if args.compact_lineage:
+            import os
+
             from etl_spark.checkpoint import CheckpointLog
 
             out["lineage"] = CheckpointLog(
                 spark, f"{args.table}/_checkpoint"
             ).compact(keep_last=args.compact_lineage)
+            if os.path.isdir(f"{args.table}/_checkpoint_stream"):
+                out["lineage_stream"] = CheckpointLog(
+                    spark, f"{args.table}/_checkpoint_stream"
+                ).compact(keep_last=args.compact_lineage)
         expired = t.expire_snapshots(
             retain_last=args.retain, older_than_s=args.expire_older_than)
         stats = t.vacuum(older_than_s=args.vacuum_older_than)
