@@ -166,13 +166,16 @@ class CheckpointLog:
     # folds old per-epoch dirs into a consolidated parquet dir recorded by
     # an atomically-swapped JSON marker carrying the covered epoch set
     # (range-encoded, same codec as the table manifest). Every crash window
-    # is consistent by construction: read()/logged_epochs() EXCLUDE
-    # per-epoch dirs whose epoch the marker already covers, so the
-    # marker-swapped-but-dirs-not-yet-removed window cannot double-count,
-    # and an orphaned consolidated dir (crash before swap) is ignored and
-    # reclaimed by the next compact().
+    # is consistent by construction: a per-epoch dir OVERRIDES the
+    # consolidated copy of its epoch (see _view), so the marker-swapped-
+    # but-dirs-not-yet-removed window reads the same rows from the dir
+    # instead of double-counting, rollback-then-replay rewrites stay
+    # visible, and an orphaned consolidated dir (crash before swap) is
+    # ignored and reclaimed by the next compact().
 
     _MARKER = "compacted.json"
+    _LOCK = "compact.lock"
+    _LOCK_STALE_S = 3600.0
 
     def _marker(self) -> dict | None:
         import json
@@ -182,40 +185,65 @@ class CheckpointLog:
             return None
         return json.loads(p.read_text())
 
-    def compacted_epochs(self) -> set[int]:
+    def _view(self) -> tuple[dict | None, set[int], list, set[int]]:
+        """ONE marker read + decode: (marker, covered, per-epoch
+        [(epoch, path)], per-epoch epoch set).
+
+        A per-epoch dir OVERRIDES the consolidated copy of its epoch: an
+        epoch re-applied after a rollback rewrites its dir (overwrite
+        semantics predate consolidation and must survive it), and a
+        leftover victim dir from an interrupted cleanup holds rows
+        identical to the consolidated ones — either way the dir is the
+        newer truth and stays re-compactable."""
         from etl_spark.lake.table import decode_epoch_ranges
 
         m = self._marker()
-        return decode_epoch_ranges(m["epochs"]) if m else set()
+        covered = decode_epoch_ranges(m["epochs"]) if m else set()
+        per_epoch = sorted(
+            (int(p.name.split("=")[1]), p) for p in self.root.glob("epoch=*")
+        )
+        return m, covered, per_epoch, {e for e, _ in per_epoch}
 
-    def _live_parts(self) -> tuple[list[str], set[int]]:
-        """(paths to read, epochs in per-epoch dirs NOT covered by the
-        marker) — the consistent view under any compaction crash window."""
-        covered = self.compacted_epochs()
-        m = self._marker()
-        dirs, live = [], set()
-        for p in sorted(self.root.glob("epoch=*")):
-            e = int(p.name.split("=")[1])
-            if e in covered:
-                continue
-            dirs.append(str(p))
-            live.add(e)
-        paths = ([str(self.root / m["dir"])] if m else []) + dirs
-        return paths, live
+    def compacted_epochs(self) -> set[int]:
+        return self._view()[1]
 
     def read(self) -> DataFrame:
-        paths, _ = self._live_parts()
-        if not paths:
+        m, covered, per_epoch, dir_epochs = self._view()
+        parts = []
+        if m:
+            cons = self.spark.read.schema(LOG_SCHEMA).parquet(
+                str(self.root / m["dir"])
+            )
+            overridden = sorted(covered & dir_epochs)
+            if overridden:
+                cons = cons.where(~F.col("epoch").isin(overridden))
+            parts.append(cons)
+        if per_epoch:
+            parts.append(
+                self.spark.read.schema(LOG_SCHEMA).parquet(
+                    *[str(p) for _, p in per_epoch]
+                )
+            )
+        if not parts:
             return self.spark.createDataFrame([], LOG_SCHEMA)
-        return self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def logged_epochs(self) -> set[int]:
-        _, live = self._live_parts()
-        return live | self.compacted_epochs()
+        _, covered, _, dir_epochs = self._view()
+        return covered | dir_epochs
 
     def compact(self, keep_last: int = 64) -> dict:
         """Fold per-epoch lineage dirs older than the newest ``keep_last``
-        (plus any previous consolidation) into one consolidated dir."""
+        (plus any previous consolidation) into one consolidated dir.
+        Covered-but-present dirs (rollback re-applies, interrupted
+        cleanups) are victims too — their rows REPLACE the consolidated
+        copies, and the dirs are reclaimed. A link-style lock file (stale
+        after an hour) rejects concurrent compactors, whose last-wins
+        marker swap could otherwise publish a directory the winner already
+        removed."""
         import json
         import os
         import shutil
@@ -223,31 +251,66 @@ class CheckpointLog:
 
         from etl_spark.lake.table import encode_epoch_ranges
 
-        m = self._marker()
-        covered = self.compacted_epochs()
-        per_epoch = sorted(
-            ((int(p.name.split("=")[1]), p) for p in self.root.glob("epoch=*")
-             if int(p.name.split("=")[1]) not in covered),
-        )
-        victims = per_epoch[:-keep_last] if keep_last > 0 else per_epoch
-        if not victims:
-            return {"compacted_epochs": 0, "covered": len(covered)}
-        srcs = [str(p) for _, p in victims]
-        if m:
-            srcs.append(str(self.root / m["dir"]))
-        df = self.spark.read.schema(LOG_SCHEMA).parquet(*srcs)
-        new_dir = f"compacted-{uuid.uuid4().hex}"
-        # a handful of files regardless of history depth: rows are tiny
-        df.coalesce(8).write.mode("overwrite").parquet(str(self.root / new_dir))
-        new_epochs = covered | {e for e, _ in victims}
-        tmp = self.root / f".{self._MARKER}.{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(
-            {"dir": new_dir, "epochs": encode_epoch_ranges(new_epochs)}))
-        os.replace(tmp, self.root / self._MARKER)  # the atomic publish
-        # cleanup is best-effort: any window left behind is consistent
-        for _, p in victims:
-            shutil.rmtree(p, ignore_errors=True)
-        for p in self.root.glob("compacted-*"):
-            if p.name != new_dir:
+        lock = self.root / self._LOCK
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                age = 0.0
+            if age < self._LOCK_STALE_S:
+                return {"skipped": True, "reason": "concurrent compaction"}
+            lock.touch()  # steal the stale lock (crashed compactor)
+        try:
+            m, covered, per_epoch, _ = self._view()
+            victims = per_epoch[:-keep_last] if keep_last > 0 else per_epoch
+            stray = [
+                p for p in self.root.glob("compacted-*")
+                if not (m and p.name == m["dir"])
+            ]
+            if not victims:
+                for p in stray:  # orphan of a pre-publish crash
+                    shutil.rmtree(p, ignore_errors=True)
+                return {"compacted_epochs": 0, "covered": len(covered)}
+            victim_epochs = {e for e, _ in victims}
+            parts = [
+                self.spark.read.schema(LOG_SCHEMA).parquet(
+                    *[str(p) for _, p in victims]
+                )
+            ]
+            if m:
+                cons = self.spark.read.schema(LOG_SCHEMA).parquet(
+                    str(self.root / m["dir"])
+                )
+                stale = sorted(covered & victim_epochs)
+                if stale:  # victim dirs override their consolidated copies
+                    cons = cons.where(~F.col("epoch").isin(stale))
+                parts.append(cons)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            new_dir = f"compacted-{uuid.uuid4().hex}"
+            # a handful of files regardless of history depth: rows are tiny
+            df.coalesce(8).write.mode("overwrite").parquet(
+                str(self.root / new_dir)
+            )
+            new_epochs = covered | victim_epochs
+            tmp = self.root / f".{self._MARKER}.{uuid.uuid4().hex}"
+            tmp.write_text(json.dumps(
+                {"dir": new_dir, "epochs": encode_epoch_ranges(new_epochs)}))
+            os.replace(tmp, self.root / self._MARKER)  # the atomic publish
+            # cleanup is best-effort: any window left behind is consistent
+            # (leftover victim dirs hold rows identical to the new
+            # consolidated copy and override it; next compact reclaims them)
+            for _, p in victims:
                 shutil.rmtree(p, ignore_errors=True)
-        return {"compacted_epochs": len(victims), "covered": len(new_epochs)}
+            if m and m["dir"] != new_dir:
+                shutil.rmtree(self.root / m["dir"], ignore_errors=True)
+            for p in stray:
+                shutil.rmtree(p, ignore_errors=True)
+            return {"compacted_epochs": len(victims),
+                    "covered": len(new_epochs)}
+        finally:
+            lock.unlink(missing_ok=True)

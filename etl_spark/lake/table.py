@@ -747,12 +747,10 @@ class SnapshotTable:
         week of history for time travel"), and count-based expiry alone
         would silently shorten the window on a busy table (10^4 commits/day
         at steady state). The newest snapshot never expires."""
-        import time as _time
-
         versions = self.versions()
         expired = versions[:-retain_last] if retain_last > 0 else versions[:-1]
         if older_than_s is not None:
-            cutoff = _time.time() - older_than_s
+            cutoff = time.time() - older_than_s
             keep = []
             for v in expired:
                 ts = self.manifest(v).get("committed_at")

@@ -94,19 +94,42 @@ def test_lineage_compaction_preserves_log_and_heals_crash_windows(
     assert len(list(Path(log.root).glob("epoch=*"))) == 1
 
     # crash window: victim dirs still present AFTER the marker swap — the
-    # covered-epoch exclusion must keep the view duplicate-free
+    # per-epoch dir overrides its consolidated copy with IDENTICAL rows,
+    # so the view stays duplicate-free
     log._write_pandas(
         log.read().where("epoch = 0").toPandas(), 0
     )  # resurrect a covered per-epoch dir, as an interrupted cleanup would
     assert sorted(map(tuple, log.read().collect())) == before
     assert log.logged_epochs() == epochs_before
 
-    # chained compaction folds the remainder into the consolidated dir
+    # rollback-then-replay: a covered epoch REWRITTEN with different rows
+    # must be served from its fresh dir, not the stale consolidated copy
+    pdf0 = log.read().where("epoch = 0").toPandas()
+    pdf0["row_count"] = pdf0["row_count"] + 1000
+    log._write_pandas(pdf0, 0)
+    got0 = {(r.bucket, r.row_count)
+            for r in log.read().where("epoch = 0").collect()}
+    assert got0 == {(int(b), int(c)) for b, c in
+                    zip(pdf0["bucket"], pdf0["row_count"])}
+
+    # chained compaction folds the remainder AND the rewrite, reclaiming
+    # every per-epoch dir (covered-but-present included)
     out2 = log.compact(keep_last=0)
-    assert out2["compacted_epochs"] == 1
-    assert sorted(map(tuple, log.read().collect())) == before
+    assert out2["compacted_epochs"] == 2  # epoch 2 (kept) + rewritten 0
+    after = sorted(map(tuple, log.read().collect()))
+    assert {r[0] for r in after} == {r[0] for r in before}
     assert log.logged_epochs() == epochs_before
+    assert len(list(Path(log.root).glob("epoch=*"))) == 0
     assert len([p for p in Path(log.root).glob("compacted-*")]) == 1
+    # the rewrite survived the fold
+    got0 = {(r.bucket, r.row_count)
+            for r in log.read().where("epoch = 0").collect()}
+    assert got0 == {(int(b), int(c)) for b, c in
+                    zip(pdf0["bucket"], pdf0["row_count"])}
+    # concurrent compactor: a fresh young lock file rejects the second run
+    (Path(log.root) / "compact.lock").touch()
+    assert log.compact(keep_last=0).get("skipped")
+    (Path(log.root) / "compact.lock").unlink()
     # the pipeline's resume logic still sees every epoch as logged
     assert pipe.replay(stream) == []
     shutil.rmtree(f"{tmpdir_path}/t", ignore_errors=True)
