@@ -109,3 +109,46 @@ def test_vacuum_grace_window_spares_young_orphans(spark, tmpdir_path):
     os.utime(orphan, (old, old))
     out = t.vacuum(older_than_s=3600.0)
     assert out["files_removed"] == 1 and not orphan.exists()
+
+
+def test_merge_racing_rebucket_fails_loudly_without_data_loss(
+    spark, tmpdir_path
+):
+    """A merge that loses its manifest swap to a concurrent rebucket must
+    NOT silently commit old-layout clustering: the retry re-plan hits the
+    layout-drift guard and raises; a re-attached handle applies the same
+    epoch cleanly and no committed data is lost."""
+    import pytest
+
+    from etl_spark.lake.table import SnapshotTable
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string")
+
+    a = SnapshotTable(spark, tmpdir_path, n_buckets=4)
+    a.merge_epoch(_df([("r", f"p{i}", "c000000000001", "v")
+                       for i in range(20)]), 0)
+    b = SnapshotTable(spark, tmpdir_path)  # second writer, same layout
+
+    orig = b._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(manifest, base_version=None):
+        if not state["raced"]:
+            state["raced"] = True
+            a.rebucket(16)  # lands first; b's swap must now conflict
+        return orig(manifest, base_version)
+
+    b._commit_manifest = racing_commit
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        b.merge_epoch(_df([("r", "q", "c000000000002", "w")]), 1)
+    assert state["raced"]
+    # nothing lost, nothing half-committed
+    fresh = SnapshotTable(spark, tmpdir_path)
+    assert fresh.n_buckets == 16
+    assert fresh.read().count() == 20
+    assert fresh.fsck()["ok"]
+    # the rejected epoch applies cleanly on a re-attached handle
+    fresh.merge_epoch(_df([("r", "q", "c000000000002", "w")]), 1)
+    assert fresh.lookup("r", "q").first().content == "w"
