@@ -50,6 +50,20 @@ STREAM_DDL = (
 )
 
 
+def _retry_on_layout_drift(run, reattach):
+    """Run ``run()``; on the merge path's layout-drift rejection (a
+    concurrent ``rebucket()``), call ``reattach()`` once and retry. Any
+    other error — including drift persisting after re-attach — propagates
+    and fails the streaming query as before."""
+    try:
+        return run()
+    except RuntimeError as err:
+        if "rebucketed" not in str(err):
+            raise
+        reattach()
+        return run()
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_root: str,
@@ -69,16 +83,20 @@ def stream_ingest(
     """
     from etl_spark.checkpoint import CheckpointLog
 
-    pipe = IngestPipeline(
-        spark,
-        table_root,
-        n_buckets=n_buckets,
-        count_input=False,
-        dedupe_strategy=dedupe_strategy,
-    )
-    # streaming lineage gets its own log root — batch epoch N and stream
-    # batch N are different events and must not share a partition dir
-    pipe.log = CheckpointLog(spark, f"{table_root}/_checkpoint_stream")
+    def _mk_pipe() -> IngestPipeline:
+        p = IngestPipeline(
+            spark,
+            table_root,
+            n_buckets=n_buckets,
+            count_input=False,
+            dedupe_strategy=dedupe_strategy,
+        )
+        # streaming lineage gets its own log root — batch epoch N and stream
+        # batch N are different events and must not share a partition dir
+        p.log = CheckpointLog(spark, f"{table_root}/_checkpoint_stream")
+        return p
+
+    state = {"pipe": _mk_pipe()}
     ddl = STREAM_DDL if extra_schema is None else f"{STREAM_DDL}, {extra_schema}"
 
     source = (
@@ -89,6 +107,15 @@ def stream_ingest(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a maintenance rebucket() landing mid-stream trips the layout-drift
+        # guard; re-attach once under the new layout and retry the batch —
+        # the exactly-once commit makes the retry safe
+        _retry_on_layout_drift(
+            lambda: _apply(state["pipe"], batch_df, batch_id),
+            lambda: state.__setitem__("pipe", _mk_pipe()),
+        )
+
+    def _apply(pipe: IngestPipeline, batch_df: DataFrame, batch_id: int) -> None:
         # Same core as IngestPipeline._apply_batch, keyed by streaming batch
         # id: the sink's applied-epoch set makes re-delivered batches no-ops.
         from etl_spark.lake.table import STREAM_EPOCH_BASE

@@ -183,3 +183,61 @@ def test_streaming_schema_evolution(spark, tmpdir_path):
     assert final.where(F.col("metadata").isNotNull()).count() > 0
     got = final.drop("epoch").toPandas()
     assert_frames_equal(got, oracle_final_state(f"{root}/stream", with_metadata=True))
+
+
+def test_retry_on_layout_drift_reattaches_once():
+    """The stream's batch wrapper re-attaches exactly once on the drift
+    rejection and propagates everything else."""
+    import pytest
+
+    from etl_spark.streaming.ingest import _retry_on_layout_drift
+
+    calls = {"run": 0, "reattach": 0}
+
+    def drift_once():
+        calls["run"] += 1
+        if calls["run"] == 1:
+            raise RuntimeError("table x was rebucketed to 16 buckets")
+        return "ok"
+
+    assert _retry_on_layout_drift(
+        drift_once, lambda: calls.__setitem__("reattach", 1)) == "ok"
+    assert calls == {"run": 2, "reattach": 1}
+
+    with pytest.raises(ValueError):
+        _retry_on_layout_drift(
+            lambda: (_ for _ in ()).throw(ValueError("other")), lambda: None)
+
+    def drift_always():
+        raise RuntimeError("was rebucketed again")
+
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        _retry_on_layout_drift(drift_always, lambda: None)
+
+
+def test_stream_resumes_exactly_once_after_rebucket(spark, tmpdir_path):
+    """A rebucket between streaming runs: the next run attaches under the
+    new layout and applies only the NEW backlog (batch-id space intact)."""
+    from etl_spark.datagen import change_stream, write_segments
+    from etl_spark.lake.table import SnapshotTable
+    from etl_spark.streaming import stream_ingest
+
+    df = change_stream(spark, 2000, n_repos=5, paths_per_repo=20,
+                       events_per_epoch=1000, dup_pct=0)
+    write_segments(df.where("epoch = 0"), f"{tmpdir_path}/stream")
+    q = stream_ingest(spark, f"{tmpdir_path}/stream", f"{tmpdir_path}/t",
+                      n_buckets=4)
+    q.awaitTermination(120)
+    t = SnapshotTable(spark, f"{tmpdir_path}/t")
+    n1 = t.read().count()
+    assert n1 > 0
+    t.rebucket(16)
+    # new backlog arrives after the rebucket
+    write_segments(df.where("epoch = 1"), f"{tmpdir_path}/stream")
+    q2 = stream_ingest(spark, f"{tmpdir_path}/stream", f"{tmpdir_path}/t",
+                       n_buckets=4)
+    q2.awaitTermination(120)
+    fresh = SnapshotTable(spark, f"{tmpdir_path}/t")
+    assert fresh.n_buckets == 16
+    assert fresh.read().count() > n1
+    assert fresh.fsck()["ok"]
