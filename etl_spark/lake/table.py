@@ -1621,8 +1621,23 @@ class SnapshotTable:
                         inter = _hit(base_olds, probe_all,
                                      sfiles + live_deltas)
                     inter = inter + live_deltas
+                elif frag:
+                    inter = olds
+                elif live_deltas:
+                    # COW commit on a bucket that carries MOR deltas from
+                    # earlier commits: folding a delta into the rewrite
+                    # requires rewriting EVERY base file containing a delta
+                    # key — probing with only the INCOMING keys can sweep a
+                    # delta into the rewrite (its range overlaps an incoming
+                    # key) while carrying an untouched base file that holds
+                    # the same key, leaving TWO base rows for one key
+                    # (found by the lifecycle fuzz, seed 303)
+                    probe_all = self._probe_staged_keys(sfiles + live_deltas)
+                    inter = _hit(
+                        base_olds, probe_all, sfiles + live_deltas
+                    ) + live_deltas
                 else:
-                    inter = olds if frag else _hit(olds, delta_keys, sfiles)
+                    inter = _hit(olds, delta_keys, sfiles)
                 inter_paths = {f["path"] for f in inter}
                 disjoint = [f for f in olds if f["path"] not in inter_paths]
                 carried += disjoint

@@ -1,0 +1,120 @@
+"""Model-based lifecycle fuzz: random interleavings of every table
+operation checked against a pure-Python latest-wins oracle.
+
+The unit differentials (test_lake / test_mor / test_deletes /
+test_maintenance) each pin ONE operation; this test drives the whole
+surface — COW and MOR merges with stale/duplicate re-deliveries, deletes,
+compaction (with and without tombstone purge... purge excluded: it changes
+semantics), rollback, rebucket, expire+vacuum — in seeded random order and
+asserts the visible state equals the model after EVERY step, plus fsck at
+the end. Versions created along the way snapshot the model so rollback is
+checked against true history.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_spark.lake.table import SnapshotTable
+
+KEYS = [("r%d" % (i % 3), "p%02d" % i) for i in range(24)]
+
+
+def _visible(model: dict) -> dict:
+    return {k: v for k, v in model.items() if not v[1]}
+
+
+def _state(t: SnapshotTable) -> dict:
+    return {
+        (r.repo, r.path): (r.commit, r.content)
+        for r in t.read().collect()
+    }
+
+
+def _apply_rows(model: dict, rows: list) -> None:
+    """Latest-wins arbitration, mirroring the merge contract: greater
+    commit wins; equal commit keeps the incumbent (stale re-delivery)."""
+    for repo, path, commit, content, deleted in rows:
+        cur = model.get((repo, path))
+        if cur is not None and commit <= cur[0][0]:
+            continue
+        model[(repo, path)] = ((commit, content), deleted)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 303])
+def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
+    rng = random.Random(seed)
+    t = SnapshotTable(spark, f"{tmpdir_path}/{seed}", n_buckets=4,
+                      target_file_rows=8)
+    model: dict = {}
+    history: dict[int, dict] = {}
+    lsn = 0
+    epoch = 0
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(r, p, c, x) for r, p, c, x, _ in rows],
+            "repo string, path string, commit string, content string",
+        )
+
+    for step in range(24):
+        op = rng.choice(
+            ["merge", "merge", "merge", "delete", "compact",
+             "rebucket", "rollback", "expire_vacuum"]
+        )
+        if op == "merge" or not t.exists():
+            rows = []
+            for _ in range(rng.randint(1, 8)):
+                repo, path = rng.choice(KEYS)
+                # sometimes STALE (an old lsn): must lose latest-wins
+                c_lsn = rng.randint(1, lsn) if lsn and rng.random() < 0.3 \
+                    else lsn + rng.randint(1, 3)
+                lsn = max(lsn, c_lsn)
+                rows.append((repo, path, "c%012d" % c_lsn,
+                             "v%d" % c_lsn, False))
+            mode = rng.choice([None, "cow", "mor"])
+            out = t.merge_epoch(_df(rows), epoch, merge_mode=mode)
+            epoch += 1
+            if not out.get("skipped"):
+                _apply_rows(model, rows)
+                history[out["version"]] = dict(model)
+        elif op == "delete":
+            repo, path = rng.choice(KEYS)
+            lsn += 1
+            rows = [(repo, path, "c%012d" % lsn, None, True)]
+            keys = spark.createDataFrame(
+                [(repo, path, "c%012d" % lsn)],
+                "repo string, path string, commit string",
+            )
+            out = t.delete_epochs(keys, [epoch])
+            epoch += 1
+            if not out.get("skipped"):
+                _apply_rows(model, rows)
+                history[out["version"]] = dict(model)
+        elif op == "compact":
+            out = t.compact(above=rng.choice([0, 2]))
+            v = t.current_version()
+            if v is not None:
+                history[v] = dict(model)
+        elif op == "rebucket":
+            out = t.rebucket(rng.choice([2, 4, 8]))
+            if out.get("rebucketed"):
+                history[out["version"]] = dict(model)
+        elif op == "rollback":
+            targets = [v for v in t.versions() if v in history]
+            if len(targets) > 1:
+                v = rng.choice(targets)
+                rb = t.rollback(v)
+                model = dict(history[v])
+                history[rb["version"]] = dict(model)
+        elif op == "expire_vacuum":
+            t.expire_snapshots(retain_last=rng.randint(2, 4))
+            t.vacuum(older_than_s=0)
+
+        got = _state(t)
+        want = {k: v[0] for k, v in _visible(model).items()}
+        assert got == want, f"seed={seed} step={step} op={op}"
+
+    assert t.fsck()["ok"]

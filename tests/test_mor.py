@@ -229,3 +229,29 @@ def test_fold_falls_back_to_shuffle_past_broadcast_guard(spark, tmpdir_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert _state(t) == want
+
+
+def test_cow_commit_folds_deltas_without_duplicating_carried_keys(
+    spark, tmpdir_path
+):
+    """A COW commit on a bucket carrying MOR deltas: folding a delta whose
+    range overlaps the incoming keys must ALSO rewrite every base file
+    holding a delta key — otherwise the folded row duplicates a key still
+    present in a carried base file (lifecycle-fuzz seed 303)."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=1, target_file_rows=1)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000001", "a1"),
+                              ("r", "b", "c000000000001", "b1"),
+                              ("r", "c", "c000000000001", "c1")]), 0)
+    # delta spans [a..c]; its keys' base rows live in per-row base files
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000002", "a2"),
+                              ("r", "c", "c000000000002", "c2")]), 1,
+                  merge_mode="mor")
+    assert any(f.get("kind") == "delta" for f in t.files())
+    # incoming key "b" overlaps the delta's [a..c] range but not base "a"
+    t.merge_epoch(_df(spark, [("r", "b", "c000000000003", "b3")]), 2,
+                  merge_mode="cow")
+    rows = t.read().select("repo", "path", "commit", "content").collect()
+    assert len(rows) == 3  # exactly one live row per key
+    assert {(r.path, r.content) for r in rows} == {
+        ("a", "a2"), ("b", "b3"), ("c", "c2")}
+    assert t.fsck()["ok"]
