@@ -53,7 +53,16 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     lsn = 0
     epoch = 0
 
-    def _df(rows):
+    def _df(rows, widened=False):
+        if widened:
+            # additive schema evolution mid-sequence: the extra column must
+            # survive every later rewrite (compact/rebucket/rollback) and
+            # never disturb key/commit/content arbitration
+            return spark.createDataFrame(
+                [(r, p, c, x, "l%s" % p) for r, p, c, x, _ in rows],
+                "repo string, path string, commit string, content string, "
+                "lang string",
+            )
         return spark.createDataFrame(
             [(r, p, c, x) for r, p, c, x, _ in rows],
             "repo string, path string, commit string, content string",
@@ -75,7 +84,10 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 rows.append((repo, path, "c%012d" % c_lsn,
                              "v%d" % c_lsn, False))
             mode = rng.choice([None, "cow", "mor"])
-            out = t.merge_epoch(_df(rows), epoch, merge_mode=mode)
+            out = t.merge_epoch(
+                _df(rows, widened=step > 8 and rng.random() < 0.4),
+                epoch, merge_mode=mode,
+            )
             epoch += 1
             if not out.get("skipped"):
                 _apply_rows(model, rows)
@@ -88,7 +100,9 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 [(repo, path, "c%012d" % lsn)],
                 "repo string, path string, commit string",
             )
-            out = t.delete_epochs(keys, [epoch])
+            out = t.delete_epochs(
+                keys, [epoch], merge_mode=rng.choice([None, "cow", "mor"])
+            )
             epoch += 1
             if not out.get("skipped"):
                 _apply_rows(model, rows)
