@@ -53,19 +53,23 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     lsn = 0
     epoch = 0
 
-    def _df(rows, widened=False):
+    def _df(rows, ep, widened=False):
+        # rows carry per-row epoch provenance like real pipeline tables —
+        # it is what makes the change feed exact (co-located rows rewritten
+        # into merged files are excluded by the epoch-range filter)
         if widened:
             # additive schema evolution mid-sequence: the extra column must
             # survive every later rewrite (compact/rebucket/rollback) and
             # never disturb key/commit/content arbitration
             return spark.createDataFrame(
-                [(r, p, c, x, "l%s" % p) for r, p, c, x, _ in rows],
+                [(r, p, c, x, ep, "l%s" % p) for r, p, c, x, _ in rows],
                 "repo string, path string, commit string, content string, "
-                "lang string",
+                "epoch int, lang string",
             )
         return spark.createDataFrame(
-            [(r, p, c, x) for r, p, c, x, _ in rows],
-            "repo string, path string, commit string, content string",
+            [(r, p, c, x, ep) for r, p, c, x, _ in rows],
+            "repo string, path string, commit string, content string, "
+            "epoch int",
         )
 
     for step in range(24):
@@ -73,6 +77,8 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
             ["merge", "merge", "merge", "delete", "compact",
              "rebucket", "rollback", "expire_vacuum"]
         )
+        v_prev = t.current_version() if t.exists() else None
+        model_prev = dict(model)
         if op == "merge" or not t.exists():
             rows = []
             for _ in range(rng.randint(1, 8)):
@@ -85,7 +91,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                              "v%d" % c_lsn, False))
             mode = rng.choice([None, "cow", "mor"])
             out = t.merge_epoch(
-                _df(rows, widened=step > 8 and rng.random() < 0.4),
+                _df(rows, epoch, widened=step > 8 and rng.random() < 0.4),
                 epoch, merge_mode=mode,
             )
             epoch += 1
@@ -130,5 +136,27 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
         got = _state(t)
         want = {k: v[0] for k, v in _visible(model).items()}
         assert got == want, f"seed={seed} step={step} op={op}"
+
+        # CDC-out contract: the change feed since v_prev must be exactly
+        # the model diff for data ops, and EMPTY for metadata-only rewrites
+        # (compact/rebucket re-cluster without applying epochs). Rollback
+        # shrinks the applied set (consumers resync via watermark reset) and
+        # expire can drop v_prev's manifest — both skipped by design.
+        if v_prev is not None and op in ("merge", "delete",
+                                         "compact", "rebucket"):
+            feed = {
+                (r.repo, r.path): (
+                    r.commit, bool(r.asDict().get("_deleted") or False)
+                )
+                for r in t.changes_between(v_prev).collect()
+            }
+            if op in ("compact", "rebucket"):
+                assert feed == {}, f"seed={seed} step={step} op={op}"
+            else:
+                diff = {
+                    k: (v[0][0], v[1]) for k, v in model.items()
+                    if model_prev.get(k) != v
+                }
+                assert feed == diff, f"seed={seed} step={step} op={op}"
 
     assert t.fsck()["ok"]
