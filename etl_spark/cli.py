@@ -336,6 +336,19 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": sum(f["rows"] for f in fl),
                     "bytes": sum(f["bytes"] for f in fl),
                     "n_buckets": m.get("n_buckets"),
+                    # sizing rule (README design notes): a bucket's rows must
+                    # fit in max_files_per_bucket target-size files, or every
+                    # merge fights the fragmentation cap — suggest the next
+                    # power-of-two rebucket when the layout is outgrown
+                    "suggested_n_buckets": (lambda rows, nb, cap: (
+                        None if rows <= nb * cap
+                        else 1 << (max(1, -(-rows // cap)) - 1).bit_length()
+                    ))(
+                        sum(f["rows"] for f in fl),
+                        m.get("n_buckets", 1),
+                        max(1, m.get("target_file_rows", 1)
+                            * m.get("max_files_per_bucket", 1)),
+                    ),
                     "merge_mode": m.get("merge_mode", "cow"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
