@@ -252,20 +252,44 @@ class CheckpointLog:
         from etl_spark.lake.table import encode_epoch_ranges
 
         lock = self.root / self._LOCK
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
+        # O_EXCL is the only acquisition path — stealing a stale lock means
+        # UNLINK then re-race the O_EXCL, so two stealers cannot both win
+        # (one create succeeds, the other sees FileExistsError again and
+        # backs off). A lock vanishing between the failed create and the
+        # stat (holder just finished) retries the create instead of
+        # spuriously reporting a concurrent compaction.
+        acquired = False
+        for _ in range(3):
             try:
-                age = time.time() - lock.stat().st_mtime
-            except FileNotFoundError:
-                age = 0.0
-            if age < self._LOCK_STALE_S:
-                return {"skipped": True, "reason": "concurrent compaction"}
-            lock.touch()  # steal the stale lock (crashed compactor)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                acquired = True
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - lock.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released: re-race the create
+                if age < self._LOCK_STALE_S:
+                    return {"skipped": True, "reason": "concurrent compaction"}
+                lock.unlink(missing_ok=True)  # stale (crashed compactor)
+        if not acquired:
+            return {"skipped": True, "reason": "concurrent compaction"}
         try:
             m, covered, per_epoch, _ = self._view()
             victims = per_epoch[:-keep_last] if keep_last > 0 else per_epoch
+            # snapshot each victim dir's mtime BEFORE reading: a concurrent
+            # lineage rewrite (rollback-then-replay healing an epoch while
+            # maintain runs) bumps it, and deleting the fresh dir after the
+            # marker swap would lose that update — a changed dir is left in
+            # place, where it OVERRIDES the consolidated copy (see _view)
+            # and is folded by the next compact()
+            victim_mtime = {}
+            for _, p in victims:
+                try:
+                    victim_mtime[p] = p.stat().st_mtime_ns
+                except FileNotFoundError:
+                    victim_mtime[p] = None
             stray = [
                 p for p in self.root.glob("compacted-*")
                 if not (m and p.name == m["dir"])
@@ -305,7 +329,12 @@ class CheckpointLog:
             # (leftover victim dirs hold rows identical to the new
             # consolidated copy and override it; next compact reclaims them)
             for _, p in victims:
-                shutil.rmtree(p, ignore_errors=True)
+                try:
+                    unchanged = p.stat().st_mtime_ns == victim_mtime[p]
+                except FileNotFoundError:
+                    continue
+                if unchanged:
+                    shutil.rmtree(p, ignore_errors=True)
             if m and m["dir"] != new_dir:
                 shutil.rmtree(self.root / m["dir"], ignore_errors=True)
             for p in stray:

@@ -345,9 +345,12 @@ def main(argv: list[str] | None = None) -> int:
                         else 1 << (max(1, -(-rows // cap)) - 1).bit_length()
                     ))(
                         sum(f["rows"] for f in fl),
-                        m.get("n_buckets", 1),
-                        max(1, m.get("target_file_rows", 1)
-                            * m.get("max_files_per_bucket", 1)),
+                        m.get("n_buckets") or 32,
+                        # legacy manifests may omit the sizing knobs: fall
+                        # back to the CONSTRUCTOR defaults, not 1 — a wrong
+                        # fallback here suggests catastrophic rebuckets
+                        max(1, (m.get("target_file_rows") or 1_000_000)
+                            * (m.get("max_files_per_bucket") or 16)),
                     ),
                     "merge_mode": m.get("merge_mode", "cow"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],

@@ -172,6 +172,13 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class LayoutDriftError(RuntimeError):
+    """The table was rebucketed after this handle attached — a write planned
+    under the old bucket scheme would commit corrupt clustering. Re-attach
+    (construct a fresh SnapshotTable) and retry. Typed so callers (the
+    streaming re-attach path) never match on message prose."""
+
+
 # Iceberg-compatible safe type promotions (lossless widenings). Old files
 # keep their narrow physical type; Spark's parquet reader upcasts on read
 # under the widened manifest schema (verified: int32->long, float->double).
@@ -878,7 +885,7 @@ class SnapshotTable:
             # same layout-drift guard as the merge path: compaction re-stages
             # rows with THIS handle's bucket expr — under a stale width it
             # would commit corrupt clustering that lookups then miss
-            raise RuntimeError(
+            raise LayoutDriftError(
                 f"table {self.root} was rebucketed to {m['n_buckets']} "
                 f"buckets (this handle attached at {self.n_buckets}); "
                 "re-attach before compacting"
@@ -1449,7 +1456,7 @@ class SnapshotTable:
             # a rebucket() landed after this handle attached: its arranged
             # plan would place rows under the OLD bucket scheme — corrupt
             # clustering, wrong lookups. Fail loudly; the caller re-attaches.
-            raise RuntimeError(
+            raise LayoutDriftError(
                 f"table {self.root} was rebucketed to {m['n_buckets']} "
                 f"buckets (this handle attached at {self.n_buckets}); "
                 "re-attach before writing"
@@ -1631,8 +1638,16 @@ class SnapshotTable:
                     # delta into the rewrite (its range overlaps an incoming
                     # key) while carrying an untouched base file that holds
                     # the same key, leaving TWO base rows for one key
-                    # (found by the lifecycle fuzz, seed 303)
-                    probe_all = self._probe_staged_keys(sfiles + live_deltas)
+                    # (found by the lifecycle fuzz, seed 303). The staged
+                    # files' keys were already probed into probed[b] — only
+                    # the live deltas need a driver-side read here.
+                    if delta_keys is not None:
+                        dkeys = self._probe_staged_keys(live_deltas)
+                        probe_all = (
+                            delta_keys + dkeys if dkeys is not None else None
+                        )
+                    else:
+                        probe_all = None
                     inter = _hit(
                         base_olds, probe_all, sfiles + live_deltas
                     ) + live_deltas

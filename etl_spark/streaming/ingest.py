@@ -55,11 +55,11 @@ def _retry_on_layout_drift(run, reattach):
     concurrent ``rebucket()``), call ``reattach()`` once and retry. Any
     other error — including drift persisting after re-attach — propagates
     and fails the streaming query as before."""
+    from etl_spark.lake.table import LayoutDriftError
+
     try:
         return run()
-    except RuntimeError as err:
-        if "rebucketed" not in str(err):
-            raise
+    except LayoutDriftError:
         reattach()
         return run()
 

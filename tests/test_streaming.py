@@ -190,6 +190,7 @@ def test_retry_on_layout_drift_reattaches_once():
     rejection and propagates everything else."""
     import pytest
 
+    from etl_spark.lake.table import LayoutDriftError
     from etl_spark.streaming.ingest import _retry_on_layout_drift
 
     calls = {"run": 0, "reattach": 0}
@@ -197,21 +198,27 @@ def test_retry_on_layout_drift_reattaches_once():
     def drift_once():
         calls["run"] += 1
         if calls["run"] == 1:
-            raise RuntimeError("table x was rebucketed to 16 buckets")
+            raise LayoutDriftError("table x was rebucketed to 16 buckets")
         return "ok"
 
     assert _retry_on_layout_drift(
         drift_once, lambda: calls.__setitem__("reattach", 1)) == "ok"
     assert calls == {"run": 2, "reattach": 1}
 
+    # other errors — even ones mentioning rebuckets in prose — propagate
     with pytest.raises(ValueError):
         _retry_on_layout_drift(
             lambda: (_ for _ in ()).throw(ValueError("other")), lambda: None)
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        _retry_on_layout_drift(
+            lambda: (_ for _ in ()).throw(
+                RuntimeError("log line quoting 'rebucketed'")),
+            lambda: None)
 
     def drift_always():
-        raise RuntimeError("was rebucketed again")
+        raise LayoutDriftError("was rebucketed again")
 
-    with pytest.raises(RuntimeError, match="rebucketed"):
+    with pytest.raises(LayoutDriftError):
         _retry_on_layout_drift(drift_always, lambda: None)
 
 
