@@ -46,8 +46,12 @@ def _apply_rows(model: dict, rows: list) -> None:
 @pytest.mark.parametrize("seed", [7, 23, 303])
 def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     rng = random.Random(seed)
+    # manifest_inline_files=6 forces GROUPED manifests almost immediately —
+    # the 100-TB configuration — so group carry/rewrite logic is exercised
+    # under the same random interleavings as everything else
     t = SnapshotTable(spark, f"{tmpdir_path}/{seed}", n_buckets=4,
-                      target_file_rows=8)
+                      target_file_rows=8, manifest_groups=3,
+                      manifest_inline_files=6)
     model: dict = {}
     history: dict[int, dict] = {}
     lsn = 0
