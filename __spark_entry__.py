@@ -903,10 +903,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry — EXACTLY 50 entries (round-2's driver file recorded
     precisely the first 50 of 53, so the registry is sized to the observed
-    cap; the 3 trimmed redundant-variant queries live in
-    :func:`extra_queries`, still oracle-checked by tools/selfcheck.py and
-    the pytest differentials). ``ann_ivf`` stays LAST (rows-only by design,
-    carries a driver-visible recall column)."""
+    cap). Round 4 swaps the three round-3 semantics queries (``cdc_deletes``,
+    ``cdc_deletes_stream``, ``cdc_rebucket``) INTO the registry so the
+    driver's hard gate exercises deletes and partition evolution; the three
+    displaced second-strategy variants live in :func:`extra_queries`, still
+    oracle-checked by tools/selfcheck.py and the pytest differentials.
+    ``ann_ivf`` stays LAST (rows-only by design, carries a driver-visible
+    recall column)."""
     return {
         "cdc_current_state": q_cdc_current_state,
         "cdc_replay_e2e": q_cdc_replay_e2e,
@@ -927,7 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_centroid": q_a8_centroid,
         "w2_lead_gap": q_w2_lead_gap,
         "w3_suppress": q_w3_suppress,
-        "sessionize": q_sessionize,
+        "cdc_deletes": q_cdc_deletes,
         "j6_star_revenue": q_j6_star_revenue,
         "tpch_q1": q_tpch_q1,
         "repo_rollup": q_repo_rollup,
@@ -938,7 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_union_distinct": q_o4_union_distinct,
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
+        "cdc_deletes_stream": q_cdc_deletes_stream,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "content_sha": q_content_sha,
@@ -946,7 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "embedding_dedup": q_embedding_dedup,
+        "cdc_rebucket": q_cdc_rebucket,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "embedding_norms": q_embedding_norms,
         "token_bpe": q_token_bpe,
@@ -976,9 +979,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_pandas": q_sessionize_pandas,    # U1 via applyInPandas
         "doc_fingerprints": q_doc_fingerprints,      # rolling-hash fp variant
         "lang_normalize": q_lang_normalize,          # subsumed by dim_enrich
-        "cdc_deletes": q_cdc_deletes,                # tombstone replay (r3)
-        "cdc_deletes_stream": q_cdc_deletes_stream,  # WAL op-column replay (r3)
-        "cdc_rebucket": q_cdc_rebucket,              # partition evolution (r3)
+        # round-4 swap (VERDICT r3 "Next round" #1): the three round-3
+        # semantics queries moved INTO the 50-entry driver registry; these
+        # displaced second-strategy variants remain oracle-backed here, each
+        # covered by a driver-green sibling plus pytest differentials.
+        "sessionize": q_sessionize,                  # U1 via window (sibling: sessionize_native)
+        "dedup_fingerprint": q_dedup_fingerprint,    # sibling: dedup_exact
+        "embedding_dedup": q_embedding_dedup,        # sibling: embedding_dedup_lsh
     }
 
 

@@ -189,7 +189,10 @@ def main() -> int:
     # Warm the JVM/codegen so per-query numbers measure the queries.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    queries = entry_mod.queries()
+    # extras included: round 4 moved some benched names (e.g. sessionize)
+    # out of the 50-entry driver registry into extra_queries — the bench
+    # keeps timing the SAME queries for round-over-round comparability
+    queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

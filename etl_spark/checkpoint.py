@@ -175,6 +175,7 @@ class CheckpointLog:
 
     _MARKER = "compacted.json"
     _LOCK = "compact.lock"
+    _RETIRED = "retired.json"
     _LOCK_STALE_S = 3600.0
 
     def _marker(self) -> dict | None:
@@ -235,18 +236,88 @@ class CheckpointLog:
         _, covered, _, dir_epochs = self._view()
         return covered | dir_epochs
 
-    def compact(self, keep_last: int = 64) -> dict:
+    # ---- retirement (vacuum-style grace window) ---------------------------
+    #
+    # compact() never deletes a superseded dir in the same run that
+    # supersedes it: a concurrent lineage reader (status, replay pending
+    # computation, a second driver) that resolved the OLD marker may still
+    # be mid-scan, and rmtree under its planned Spark read raises
+    # FileNotFoundError. Superseded dirs are instead recorded in a
+    # retired.json sidecar (written only under the compactor lock) and
+    # reclaimed by a LATER compact() once older than ``grace_s`` — the same
+    # age-based rule vacuum() uses for data files. Every deferred window is
+    # consistent: a retired-but-present per-epoch dir overrides the
+    # consolidated copy with identical rows (see _view), and a retired
+    # consolidated dir is ignored (only the marker's dir is ever read).
+
+    def _load_retired(self) -> dict:
+        import json
+
+        p = self.root / self._RETIRED
+        if not p.exists():
+            return {}
+        try:
+            return json.loads(p.read_text())
+        except (ValueError, OSError):
+            return {}
+
+    def _save_retired(self, retired: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = self.root / f".{self._RETIRED}.{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(retired))
+        os.replace(tmp, self.root / self._RETIRED)
+
+    def _retire(self, retired: dict, name: str, mtime_ns: int | None) -> None:
+        """Record a superseded dir; keep the EARLIEST retired_at so repeated
+        re-folds of a still-present dir cannot postpone its reaping forever."""
+        if name not in retired:
+            retired[name] = {"retired_at": time.time(), "mtime_ns": mtime_ns}
+
+    def _reap(self, retired: dict, grace_s: float) -> int:
+        """Delete retired dirs past the grace window. A per-epoch dir whose
+        mtime changed since retirement was REWRITTEN (rollback-then-replay)
+        — it is the newer truth, so drop the entry without deleting; the
+        next compact() folds and re-retires it."""
+        import shutil
+
+        now = time.time()
+        reaped = 0
+        for name in list(retired):
+            ent = retired[name]
+            if now - ent["retired_at"] < grace_s:
+                continue
+            p = self.root / name
+            try:
+                changed = (
+                    ent["mtime_ns"] is not None
+                    and p.stat().st_mtime_ns != ent["mtime_ns"]
+                )
+            except FileNotFoundError:
+                del retired[name]
+                continue
+            if not changed:
+                shutil.rmtree(p, ignore_errors=True)
+                reaped += 1
+            del retired[name]
+        return reaped
+
+    def compact(self, keep_last: int = 64, grace_s: float = 600.0) -> dict:
         """Fold per-epoch lineage dirs older than the newest ``keep_last``
         (plus any previous consolidation) into one consolidated dir.
         Covered-but-present dirs (rollback re-applies, interrupted
         cleanups) are victims too — their rows REPLACE the consolidated
-        copies, and the dirs are reclaimed. A link-style lock file (stale
-        after an hour) rejects concurrent compactors, whose last-wins
-        marker swap could otherwise publish a directory the winner already
-        removed."""
+        copies. Superseded dirs are retired, not deleted: reclamation is
+        deferred to a later compact() past ``grace_s`` seconds so in-flight
+        readers of the old view never lose files mid-scan (``grace_s=0``
+        reclaims immediately, for tests and single-process use). A
+        link-style lock file (stale after an hour) rejects concurrent
+        compactors, whose last-wins marker swap could otherwise publish a
+        directory the winner already removed."""
         import json
         import os
-        import shutil
         import uuid
 
         from etl_spark.lake.table import encode_epoch_ranges
@@ -276,6 +347,8 @@ class CheckpointLog:
         if not acquired:
             return {"skipped": True, "reason": "concurrent compaction"}
         try:
+            retired = self._load_retired()
+            reaped = self._reap(retired, grace_s)  # prior runs' retirees
             m, covered, per_epoch, _ = self._view()
             victims = per_epoch[:-keep_last] if keep_last > 0 else per_epoch
             # snapshot each victim dir's mtime BEFORE reading: a concurrent
@@ -290,14 +363,16 @@ class CheckpointLog:
                     victim_mtime[p] = p.stat().st_mtime_ns
                 except FileNotFoundError:
                     victim_mtime[p] = None
-            stray = [
-                p for p in self.root.glob("compacted-*")
-                if not (m and p.name == m["dir"])
-            ]
+            # strays (pre-publish crash orphans, superseded consolidations)
+            # are retired rather than removed — reaped past grace
+            for p in self.root.glob("compacted-*"):
+                if not (m and p.name == m["dir"]):
+                    self._retire(retired, p.name, None)
             if not victims:
-                for p in stray:  # orphan of a pre-publish crash
-                    shutil.rmtree(p, ignore_errors=True)
-                return {"compacted_epochs": 0, "covered": len(covered)}
+                reaped += self._reap(retired, grace_s)
+                self._save_retired(retired)
+                return {"compacted_epochs": 0, "covered": len(covered),
+                        "reaped_dirs": reaped}
             victim_epochs = {e for e, _ in victims}
             parts = [
                 self.spark.read.schema(LOG_SCHEMA).parquet(
@@ -325,21 +400,24 @@ class CheckpointLog:
             tmp.write_text(json.dumps(
                 {"dir": new_dir, "epochs": encode_epoch_ranges(new_epochs)}))
             os.replace(tmp, self.root / self._MARKER)  # the atomic publish
-            # cleanup is best-effort: any window left behind is consistent
-            # (leftover victim dirs hold rows identical to the new
-            # consolidated copy and override it; next compact reclaims them)
+            # cleanup is deferred, not immediate: retire unchanged victim
+            # dirs (identical rows now live in the new consolidation; the
+            # present dir overrides it, so the window is duplicate-free)
+            # and the superseded consolidated dir, then reap whatever is
+            # past grace. Changed victims (concurrent rewrite) are NOT
+            # retired — the fresh dir is the newer truth.
             for _, p in victims:
                 try:
                     unchanged = p.stat().st_mtime_ns == victim_mtime[p]
                 except FileNotFoundError:
                     continue
                 if unchanged:
-                    shutil.rmtree(p, ignore_errors=True)
+                    self._retire(retired, p.name, victim_mtime[p])
             if m and m["dir"] != new_dir:
-                shutil.rmtree(self.root / m["dir"], ignore_errors=True)
-            for p in stray:
-                shutil.rmtree(p, ignore_errors=True)
+                self._retire(retired, m["dir"], None)
+            reaped += self._reap(retired, grace_s)
+            self._save_retired(retired)
             return {"compacted_epochs": len(victims),
-                    "covered": len(new_epochs)}
+                    "covered": len(new_epochs), "reaped_dirs": reaped}
         finally:
             lock.unlink(missing_ok=True)

@@ -83,9 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--vacuum-older-than", type=float, default=3600.0,
                    help="only delete unreferenced files older than this many "
                         "seconds (guards in-flight concurrent merges)")
+    m.add_argument("--compact", action="store_true",
+                   help="run the default compaction policy: rows-aware "
+                        "fragmentation trigger PLUS unconditional fold of "
+                        "buckets holding MOR delta files (table.compact() "
+                        "with no threshold override)")
     m.add_argument("--compact-above", type=int, default=0,
                    help="rewrite buckets holding more than N live files "
-                        "(0 = skip compaction)")
+                        "(0 = skip compaction; for the default policy use "
+                        "--compact)")
     m.add_argument("--compact-lineage", type=int, default=0,
                    help="fold per-epoch lineage dirs older than the newest "
                         "N into one consolidated parquet (0 = skip)")
@@ -218,7 +224,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
         out = {}
-        if args.compact_above:
+        if args.compact:
+            out["compaction"] = t.compact()
+        elif args.compact_above:
             out["compaction"] = t.compact(above=args.compact_above)
         if args.compact_lineage:
             import os
@@ -321,6 +329,27 @@ def main(argv: list[str] | None = None) -> int:
         log = CheckpointLog(spark, f"{args.table}/_checkpoint").read()
         fl = t.files()
         eps = sorted(decode_epoch_ranges(m.get("applied_epochs")))
+        # MOR read-amplification debt: live delta files/rows, worst bucket,
+        # and which fold path the next read() takes. Surfaced so an operator
+        # sees accumulating debt BEFORE the fold_broadcast_rows guard flips
+        # the read plan from broadcast anti-join to a full latest-wins
+        # shuffle over base ∪ delta.
+        deltas = [f for f in fl if f.get("kind") == "delta"]
+        delta_rows = sum(f.get("rows") or 0 for f in deltas)
+        per_bucket: dict[int, int] = {}
+        for f in deltas:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        mor_cap = max(2, t.max_files_per_bucket // 2)
+        fold_path = (
+            None if not deltas
+            else "shuffle" if delta_rows > t.fold_broadcast_rows
+            else "broadcast"
+        )
+        suggest_compact = bool(deltas) and (
+            fold_path == "shuffle"
+            or delta_rows > t.fold_broadcast_rows // 2
+            or max(per_bucket.values()) > mor_cap
+        )
         print(
             json.dumps(
                 {
@@ -331,8 +360,15 @@ def main(argv: list[str] | None = None) -> int:
                     else m["applied_epochs"],
                     "applied_epoch_count": len(eps),
                     "files": len(fl),
-                    "delta_files": sum(1 for f in fl
-                                       if f.get("kind") == "delta"),
+                    "delta_files": len(deltas),
+                    "delta_rows": delta_rows,
+                    "delta_buckets": len(per_bucket),
+                    "max_delta_files_per_bucket": (
+                        max(per_bucket.values()) if per_bucket else 0
+                    ),
+                    "fold_path": fold_path,
+                    "fold_shuffle_guard_rows": t.fold_broadcast_rows,
+                    "suggested_compact": suggest_compact,
                     "rows": sum(f["rows"] for f in fl),
                     "bytes": sum(f["bytes"] for f in fl),
                     "n_buckets": m.get("n_buckets"),

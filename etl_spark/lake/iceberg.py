@@ -29,15 +29,20 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-EPOCH_PROP = "applied-epochs"
+#: legacy (pre-namespacing) property: early builds stamped EVERY space's ids
+#: here. Never written anymore; folded into every space on read so
+#: pre-upgrade tables keep exactly-once skip behavior (see applied_epochs).
+LEGACY_EPOCH_PROP = "applied-epochs"
+EPOCH_PROP = LEGACY_EPOCH_PROP
 
 
 def _epoch_prop(space: str) -> str:
-    """Snapshot-summary property name for one commit-id SPACE. Namespaced so
-    mixing batch and streaming drivers on the Iceberg backend cannot mistake
-    stream batch N for segment epoch N (parity with SnapshotTable's
-    per-space applied sets, lake/table.py _space_key)."""
-    return EPOCH_PROP if space == "batch" else f"{EPOCH_PROP}-{space}"
+    """Snapshot-summary property name for one commit-id SPACE. EVERY space is
+    namespaced — including batch — so mixing batch and streaming drivers on
+    the Iceberg backend cannot mistake stream batch N for segment epoch N
+    (parity with SnapshotTable's per-space applied sets, lake/table.py
+    _space_key), and so the bare legacy name is unambiguously pre-upgrade."""
+    return f"{LEGACY_EPOCH_PROP}-{space}"
 
 
 def _quote(ident: str) -> str:
@@ -123,15 +128,29 @@ class IcebergTable:
         )
 
     def applied_epochs(self, space: str = "batch") -> set[int]:
+        """Applied commit-ids for one epoch space, from snapshot summaries.
+
+        EVERY space also folds ids recorded under the legacy shared
+        ``applied-epochs`` property: builds that predate per-space
+        namespacing stamped every space there, so without the fold a
+        re-delivered batch on a pre-upgrade table would be re-applied
+        instead of skipped (the MERGE order guard makes that redundant
+        work, but exactly-once skip is the contract). The fold preserves a
+        pre-upgrade table's historical shared-id-space semantics; commits
+        made after the upgrade write only namespaced properties, so the
+        legacy set is frozen and new tables never populate it — spaces on
+        them separate cleanly."""
         rows = self.spark.sql(
             f"SELECT summary FROM {_quote(self.identifier)}.snapshots "
             "ORDER BY committed_at DESC"
         ).collect()
+        props = {_epoch_prop(space), LEGACY_EPOCH_PROP}
         out: set[int] = set()
         for r in rows:
-            prop = (r["summary"] or {}).get(_epoch_prop(space))
-            if prop:
-                out |= set(json.loads(prop))
+            for name in props:
+                prop = (r["summary"] or {}).get(name)
+                if prop:
+                    out |= set(json.loads(prop))
         return out
 
     def merge_epochs(

@@ -1368,12 +1368,19 @@ class SnapshotTable:
             # partial replay (some of epoch_ids already applied) a row
             # stamped with an applied id falls outside changes_between's
             # new-epoch ranges and the delete becomes invisible to CDC-out
-            # consumers. If every id is applied the merge no-ops anyway.
-            applied = self.applied_epochs(epoch_space)
-            fresh = [e for e in epoch_ids if int(e) not in applied]
-            stamp = int(fresh[-1] if fresh else epoch_ids[-1])
+            # consumers. The column is added here only for schema shape;
+            # the VALUE is resolved inside the commit path (stamp_epoch)
+            # from the same manifest snapshot _merge_epochs_once reads —
+            # a pre-read here would race a concurrent commit applying one
+            # of epoch_ids in the window between the reads.
             tomb = tomb.withColumn(
-                "epoch", F.lit(stamp).cast(schema["epoch"].dataType)
+                "epoch",
+                F.lit(int(epoch_ids[-1])).cast(schema["epoch"].dataType),
+            )
+            return self.merge_epochs(
+                tomb, epoch_ids, epoch_space=epoch_space,
+                merge_mode=merge_mode, extra_summary={"deletes": True},
+                stamp_epoch=True,
             )
         return self.merge_epochs(
             tomb, epoch_ids, epoch_space=epoch_space, merge_mode=merge_mode,
@@ -1391,8 +1398,16 @@ class SnapshotTable:
         epoch_space: str = "batch",
         merge_mode: str | None = None,
         size_hint: int | None = None,
+        stamp_epoch: bool = False,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
+
+        ``stamp_epoch``: overwrite the rows' ``epoch`` column with the last
+        epoch id this commit actually applies, resolved from the SAME
+        manifest snapshot the commit reads (and re-resolved on every
+        lost-race retry) — used by :meth:`delete_epochs` so tombstone
+        provenance can never cite an epoch a concurrent commit applied
+        first.
 
         ``size_hint``: input bytes of the batch, when the caller knows it
         (the pipeline's segment listing does) — sizes the staging exchange
@@ -1429,6 +1444,7 @@ class SnapshotTable:
                 return self._merge_epochs_once(
                     updates, epoch_ids, extra_summary, epoch_space,
                     merge_mode or self.merge_mode, size_hint=size_hint,
+                    stamp_epoch=stamp_epoch,
                 )
             except FileExistsError as err:
                 last_err = err  # manifest swap lost; re-plan from new snapshot
@@ -1445,6 +1461,7 @@ class SnapshotTable:
         epoch_space: str,
         mode: str = "cow",
         size_hint: int | None = None,
+        stamp_epoch: bool = False,
     ) -> dict[str, Any]:
         # ONE manifest read: applied epochs, schema, file entries and the
         # commit's base_version all derive from the same snapshot. Two reads
@@ -1467,6 +1484,16 @@ class SnapshotTable:
         new_ids = [e for e in epoch_ids if e not in applied]
         if not new_ids:
             return {"skipped": True, "epochs": sorted(epoch_ids)}
+        if stamp_epoch and "epoch" in updates.columns:
+            # provenance stamp resolved from THIS snapshot's applied set —
+            # always an epoch this commit applies, so changes_between's
+            # new-epoch ranges are guaranteed to cover the row
+            updates = updates.withColumn(
+                "epoch",
+                F.lit(int(new_ids[-1])).cast(
+                    updates.schema["epoch"].dataType
+                ),
+            )
 
         # Every commit-id space from the current snapshot carries over; only
         # this merge's own space gains epochs.

@@ -262,26 +262,32 @@ class IngestPipeline:
         t0 = time.time()
         stats = EpochStats(epoch=segments[-1].epoch)
         raw = self._read_segments(segments)
-        strategy, winners = self.dedupe_plan(clean_events(raw))
-        # content derivations AFTER dedupe: sha cost scales with |keys|, and
-        # under the fused plan they stay in the post-shuffle stage
-        deduped = derive_content_columns(winners)
-        commit = self.table.merge_epochs(
-            deduped,
-            [s.epoch for s in segments],
-            extra_summary={"segments": len(segments), "mode": mode,
-                           "dedupe": strategy},
-            assume_deduped=True,  # dedupe_fn guarantees one row per key
-            size_hint=getattr(self, "_batch_bytes", None),
-        )
-        # the merge is the batch's one materialization — restore the
-        # session-wide split size before anything scans the FULL table
-        # (rollup maintenance below, driver queries after)
-        prev_split = getattr(self, "_prev_split", None)
-        if prev_split is not None:
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-        else:
-            self.spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        try:
+            strategy, winners = self.dedupe_plan(clean_events(raw))
+            # content derivations AFTER dedupe: sha cost scales with |keys|,
+            # and under the fused plan they stay in the post-shuffle stage
+            deduped = derive_content_columns(winners)
+            commit = self.table.merge_epochs(
+                deduped,
+                [s.epoch for s in segments],
+                extra_summary={"segments": len(segments), "mode": mode,
+                               "dedupe": strategy},
+                assume_deduped=True,  # dedupe_fn guarantees one row per key
+                size_hint=getattr(self, "_batch_bytes", None),
+            )
+        finally:
+            # the merge is the batch's one materialization — restore the
+            # session-wide split size before anything scans the FULL table
+            # (rollup maintenance below, driver queries after). In a finally
+            # so a failed merge (LayoutDriftError, exhausted lost-commit
+            # retries) cannot leak a 16 MB split into the shared session.
+            prev_split = getattr(self, "_prev_split", None)
+            if prev_split is not None:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", prev_split
+                )
+            else:
+                self.spark.conf.unset("spark.sql.files.maxPartitionBytes")
         stats.commit = commit
         if not commit.get("skipped"):
             self._log_lineage(commit)

@@ -87,7 +87,7 @@ def test_lineage_compaction_preserves_log_and_heals_crash_windows(
     epochs_before = log.logged_epochs()
     assert len(list(Path(log.root).glob("epoch=*"))) == 3
 
-    out = log.compact(keep_last=1)
+    out = log.compact(keep_last=1, grace_s=0)
     assert out["compacted_epochs"] == 2
     assert sorted(map(tuple, log.read().collect())) == before
     assert log.logged_epochs() == epochs_before
@@ -114,7 +114,7 @@ def test_lineage_compaction_preserves_log_and_heals_crash_windows(
 
     # chained compaction folds the remainder AND the rewrite, reclaiming
     # every per-epoch dir (covered-but-present included)
-    out2 = log.compact(keep_last=0)
+    out2 = log.compact(keep_last=0, grace_s=0)
     assert out2["compacted_epochs"] == 2  # epoch 2 (kept) + rewritten 0
     after = sorted(map(tuple, log.read().collect()))
     assert {r[0] for r in after} == {r[0] for r in before}
@@ -128,8 +128,55 @@ def test_lineage_compaction_preserves_log_and_heals_crash_windows(
                     zip(pdf0["bucket"], pdf0["row_count"])}
     # concurrent compactor: a fresh young lock file rejects the second run
     (Path(log.root) / "compact.lock").touch()
-    assert log.compact(keep_last=0).get("skipped")
+    assert log.compact(keep_last=0, grace_s=0).get("skipped")
     (Path(log.root) / "compact.lock").unlink()
     # the pipeline's resume logic still sees every epoch as logged
     assert pipe.replay(stream) == []
     shutil.rmtree(f"{tmpdir_path}/t", ignore_errors=True)
+
+
+def test_lineage_compaction_grace_window_defers_reclamation(
+    spark, stream, tmpdir_path
+):
+    """Under a non-zero grace window, compact() RETIRES superseded dirs
+    instead of deleting them: a concurrent reader that resolved the old
+    marker can finish its scan (the dirs are physically intact and the
+    overlaid view is duplicate-free), and a LATER compact() reaps them once
+    past grace. A retired dir rewritten before reaping (rollback-then-
+    replay) is spared — its fresh rows win."""
+    import json
+    from pathlib import Path
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/tg", n_buckets=4)
+    pipe.replay(stream)  # 3 epochs
+    log = pipe.log
+    before = sorted(map(tuple, log.read().collect()))
+
+    out = log.compact(keep_last=1, grace_s=3600)
+    assert out["compacted_epochs"] == 2 and out["reaped_dirs"] == 0
+    # victims retired, NOT deleted — old view still fully readable
+    assert len(list(Path(log.root).glob("epoch=*"))) == 3
+    retired = json.loads((Path(log.root) / "retired.json").read_text())
+    assert {"epoch=0", "epoch=1"} <= set(retired)
+    # overlaid view stays duplicate-free while retirees linger
+    assert sorted(map(tuple, log.read().collect())) == before
+
+    # rewrite one retiree before reaping: it must be spared
+    pdf0 = log.read().where("epoch = 0").toPandas()
+    pdf0["row_count"] = pdf0["row_count"] + 7
+    log._write_pandas(pdf0, 0)
+
+    # age out the retirement stamps, then reap via the next compact()
+    aged = {k: {**v, "retired_at": v["retired_at"] - 7200}
+            for k, v in retired.items()}
+    (Path(log.root) / "retired.json").write_text(json.dumps(aged))
+    out2 = log.compact(keep_last=1, grace_s=3600)
+    # epoch=1 reaped (unchanged past grace); epoch=0 spared (mtime changed)
+    assert not (Path(log.root) / "epoch=1").exists()
+    assert (Path(log.root) / "epoch=0").exists()
+    assert out2["reaped_dirs"] >= 1
+    # the rewrite is the visible truth
+    got0 = {(r.bucket, r.row_count)
+            for r in log.read().where("epoch = 0").collect()}
+    assert got0 == {(int(b), int(c))
+                    for b, c in zip(pdf0["bucket"], pdf0["row_count"])}

@@ -59,13 +59,52 @@ def test_runtime_gate(spark):
 
 
 def test_epoch_property_namespaced_per_space():
-    """ADVICE r2: stream batch N must not collide with segment epoch N on the
-    Iceberg backend — the snapshot-summary property is namespaced by space."""
-    from etl_spark.lake.iceberg import _epoch_prop
+    """ADVICE r2 + r3: stream batch N must not collide with segment epoch N
+    on the Iceberg backend — the snapshot-summary property is namespaced by
+    space, for EVERY space (batch included), so the bare legacy name is
+    unambiguously pre-upgrade and can be folded into all spaces on read
+    without re-creating the collision on new tables."""
+    from etl_spark.lake.iceberg import LEGACY_EPOCH_PROP, _epoch_prop
 
-    assert _epoch_prop("batch") == "applied-epochs"
+    assert _epoch_prop("batch") == "applied-epochs-batch"
     assert _epoch_prop("stream") == "applied-epochs-stream"
     assert _epoch_prop("batch") != _epoch_prop("stream")
+    # the legacy shared property is never a live space's property
+    assert LEGACY_EPOCH_PROP not in {_epoch_prop("batch"),
+                                     _epoch_prop("stream")}
+
+
+def test_applied_epochs_folds_legacy_shared_property():
+    """ADVICE r3: stream epochs recorded by pre-namespacing builds under the
+    shared 'applied-epochs' property must still be recognized by
+    applied_epochs('stream') — otherwise a re-delivered streaming batch on a
+    pre-upgrade Iceberg table is re-applied instead of skipped. New-style
+    namespaced properties stay separated per space."""
+    from etl_spark.lake.iceberg import IcebergTable
+
+    class _FakeResult:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class _FakeSpark:
+        def sql(self, _q):
+            return _FakeResult([
+                # pre-upgrade snapshot: every space stamped the shared prop
+                {"summary": {"applied-epochs": "[0, 1]"}},
+                # post-upgrade snapshots: namespaced per space
+                {"summary": {"applied-epochs-batch": "[2]"}},
+                {"summary": {"applied-epochs-stream": "[3]"}},
+            ])
+
+    it = IcebergTable.__new__(IcebergTable)  # bypass runtime gate
+    it.spark, it.identifier = _FakeSpark(), "cat.db.t"
+    # legacy ids fold into BOTH spaces (their historical shared semantics);
+    # namespaced ids stay space-local
+    assert it.applied_epochs("batch") == {0, 1, 2}
+    assert it.applied_epochs("stream") == {0, 1, 3}
 
 
 def test_snapshot_manifest_maps_onto_iceberg_concepts(spark, tmpdir_path):
