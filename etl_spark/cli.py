@@ -48,10 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                    default="fused",
                    help="physical dedupe strategy (fused = one-shuffle "
                         "dedupe+stage; see pipeline.dedupe_plan)")
-    r.add_argument("--merge-mode", choices=["cow", "mor"], default=None,
+    r.add_argument("--merge-mode", choices=["cow", "mor", "auto"],
+                   default=None,
                    help="write policy: cow rewrites touched files; mor "
                         "writes delta files folded on read (scattered "
-                        "hot-key updates). Default: table's persisted mode")
+                        "hot-key updates); auto picks per bucket per commit "
+                        "from the delta's shape. Default: table's persisted "
+                        "mode")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
     _add_spark_args(r)
@@ -129,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--commit", required=True,
                     help="the delete's commit/LSN (arbitrates ordering)")
     dl.add_argument("--epoch", type=int, required=True)
-    dl.add_argument("--merge-mode", choices=["cow", "mor"], default=None)
+    dl.add_argument("--merge-mode", choices=["cow", "mor", "auto"],
+                    default=None)
     _add_spark_args(dl)
 
     args = ap.parse_args(argv)

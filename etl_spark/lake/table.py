@@ -265,6 +265,14 @@ class SnapshotTable:
         whose live delta files exceed ``max_files_per_bucket // 2`` are
         folded back into base files at merge time, and ``compact()`` folds
         everything lazily. Differential-tested: MOR == COW final state.
+        ``"auto"`` chooses per BUCKET per commit from the delta's shape,
+        already known pre-commit from staged footers + file stats: a bucket
+        whose COW rewrite would touch more than ``auto_mor_factor`` x the
+        staged rows takes the MOR path (write amplification bounded), a
+        proportionate delta (bulk load, backfill, clustered burst) takes
+        COW (no read debt), and fragmentation/delta-cap hits fold as usual
+        — so one commit can mix modes across buckets.
+        Differential-tested: AUTO == MOR == COW final state.
 
         Manifest scaling: up to ``manifest_inline_files`` file entries live
         inline in the manifest JSON; past that, entries split into
@@ -287,6 +295,12 @@ class SnapshotTable:
         # every executor — past this the fold degrades to one shuffle
         # rather than OOM (see _fold)
         self.fold_broadcast_rows = 1_000_000
+        # merge_mode="auto" threshold: a bucket takes the MOR path when its
+        # COW rewrite would move more than this many existing rows per
+        # staged delta row. 4x keeps proportionate writes (bootstrap,
+        # backfill, clustered bursts) on COW while scattered hot-key deltas
+        # — the measured 3.4x COW penalty shape — land as delta files.
+        self.auto_mor_factor = 4.0
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
         self.order_col = order_col
@@ -295,7 +309,7 @@ class SnapshotTable:
         self.max_files_per_bucket = max_files_per_bucket
         self.manifest_groups = manifest_groups
         self.manifest_inline_files = manifest_inline_files
-        if merge_mode not in (None, "cow", "mor"):
+        if merge_mode not in (None, "cow", "mor", "auto"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         # None = adopt the table's persisted write policy (default "cow");
         # an EXPLICIT value wins — merge_mode is a mutable write-policy knob
@@ -1605,6 +1619,7 @@ class SnapshotTable:
             mor_delta_raw: list[dict] = []   # staged files -> delta promote
             stale_check: list[dict] = []     # live files defining existing orders
             folded_buckets: list[int] = []
+            auto_modes: dict[str, int] = {"cow": 0, "mor": 0}
             for b, sfiles in sorted(staged_by_bucket.items()):
                 olds = old_by_bucket.get(b, [])
                 base_olds, live_deltas = self._split_kinds(olds)
@@ -1618,8 +1633,41 @@ class SnapshotTable:
                     > self._bucket_file_allowance(rows_b)
                 )
                 delta_keys = probed.get(b)
+                eff = mode
+                if mode == "auto":
+                    # Per-bucket COW/MOR choice, decided entirely from
+                    # pre-commit metadata (staged footers + manifest file
+                    # stats — zero extra Spark jobs): MOR when the COW
+                    # rewrite would move auto_mor_factor x more existing
+                    # rows than the delta carries (the scattered-update
+                    # shape where COW's write amplification bites), COW
+                    # when the write is proportionate (bootstrap, backfill,
+                    # clustered burst) or the keys are disjoint (plain
+                    # promote either way, so take the debt-free mode).
+                    # Fragmentation and the per-bucket delta cap fold as in
+                    # the explicit modes.
+                    if frag or not olds:
+                        eff = "cow"
+                    elif len(live_deltas) + len(sfiles) > mor_cap:
+                        eff = "mor"  # cap hit -> the MOR fold cleans the bucket
+                    else:
+                        inter_est = _hit(base_olds, delta_keys, sfiles)
+                        if not inter_est and not live_deltas:
+                            eff = "cow"
+                        else:
+                            staged_rows_b = sum(f["rows"] for f in sfiles)
+                            rewrite_rows = sum(
+                                f["rows"] for f in inter_est
+                            ) + sum(f["rows"] for f in live_deltas)
+                            eff = (
+                                "mor"
+                                if rewrite_rows > self.auto_mor_factor
+                                * max(1, staged_rows_b)
+                                else "cow"
+                            )
+                    auto_modes[eff] += 1
                 if (
-                    mode == "mor"
+                    eff == "mor"
                     and not frag
                     and len(live_deltas) + len(sfiles) <= mor_cap
                 ):
@@ -1641,7 +1689,7 @@ class SnapshotTable:
                         stale_check += inter + live_deltas
                         mor_delta_raw += sfiles
                     continue
-                if mode == "mor":
+                if eff == "mor":
                     # FOLD: the bucket hit its delta cap (or is fragmented) —
                     # merge its intersecting base files + live deltas + the
                     # staged delta back into clean base files
@@ -1831,6 +1879,7 @@ class SnapshotTable:
             "epochs": new_ids,
             "version": version,
             "mode": mode,
+            **({"auto_modes": auto_modes} if mode == "auto" else {}),
             "delta_files": sum(
                 1 for f in new_files if f.get("kind") == "delta"
             ),

@@ -93,7 +93,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 lsn = max(lsn, c_lsn)
                 rows.append((repo, path, "c%012d" % c_lsn,
                              "v%d" % c_lsn, False))
-            mode = rng.choice([None, "cow", "mor"])
+            mode = rng.choice([None, "cow", "mor", "auto"])
             out = t.merge_epoch(
                 _df(rows, epoch, widened=step > 8 and rng.random() < 0.4),
                 epoch, merge_mode=mode,
@@ -111,7 +111,8 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 "repo string, path string, commit string",
             )
             out = t.delete_epochs(
-                keys, [epoch], merge_mode=rng.choice([None, "cow", "mor"])
+                keys, [epoch],
+                merge_mode=rng.choice([None, "cow", "mor", "auto"]),
             )
             epoch += 1
             if not out.get("skipped"):

@@ -231,6 +231,72 @@ def test_fold_falls_back_to_shuffle_past_broadcast_guard(spark, tmpdir_path):
     assert _state(t) == want
 
 
+def test_auto_equals_cow_equals_mor_differential(spark, tmpdir_path):
+    """merge_mode="auto" (VERDICT r3 #2): the SAME epoch stream replayed
+    under auto, cow, and mor yields identical final state — before and
+    after compaction — while auto actually exercises BOTH per-bucket
+    paths somewhere along the stream."""
+    rng = random.Random(11)
+    epochs = []
+    for _ in range(6):
+        rows = []
+        for _ in range(rng.choice([3, 120])):  # tiny deltas AND bulk bursts
+            k = rng.randrange(60)
+            order = rng.randrange(1, 40)
+            rows.append(("r", f"p{k:03d}", f"c{order:012d}", f"v:{k}:{order}"))
+        epochs.append(rows)
+    tables = {
+        m: _mk(spark, f"{tmpdir_path}/{m}", m, target_file_rows=8)
+        for m in ("cow", "mor", "auto")
+    }
+    chose = {"cow": 0, "mor": 0}
+    for e, rows in enumerate(epochs):
+        for m, t in tables.items():
+            out = t.merge_epoch(_df(spark, rows), e)
+            if m == "auto" and not out.get("skipped"):
+                for k, n in out["auto_modes"].items():
+                    chose[k] += n
+    states = {m: _state(t) for m, t in tables.items()}
+    assert states["auto"] == states["cow"] == states["mor"]
+    assert chose["cow"] > 0 and chose["mor"] > 0, chose
+    tables["auto"].compact()
+    assert _state(tables["auto"]) == states["cow"]
+    assert tables["auto"].fsck()["ok"]
+
+
+def test_auto_picks_mor_for_scattered_and_cow_for_proportionate(
+    spark, tmpdir_path
+):
+    """The decision itself: a scattered hot-key delta (COW would rewrite
+    >auto_mor_factor x the delta rows) lands as delta files; a bootstrap
+    and a proportionate bulk update rewrite copy-on-write with no delta
+    debt."""
+    t = _mk(spark, tmpdir_path, "auto", n_buckets=8, target_file_rows=50)
+    rows = [("r", f"p{i:04d}", "c000000000001", "x" * 50) for i in range(2000)]
+    s0 = t.merge_epoch(_df(spark, rows), 0)
+    # bootstrap: disjoint keys -> COW promote, zero delta files
+    assert s0["auto_modes"]["mor"] == 0 and s0["delta_files"] == 0
+
+    # scattered: 40 keys across the whole domain -> every touched bucket
+    # would rewrite ~50 rows per 1-row delta -> MOR, O(delta rows) written
+    upd = [("r", f"p{i:04d}", "c000000000002", "y") for i in range(0, 2000, 50)]
+    s1 = t.merge_epoch(_df(spark, upd), 1)
+    assert s1["auto_modes"]["cow"] == 0 and s1["auto_modes"]["mor"] > 0
+    assert s1["files_rewritten"] == 0 and s1["delta_files"] >= 1
+    assert sum(f["rows"] for f in s1["new_files"]) == len(upd)
+
+    # proportionate: update EVERY key -> rewrite rows ~= delta rows -> COW
+    # (and the rewrite folds the live deltas back in)
+    upd2 = [("r", f"p{i:04d}", "c000000000003", "z") for i in range(2000)]
+    s2 = t.merge_epoch(_df(spark, upd2), 2)
+    assert s2["auto_modes"]["mor"] == 0 and s2["auto_modes"]["cow"] > 0
+    assert s2["delta_files"] == 0
+    assert not any(f.get("kind") == "delta" for f in t.files())
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 2000 and set(got.values()) == {"z"}
+    assert t.fsck()["ok"]
+
+
 def test_cow_commit_folds_deltas_without_duplicating_carried_keys(
     spark, tmpdir_path
 ):
