@@ -5,10 +5,19 @@ The unit differentials (test_lake / test_mor / test_deletes /
 test_maintenance) each pin ONE operation; this test drives the whole
 surface — COW and MOR merges with stale/duplicate re-deliveries, deletes,
 compaction (with and without tombstone purge... purge excluded: it changes
-semantics), rollback, rebucket, expire+vacuum — in seeded random order and
-asserts the visible state equals the model after EVERY step, plus fsck at
-the end. Versions created along the way snapshot the model so rollback is
-checked against true history.
+semantics), rollback, rebucket, expire+vacuum, AND streaming micro-batches
+(stream_ingest with WAL-op deletes, tailing a growing segment dir through
+one persistent streaming checkpoint) — in seeded random order and asserts
+the visible state equals the model after EVERY step, plus fsck at the end.
+Versions created along the way snapshot the model so rollback is checked
+against true history. The batch/stream epoch-space split is implicitly
+under test: segment epochs and streaming batch ids both start at 0 and the
+interleaving only works because the manifest tracks them separately.
+
+(The mid-stream layout-drift retry — a rebucket landing WHILE a streaming
+query is executing — is inherently a race and stays deterministic-only in
+test_streaming's unit test; here rebuckets land BETWEEN stream batches,
+which exercises re-attach under every evolved layout.)
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ import random
 import pytest
 
 from etl_spark.lake.table import SnapshotTable
+from etl_spark.streaming.ingest import stream_ingest
 
 KEYS = [("r%d" % (i % 3), "p%02d" % i) for i in range(24)]
 
@@ -76,11 +86,37 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
             "epoch int",
         )
 
+    stream_root = f"{tmpdir_path}/{seed}_stream"
+    seg = 0
+
+    def _stream_rows(n):
+        """Segment rows in the wire schema (STREAM_DDL + WAL op column):
+        upserts with occasional stale commits, plus ~20% 'd' deletes. The
+        op (and payload) is a pure function of the commit lsn so a batch
+        containing the same (key, commit) twice carries IDENTICAL rows —
+        the in-batch dedupe may keep either copy and the model can't tell."""
+        nonlocal lsn
+        out = []
+        for _ in range(n):
+            repo, path = rng.choice(KEYS)
+            c_lsn = rng.randint(1, lsn) if lsn and rng.random() < 0.3 \
+                else lsn + rng.randint(1, 3)
+            lsn = max(lsn, c_lsn)
+            if c_lsn % 5 == 0:
+                out.append((c_lsn, repo, None, path,
+                            "c%012d" % c_lsn, None, "d"))
+            else:
+                out.append((c_lsn, repo, "py", path,
+                            "c%012d" % c_lsn, "v%d" % c_lsn, "u"))
+        return out
+
     for step in range(24):
         op = rng.choice(
             ["merge", "merge", "merge", "delete", "compact",
-             "rebucket", "rollback", "expire_vacuum"]
+             "rebucket", "rollback", "expire_vacuum", "stream"]
         )
+        if op == "stream" and not t.exists():
+            op = "merge"
         v_prev = t.current_version() if t.exists() else None
         model_prev = dict(model)
         if op == "merge" or not t.exists():
@@ -137,6 +173,31 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
         elif op == "expire_vacuum":
             t.expire_snapshots(retain_last=rng.randint(2, 4))
             t.vacuum(older_than_s=0)
+        elif op == "stream":
+            # one new segment lands, then an availableNow pass tails it
+            # through the PERSISTENT streaming checkpoint (so every stream
+            # op is an incremental micro-batch, not a fresh replay)
+            wire = _stream_rows(rng.randint(1, 8))
+            spark.createDataFrame(
+                wire,
+                "lsn long, repo string, lang string, path string, "
+                "commit string, content string, op string",
+            ).coalesce(1).write.mode("errorifexists").parquet(
+                f"{stream_root}/epoch={seg}"
+            )
+            seg += 1
+            q = stream_ingest(
+                spark, stream_root, str(t.root),
+                extra_schema="op string",
+            )
+            q.awaitTermination(300)
+            _apply_rows(
+                model,
+                [(r[1], r[3], r[4], r[5], r[6] == "d") for r in wire],
+            )
+            v = t.current_version()
+            if v is not None:
+                history[v] = dict(model)
 
         got = _state(t)
         want = {k: v[0] for k, v in _visible(model).items()}
@@ -147,7 +208,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
         # (compact/rebucket re-cluster without applying epochs). Rollback
         # shrinks the applied set (consumers resync via watermark reset) and
         # expire can drop v_prev's manifest — both skipped by design.
-        if v_prev is not None and op in ("merge", "delete",
+        if v_prev is not None and op in ("merge", "delete", "stream",
                                          "compact", "rebucket"):
             feed = {
                 (r.repo, r.path): (
@@ -164,4 +225,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 }
                 assert feed == diff, f"seed={seed} step={step} op={op}"
 
+    # the op draw is deterministic per seed — every shipped seed must have
+    # actually interleaved streaming micro-batches with the batch lifecycle
+    assert seg > 0, f"seed={seed} never drew the stream op; pick another seed"
     assert t.fsck()["ok"]
