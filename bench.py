@@ -119,6 +119,9 @@ def _sparse_epoch_case(
             "delta_events": c.get("staged_rows"),
             "seconds": round(secs, 2),
             "mode": c.get("mode", "cow"),
+            **(
+                {"auto_modes": c["auto_modes"]} if "auto_modes" in c else {}
+            ),
             "table_files": table_files,
             "buckets_touched": len(c.get("rewritten_buckets", [])),
             "files_rewritten": c.get("files_rewritten"),
@@ -142,6 +145,16 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
         # the round-2 scale risk, closed: same adversarial delta via MOR
         "scattered_mor": _sparse_epoch_case(
             spark, n_events, scattered=True, merge_mode="mor"
+        ),
+        # merge_mode="auto" must match best-of-both: the clustered delta
+        # should commit like COW (no read debt), the scattered one like MOR
+        # (bytes written O(delta rows)). Detail-only rows — the headline
+        # total keeps the same keys as rounds 2-3 for comparability.
+        "clustered_auto": _sparse_epoch_case(
+            spark, n_events, scattered=False, merge_mode="auto"
+        ),
+        "scattered_auto": _sparse_epoch_case(
+            spark, n_events, scattered=True, merge_mode="auto"
         ),
     }
 
