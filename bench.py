@@ -159,6 +159,20 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
     }
 
 
+def bench_soak_10x(spark, n_events: int) -> dict:
+    """The two-point sublinearity soak (VERDICT r3 #8): the SAME scattered
+    sparse-epoch shape at 10x the events — ~10x the table files (~123k at
+    the driver's sf0.1) — so files_pruned / files_rewritten / bytes_written
+    can be read against the 1x row and checked for O(delta), not O(table),
+    growth. One case only (scattered, merge_mode=auto: the default-policy
+    path a production table would take) to bound bench wall time."""
+    return {
+        "scattered_auto_10x": _sparse_epoch_case(
+            spark, n_events * 10, scattered=True, merge_mode="auto"
+        ),
+    }
+
+
 def bench_replay(spark, n_events: int) -> dict:
     """Gen + full replay on a temp root; returns throughput stats."""
     root = tempfile.mkdtemp(prefix="etl_spark_bench_")
@@ -221,6 +235,13 @@ def main() -> int:
     timings["cdc_sparse_epoch"] = sparse["clustered"]["seconds"]
     timings["cdc_sparse_epoch_scattered"] = sparse["scattered"]["seconds"]
     timings["cdc_sparse_epoch_scattered_mor"] = sparse["scattered_mor"]["seconds"]
+    # 10x-files soak point (pruning counters at ~123k files); detail row
+    # only — kept OUT of the headline total so round-over-round totals
+    # stay comparable (set SPARK_GRAFT_NO_SOAK=1 to skip, e.g. sf>=1 runs)
+    soak = (
+        {} if os.environ.get("SPARK_GRAFT_NO_SOAK") or sf > 0.11
+        else bench_soak_10x(spark, int(REPLAY_EVENTS_PER_SF * sf))
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -232,7 +253,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "replay": replay,
-                "sparse_epoch": sparse,
+                "sparse_epoch": {**sparse, **soak},
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )

@@ -1,6 +1,8 @@
 """IcebergTable — the same exactly-once sink on a real Apache Iceberg catalog.
 
-This sandbox ships no Iceberg runtime jar (verified; SURVEY §7.3 R1), so the
+This sandbox ships no Iceberg runtime jar (verified; SURVEY §7.3 R1;
+re-attempted round 4 via ``spark.jars.packages`` — ivy resolution still
+fails with no network, gateway exits before port handoff), so the
 engine runs on ``SnapshotTable`` (lake/table.py), which reimplements the same
 design on plain parquet. This adapter is the code-complete mapping for
 clusters that DO have Iceberg (``--packages

@@ -246,6 +246,7 @@ class SnapshotTable:
         manifest_groups: int = 32,
         manifest_inline_files: int = 2048,
         merge_mode: str | None = None,
+        fold_broadcast_rows: int | None = None,
     ) -> None:
         """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
         the bucketed, key-sorted write), so each bucket holds several files
@@ -293,8 +294,10 @@ class SnapshotTable:
         # broadcast guard for the MOR fold (rows, exact from the manifest):
         # ~100 B of key per row puts 1M rows ≈ 100 MB on the driver and
         # every executor — past this the fold degrades to one shuffle
-        # rather than OOM (see _fold)
-        self.fold_broadcast_rows = 1_000_000
+        # rather than OOM (see _fold). Persisted write policy like the
+        # file-sizing knobs, so ops tooling (cli status) sees the same
+        # guard the table's own reads use.
+        self.fold_broadcast_rows = fold_broadcast_rows
         # merge_mode="auto" threshold: a bucket takes the MOR path when its
         # COW rewrite would move more than this many existing rows per
         # staged delta row. 4x keeps proportionate writes (bootstrap,
@@ -338,9 +341,12 @@ class SnapshotTable:
                 self.target_file_rows = m.get("target_file_rows")
             if self.merge_mode is None:
                 self.merge_mode = m.get("merge_mode")
+            if self.fold_broadcast_rows is None:
+                self.fold_broadcast_rows = m.get("fold_broadcast_rows")
         self.merge_mode = self.merge_mode or "cow"
         self.target_file_rows = self.target_file_rows or 1_000_000
         self.max_files_per_bucket = self.max_files_per_bucket or 16
+        self.fold_broadcast_rows = self.fold_broadcast_rows or 1_000_000
 
     def _bucket_file_allowance(self, bucket_rows: int) -> int:
         """Live-file budget for a bucket holding ``bucket_rows`` rows.
@@ -1864,6 +1870,7 @@ class SnapshotTable:
             "max_files_per_bucket": self.max_files_per_bucket,
             "target_file_rows": self.target_file_rows,
             "merge_mode": self.merge_mode,
+            "fold_broadcast_rows": self.fold_broadcast_rows,
             "summary": extra_summary or {},
             "parent": m["version"] if m else None,
         }

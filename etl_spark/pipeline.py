@@ -229,7 +229,7 @@ class IngestPipeline:
         runs half-idle, which measurably caps N->4N scaling. Segment bytes
         are already known from the driver-side listing (O(#segment files),
         the pending delta only — never the table), so the split size is set
-        to keep at least ~4 waves-worth of tasks per core, floored at 16 MB
+        to keep at least ~4 waves-worth of tasks per core, floored at 8 MB
         so tiny batches don't fragment into per-row tasks."""
         total = 0
         for s in segments:
@@ -239,10 +239,13 @@ class IngestPipeline:
         # exchange the same way the scan splits are right-sized below
         self._batch_bytes = total
         par = max(1, self.spark.sparkContext.defaultParallelism)
-        split = min(128 << 20, max(16 << 20, total // (4 * par)))
+        # floor 8 MB: a mid-size batch on a wide cluster is floor-bound
+        # (measured: ~1.5 GB catch-up at 32 cores under the old 16 MB floor
+        # -> 87 scan tasks = 2.7 ragged waves; 8 MB gives ~4+ uniform waves)
+        split = min(128 << 20, max(8 << 20, total // (4 * par)))
         # session conf is global: stash the previous split size so
         # _apply_batch can restore it once the batch is materialized —
-        # otherwise a KB-sized delta leaves a 16 MB split behind for every
+        # otherwise a KB-sized delta leaves an 8 MB split behind for every
         # FULL-table scan that follows (rollup maintenance, driver queries)
         self._prev_split = self.spark.conf.get(
             "spark.sql.files.maxPartitionBytes", None
@@ -280,7 +283,7 @@ class IngestPipeline:
             # session-wide split size before anything scans the FULL table
             # (rollup maintenance below, driver queries after). In a finally
             # so a failed merge (LayoutDriftError, exhausted lost-commit
-            # retries) cannot leak a 16 MB split into the shared session.
+            # retries) cannot leak an 8 MB split into the shared session.
             prev_split = getattr(self, "_prev_split", None)
             if prev_split is not None:
                 self.spark.conf.set(

@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing note: coalescePartitions.minPartitionNum is GONE in
+        # Spark 4 (probed: set-but-ignored under parallelismFirst true AND
+        # false), so there is no session-level floor on post-AQE reduce
+        # width. The default parallelismFirst=true targets ~defaultParallelism
+        # uniform partitions (~1 wave), which is acceptable for catalog
+        # queries; the replay hot path needs ~4 waves for straggler
+        # smoothing and gets them via an explicit repartition(4 x n_buckets)
+        # (lake/table.py arranged_updates) — repartition-by-number shuffles
+        # are never AQE-coalesced.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

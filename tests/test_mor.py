@@ -321,3 +321,64 @@ def test_cow_commit_folds_deltas_without_duplicating_carried_keys(
     assert {(r.path, r.content) for r in rows} == {
         ("a", "a2"), ("b", "b3"), ("c", "c2")}
     assert t.fsck()["ok"]
+
+
+def test_status_surfaces_mor_delta_debt_and_suggests_compaction(
+    spark, tmpdir_path, capsys
+):
+    """VERDICT r3 #6: `status` must show accumulating MOR read debt (live
+    delta files/rows, fold path) and suggest compaction BEFORE the broadcast
+    guard flips the read plan to a shuffle. fold_broadcast_rows is persisted
+    write policy, so the CLI's fresh SnapshotTable sees the same guard the
+    table's own reads use."""
+    import json as _json
+
+    from etl_spark.cli import main as cli_main
+
+    root = f"{tmpdir_path}/t"
+    t = SnapshotTable(spark, root, n_buckets=2, merge_mode="mor",
+                      fold_broadcast_rows=30)
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "x") for i in range(60)]),
+        0,
+    )
+
+    def _status():
+        assert cli_main(["status", "--table", root]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    st = _status()
+    assert st["delta_files"] == 0 and st["fold_path"] is None
+    assert st["suggested_compact"] is False
+    assert st["fold_shuffle_guard_rows"] == 30
+
+    # 20 scattered updated keys: past guard//2 -> suggestion fires while the
+    # fold is still the cheap broadcast path
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000002", "y")
+                    for i in range(0, 60, 3)]),
+        1,
+    )
+    st = _status()
+    assert st["delta_rows"] == 20 and st["delta_files"] >= 1
+    assert st["fold_path"] == "broadcast"
+    assert st["suggested_compact"] is True
+
+    # 25 more keys: 45 live delta rows > guard -> the NEXT read's fold plan
+    # degrades to a shuffle, and status says so
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000003", "z")
+                    for i in range(1, 51, 2)]),
+        2,
+    )
+    st = _status()
+    assert st["delta_rows"] == 45 and st["fold_path"] == "shuffle"
+    assert st["suggested_compact"] is True
+
+    t.compact()
+    st = _status()
+    assert st["delta_files"] == 0 and st["fold_path"] is None
+    assert st["suggested_compact"] is False
+    # debt paid, content intact
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 60 and got["p000"] == "y" and got["p001"] == "z"
