@@ -58,7 +58,8 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _sparse_epoch_case(
-    spark, n_events: int, *, scattered: bool, merge_mode: str | None = None
+    spark, n_events: int, *, scattered: bool, merge_mode: str | None = None,
+    read_count: bool = True,
 ) -> dict:
     """Steady-state CDC cost: bootstrap a table, then apply ONE small delta.
 
@@ -112,9 +113,16 @@ def _sparse_epoch_case(
         stats = pipe.replay(f"{root}/stream")
         secs = time.time() - t0
         c = stats[0].commit
-        t0 = time.time()
-        rows_after = pipe.table.read().count()
-        read_s = time.time() - t0
+        if read_count:
+            t0 = time.time()
+            rows_after = pipe.table.read().count()
+            read_s = round(time.time() - t0, 2)
+        else:
+            # soak-sized fixtures skip the full-table read to bound bench
+            # wall time; manifest rows = live file rows (delta rows may
+            # shadow base rows, so this can overcount under MOR — labeled)
+            rows_after = sum(f["rows"] for f in pipe.table.files())
+            read_s = None
         return {
             "delta_events": c.get("staged_rows"),
             "seconds": round(secs, 2),
@@ -132,7 +140,7 @@ def _sparse_epoch_case(
                 f.get("bytes", 0) for f in c.get("new_files", [])
             ),
             "rows_after": rows_after,
-            "read_sec": round(read_s, 2),
+            "read_sec": read_s,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -168,7 +176,8 @@ def bench_soak_10x(spark, n_events: int) -> dict:
     path a production table would take) to bound bench wall time."""
     return {
         "scattered_auto_10x": _sparse_epoch_case(
-            spark, n_events * 10, scattered=True, merge_mode="auto"
+            spark, n_events * 10, scattered=True, merge_mode="auto",
+            read_count=False,
         ),
     }
 

@@ -347,6 +347,13 @@ class SnapshotTable:
         self.target_file_rows = self.target_file_rows or 1_000_000
         self.max_files_per_bucket = self.max_files_per_bucket or 16
         self.fold_broadcast_rows = self.fold_broadcast_rows or 1_000_000
+        # point-lookup bucket memo: key -> bucket id. The bucket of a key is
+        # a pure function of (key values, key column types, n_buckets), all
+        # of which are part of the cache key, so entries stay valid across
+        # commits and even rebuckets (a rebucket changes n_buckets and so
+        # misses). Bounds the 1-row Spark job in candidate_files to one per
+        # DISTINCT key per layout — repeated/hot-key lookups are driver-only.
+        self._bucket_memo: dict[tuple, int] = {}
 
     def _bucket_file_allowance(self, bucket_rows: int) -> int:
         """Live-file budget for a bucket holding ``bucket_rows`` rows.
@@ -613,18 +620,27 @@ class SnapshotTable:
         # reader attached before a rebucket() must probe under the layout
         # the files were actually written with, or lookups silently miss
         n_buckets = m.get("n_buckets", self.n_buckets)
-        row = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(*lits), F.lit(n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .first()
+        memo_key = (
+            key, n_buckets,
+            tuple(str(types.get(c)) for c in self.key_cols),
         )
+        b = self._bucket_memo.get(memo_key)
+        if b is None:
+            b = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(F.xxhash64(*lits), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .first()["b"]
+            )
+            if len(self._bucket_memo) >= 65536:  # bound driver memory
+                self._bucket_memo.clear()
+            self._bucket_memo[memo_key] = b
         return [
             f
-            for f in self._bucket_entries(row["b"], m)
+            for f in self._bucket_entries(b, m)
             if _keys_hit_file([key], f.get("key_stats"), self.key_cols)
         ]
 

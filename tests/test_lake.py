@@ -265,6 +265,17 @@ def test_point_lookup_scans_only_candidate_files(spark, tmpdir_path):
     got = t.lookup("r", "p0123").collect()
     assert len(got) == 1 and got[0].content == "updated"
     assert t.lookup("r", "nope").count() == 0
+    # repeat lookups memoize the bucket (no further 1-row Spark jobs): the
+    # memo key binds the layout, so a rebucket misses and recomputes
+    memo_before = dict(t._bucket_memo)
+    assert len(memo_before) >= 2  # p0123 + nope
+    cands2 = t.candidate_files(("r", "p0123"))
+    assert [f["path"] for f in cands2] == [f["path"] for f in cands]
+    assert t._bucket_memo == memo_before
+    t.rebucket(16)
+    got = t.lookup("r", "p0123").collect()
+    assert len(got) == 1 and got[0].content == "updated"
+    assert any(k[1] == 16 for k in t._bucket_memo)
 
 
 def test_grouped_manifest_lifecycle(spark, tmpdir_path):
