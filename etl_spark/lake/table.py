@@ -123,6 +123,45 @@ def _stat_val(v):
     return v if isinstance(v, (str, int, float)) else None
 
 
+def _footer_stats_of(
+    meta, key_cols: tuple[str, ...], order_col: str
+) -> tuple[dict | None, list | None]:
+    """Module-level footer-stat extraction so the distributed stats path can
+    ship it to executors without capturing the table handle (whose
+    SparkSession does not pickle)."""
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+
+    def col_range(name):
+        ci = idx.get(name)
+        if ci is None:
+            return None
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            # parquet min/max EXCLUDE nulls: a file holding null key
+            # values is not fully described by its range, so it must
+            # never be pruned (on either side of an intersect test)
+            if st.null_count is None or st.null_count > 0:
+                return None
+            mn, mx = _stat_val(st.min), _stat_val(st.max)
+            if mn is None or mx is None:
+                return None
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else [lo, hi]
+
+    key_stats = {}
+    for c in key_cols:
+        r = col_range(c)
+        if r is None:
+            key_stats = None
+            break
+        key_stats[c] = r
+    return key_stats, col_range(order_col)
+
+
 def _keys_hit_file(keys: list[tuple], key_stats: dict | None,
                    key_cols: tuple[str, ...]) -> bool:
     """True if ANY probed key tuple can lie inside the file's per-column
@@ -347,6 +386,9 @@ class SnapshotTable:
         self.target_file_rows = self.target_file_rows or 1_000_000
         self.max_files_per_bucket = self.max_files_per_bucket or 16
         self.fold_broadcast_rows = self.fold_broadcast_rows or 1_000_000
+        # staged-footer stats go executor-side past this many files per
+        # commit (see _stage_bucketed); below it a driver thread pool wins
+        self.stats_distributed_files = 16384
         # point-lookup bucket memo: key -> bucket id. The bucket of a key is
         # a pure function of (key values, key column types, n_buckets), all
         # of which are part of the cache key, so entries stay valid across
@@ -1170,37 +1212,7 @@ class SnapshotTable:
         per-file LSN range for zero-job lineage. Missing/truncation-unsafe
         stats yield None (callers treat None as "unknown", never prune on it).
         """
-        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-
-        def col_range(name):
-            ci = idx.get(name)
-            if ci is None:
-                return None
-            lo = hi = None
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                # parquet min/max EXCLUDE nulls: a file holding null key
-                # values is not fully described by its range, so it must
-                # never be pruned (on either side of an intersect test)
-                if st.null_count is None or st.null_count > 0:
-                    return None
-                mn, mx = _stat_val(st.min), _stat_val(st.max)
-                if mn is None or mx is None:
-                    return None
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-            return None if lo is None else [lo, hi]
-
-        key_stats = {}
-        for c in self.key_cols:
-            r = col_range(c)
-            if r is None:
-                key_stats = None
-                break
-            key_stats[c] = r
-        return key_stats, col_range(self.order_col)
+        return _footer_stats_of(meta, self.key_cols, self.order_col)
 
     def _staging_width(self, size_bytes: int | None) -> int:
         """Reducer count for the bucket-staging exchange.
@@ -1331,13 +1343,74 @@ class SnapshotTable:
                 "order_stats": order_stats,
             }
 
-        # footer reads are tiny IO-bound ops; a thread pool keeps the driver
-        # loop from serializing at tens of thousands of files
-        from concurrent.futures import ThreadPoolExecutor
+        if len(parts) > self.stats_distributed_files:
+            # bulk-load commits (bootstrap/backfill/rebucket) can stage
+            # 10^5-10^6 files; pyarrow footer parsing is GIL-bound, so a
+            # driver thread pool flatlines at ~0.4 ms/file no matter how
+            # many threads (measured 16 == 48 == 96 workers) — minutes of
+            # serial driver time at scale. Past the threshold the footers
+            # are read executor-side instead (they live on shared storage
+            # on a real cluster), one Arrow batch of (bucket, path) per
+            # task; stats come back JSON-encoded (the manifest stores them
+            # as JSON anyway, so the round-trip is lossless by
+            # construction).
+            infos = self._stat_staged_distributed(parts)
+        else:
+            # steady-state commits stage few files; a driver thread pool
+            # beats a Spark job's scheduling overhead
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            infos = list(ex.map(stat_one, parts))
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                infos = list(ex.map(stat_one, parts))
         return staging, infos
+
+    def _stat_staged_distributed(
+        self, parts: list[tuple[int, Path]]
+    ) -> list[dict[str, Any]]:
+        """Footer stats for a large staged file set, read on the executors."""
+        key_cols, order_col = self.key_cols, self.order_col
+
+        def read_footers(batches):
+            import json as _json
+            import os as _os
+
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                out = {"bucket": [], "path": [], "rows": [], "bytes": [],
+                       "key_stats": [], "order_stats": []}
+                for bucket, path in zip(pdf["bucket"], pdf["path"]):
+                    meta = _pq.read_metadata(path)
+                    ks, os_ = _footer_stats_of(meta, key_cols, order_col)
+                    out["bucket"].append(bucket)
+                    out["path"].append(path)
+                    out["rows"].append(meta.num_rows)
+                    out["bytes"].append(_os.stat(path).st_size)
+                    out["key_stats"].append(_json.dumps(ks))
+                    out["order_stats"].append(_json.dumps(os_))
+                yield _pd.DataFrame(out)
+
+        par = max(1, self.spark.sparkContext.defaultParallelism)
+        src = self.spark.createDataFrame(
+            [(b, str(p)) for b, p in parts], "bucket int, path string"
+        ).repartition(min(4 * par, max(par, len(parts) // 2048)))
+        rows = src.mapInPandas(
+            read_footers,
+            "bucket int, path string, rows long, bytes long, "
+            "key_stats string, order_stats string",
+        ).collect()
+        return [
+            {
+                "path": r["path"],
+                "bucket": r["bucket"],
+                "rows": r["rows"],
+                "bytes": r["bytes"],
+                "key_stats": json.loads(r["key_stats"]),
+                "order_stats": json.loads(r["order_stats"]),
+            }
+            for r in rows
+        ]
 
     def _promote(self, info: dict[str, Any]) -> dict[str, Any]:
         """Move a staged file into data/ (rename-only; no rewrite)."""

@@ -436,3 +436,43 @@ def test_explicit_file_sizing_knobs_win_on_attach(spark, tmpdir_path):
     assert retuned.target_file_rows == 1 << 20
     retuned.merge_epoch(_df(spark, [("r", "q", "c000000000001", "x")]), 1)
     assert SnapshotTable(spark, tmpdir_path).target_file_rows == 1 << 20
+
+
+def test_distributed_footer_stats_match_driver_pool(spark, tmpdir_path):
+    """Past stats_distributed_files staged files, footer stats are read
+    executor-side (mapInPandas) instead of a driver thread pool (GIL-bound
+    at ~0.4 ms/file — minutes at bulk-load file counts). The two paths must
+    produce byte-identical manifest entries."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4, target_file_rows=5,
+                      max_files_per_bucket=64)
+    rows = [("r", f"p{i:03d}", "c000000000001", "x" * 20) for i in range(200)]
+    t.merge_epoch(_df(spark, rows), 0)  # manifest stats via the pool path
+    files = t.files()
+    assert len(files) > 30
+    dist = t._stat_staged_distributed(
+        [(f["bucket"], Path(f["path"])) for f in files]
+    )
+    by_path = {d["path"]: d for d in dist}
+    assert len(by_path) == len(files)
+    for f in files:
+        d = by_path[f["path"]]
+        for k in ("bucket", "rows", "bytes", "key_stats", "order_stats"):
+            assert d[k] == f[k], (k, d[k], f[k])
+        assert d["key_stats"] is not None  # stats actually present, not None==None
+
+
+def test_bulk_commit_on_distributed_stats_path(spark, tmpdir_path):
+    """End-to-end: a commit whose staged file count crosses the threshold
+    takes the distributed stats path and still prunes/merges correctly."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4, target_file_rows=2,
+                      max_files_per_bucket=128)
+    t.stats_distributed_files = 10
+    rows = [("r", f"p{i:03d}", "c000000000001", "x") for i in range(120)]
+    t.merge_epoch(_df(spark, rows), 0)
+    assert len(t.files()) > 10
+    s = t.merge_epoch(_df(spark, [("r", "p007", "c000000000002", "y")]), 1)
+    # file-level stats pruning must still work off the distributed stats
+    assert s["files_rewritten"] <= 3
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 120 and got["p007"] == "y" and got["p006"] == "x"
+    assert t.fsck()["ok"]
