@@ -880,18 +880,32 @@ class SnapshotTable:
             except FileNotFoundError:
                 return None, 0
 
-        for p in (self.root / DATA_DIR).glob("*.parquet"):
+        def _probe(p):
+            # stat + age-gate one candidate; returns (path-to-delete, size)
+            # or a young/vanished marker. Pure function of the fs, safe to
+            # overlap.
             if os.path.realpath(p) in referenced:
-                continue
+                return None
             mt, size = _mtime(p)
             if mt is None:
-                continue
+                return None
             if now - mt < older_than_s:
-                skipped_young += 1
-                continue
-            freed += size
-            p.unlink(missing_ok=True)
-            removed += 1
+                return ("young", 0)
+            return (p, size)
+
+        # stat + unlink overlap (same rationale as _promote_all: on an
+        # object store each is a metadata RPC, and a vacuum after a big
+        # compaction can face 10^5 orphans)
+        from concurrent.futures import ThreadPoolExecutor
+
+        candidates = list((self.root / DATA_DIR).glob("*.parquet"))
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            probes = [r for r in ex.map(_probe, candidates) if r is not None]
+            doomed = [(p, s) for p, s in probes if p != "young"]
+            skipped_young += sum(1 for p, _ in probes if p == "young")
+            list(ex.map(lambda ps: ps[0].unlink(missing_ok=True), doomed))
+        removed += len(doomed)
+        freed += sum(s for _, s in doomed)
         # orphaned manifest-group files (losing commit attempts, expired
         # versions' groups) — same referenced-set + grace rules
         groups_removed = 0
