@@ -354,6 +354,22 @@ def main(argv: list[str] | None = None) -> int:
             or delta_rows > t.fold_broadcast_rows // 2
             or max(per_bucket.values()) > mor_cap
         )
+        # sustained scattered-delta pattern on a COW table: each commit's
+        # manifest records rewritten_rows / staged_rows (write
+        # amplification); when the recent median exceeds the auto-mode
+        # threshold, merge_mode="auto" would have routed those commits to
+        # delta files instead — say so
+        amps = []
+        for v in sorted(t.versions())[-6:]:
+            cs = (t.manifest(v) or {}).get("commit_stats") or {}
+            if cs.get("mode") == "cow" and cs.get("staged_rows"):
+                amps.append(cs["rewritten_rows"] / cs["staged_rows"])
+        median_amp = sorted(amps)[len(amps) // 2] if amps else None
+        suggest_auto = bool(
+            m.get("merge_mode", "cow") == "cow"
+            and len(amps) >= 2
+            and median_amp > t.auto_mor_factor
+        )
         print(
             json.dumps(
                 {
@@ -373,6 +389,11 @@ def main(argv: list[str] | None = None) -> int:
                     "fold_path": fold_path,
                     "fold_shuffle_guard_rows": t.fold_broadcast_rows,
                     "suggested_compact": suggest_compact,
+                    "recent_cow_write_amplification": (
+                        round(median_amp, 1) if median_amp is not None
+                        else None
+                    ),
+                    "suggested_merge_mode": "auto" if suggest_auto else None,
                     "rows": sum(f["rows"] for f in fl),
                     "bytes": sum(f["bytes"] for f in fl),
                     "n_buckets": m.get("n_buckets"),

@@ -1990,6 +1990,21 @@ class SnapshotTable:
             "merge_mode": self.merge_mode,
             "fold_broadcast_rows": self.fold_broadcast_rows,
             "summary": extra_summary or {},
+            # per-commit write-amplification record (tiny, fixed-size): lets
+            # ops tooling (cli status) see a sustained scattered-delta
+            # pattern on a COW table and recommend merge_mode=auto without
+            # replaying history
+            "commit_stats": {
+                "mode": mode,
+                "staged_rows": sum(f["rows"] for f in staged),
+                "rewritten_rows": sum(
+                    f.get("rows") or 0 for f in rewrite_old
+                ),
+                "files_rewritten": len(rewrite_old),
+                "delta_files": sum(
+                    1 for f in new_files if f.get("kind") == "delta"
+                ),
+            },
             "parent": m["version"] if m else None,
         }
         self._attach_files(

@@ -382,3 +382,58 @@ def test_status_surfaces_mor_delta_debt_and_suggests_compaction(
     # debt paid, content intact
     got = {r.path: r.content for r in t.read().collect()}
     assert len(got) == 60 and got["p000"] == "y" and got["p001"] == "z"
+
+
+def test_status_recommends_auto_after_scattered_cow_commits(
+    spark, tmpdir_path, capsys
+):
+    """A COW table absorbing repeatedly-scattered deltas shows sustained
+    write amplification (rewritten_rows >> staged_rows, persisted per commit
+    in the manifest's commit_stats); `status` must surface the median and
+    recommend merge_mode=auto. Once the table runs auto, the suggestion
+    clears."""
+    import json as _json
+
+    from etl_spark.cli import main as cli_main
+
+    root = f"{tmpdir_path}/t"
+    t = SnapshotTable(spark, root, n_buckets=4, target_file_rows=5)  # cow
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "x")
+                    for i in range(200)]),
+        0,
+    )
+
+    def _status():
+        assert cli_main(["status", "--table", root]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # two scattered updates: ~every 10th key -> each staged row drags a
+    # whole ~5-row file through the rewrite (amplification ~5 > factor 4)
+    for e, c in ((1, "c000000000002"), (2, "c000000000003")):
+        t.merge_epoch(
+            _df(spark, [("r", f"p{i:03d}", c, f"v{e}")
+                        for i in range(0, 200, 10)]),
+            e,
+        )
+    st = _status()
+    assert st["merge_mode"] == "cow"
+    assert st["recent_cow_write_amplification"] > t.auto_mor_factor
+    assert st["suggested_merge_mode"] == "auto"
+
+    # operator follows the advice: attach with auto (persisted on commit)
+    t2 = SnapshotTable(spark, root, merge_mode="auto")
+    for e, c in ((3, "c000000000004"), (4, "c000000000005"),
+                 (5, "c000000000006"), (6, "c000000000007"),
+                 (7, "c000000000008"), (8, "c000000000009")):
+        t2.merge_epoch(
+            _df(spark, [("r", f"p{i:03d}", c, f"w{e}")
+                        for i in range(0, 200, 10)]),
+            e,
+        )
+    st = _status()
+    assert st["merge_mode"] == "auto"
+    # the recent-commit window is now all auto commits -> no cow evidence
+    assert st["suggested_merge_mode"] is None
+    got = {r.path: r.content for r in t2.read().collect()}
+    assert len(got) == 200 and got["p000"] == "w8" and got["p001"] == "x"
