@@ -111,7 +111,21 @@ def sessionize_stream(
     )
 
 
-def open_sessions(checkpointed_query_state: DataFrame) -> DataFrame:  # pragma: no cover
-    """Placeholder for the state-store reader API (spark.read.format
-    ("statestore")) — available where the state data source is enabled."""
-    raise NotImplementedError("state store reader not wired in this sandbox")
+def open_sessions(spark, checkpoint_location: str) -> DataFrame:
+    """The live (possibly still-open) session per key, read directly from
+    the streaming query's checkpointed state via Spark 4's built-in state
+    data source (``spark.read.format("statestore")``).
+
+    Ops/debug surface: append mode only ever EMITS closed sessions, so
+    without this the in-flight tail is invisible; the state reader exposes
+    it batch-style without touching (or pausing) the streaming query. The
+    read is a snapshot of the last committed micro-batch's state —
+    consistent, but one batch behind the live stream by construction."""
+    st = spark.read.format("statestore").load(checkpoint_location)
+    g = "value.groupState"
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col(f"{g}.start_s").alias("ts_start_s"),
+        F.col(f"{g}.end_s").alias("ts_end_s"),
+        F.col(f"{g}.n").alias("n_events"),
+    )

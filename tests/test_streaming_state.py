@@ -154,3 +154,34 @@ def test_null_ts_event_is_isolated_not_fatal(spark, tmpdir_path):
     _run_stream(spark, src, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt")
     got = _sessions(spark, f"{tmpdir_path}/out")
     assert got == {(1, 0, 100, 2)}  # null row ignored, query survived
+
+
+def test_open_sessions_reads_live_state_from_checkpoint(spark, tmpdir_path):
+    """open_sessions exposes the in-flight (never-emitted) session tail via
+    Spark 4's state data source, straight from the query checkpoint; after
+    another micro-batch extends a session, the state read reflects it."""
+    from etl_spark.streaming.state import open_sessions
+
+    src = f"{tmpdir_path}/src"
+    out = f"{tmpdir_path}/out"
+    ckpt = f"{tmpdir_path}/ckpt"
+    # user 1: closed session [0..200] + open tail at 12000;
+    # user 2: single open session [50..60]
+    _write_batch(spark, src, [(1, 0, 0), (1, 100, 1), (1, 200, 2),
+                              (1, 12000, 3), (2, 50, 10), (2, 60, 11)])
+    _run_stream(spark, src, out, ckpt)
+    live = {
+        (r.user_id, r.ts_start_s, r.ts_end_s, r.n_events)
+        for r in open_sessions(spark, ckpt).collect()
+    }
+    assert live == {(1, 12000, 12000, 1), (2, 50, 60, 2)}
+    # second batch continues user 1's open session within the gap
+    _write_batch(spark, src, [(1, 12000 + GAP, 4)])
+    _run_stream(spark, src, out, ckpt)
+    live = {
+        (r.user_id, r.ts_start_s, r.ts_end_s, r.n_events)
+        for r in open_sessions(spark, ckpt).collect()
+    }
+    assert live == {(1, 12000, 12000 + GAP, 2), (2, 50, 60, 2)}
+    # and nothing was spuriously emitted for the stitched session
+    assert (1, 12000, 12000, 1) not in _sessions(spark, out)
