@@ -195,7 +195,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         entry = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(entry)
-        catalog = entry.queries()
+        # extras included: second-strategy variants displaced from the
+        # 50-entry driver registry stay runnable from the CLI
+        catalog = {**entry.queries(), **entry.extra_queries()}
         if args.name == "list":
             for name in sorted(catalog):
                 print(name)
