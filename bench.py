@@ -113,14 +113,18 @@ def _sparse_epoch_case(
         stats = pipe.replay(f"{root}/stream")
         secs = time.time() - t0
         c = stats[0].commit
+        rows_key = "rows_after"
         if read_count:
             t0 = time.time()
             rows_after = pipe.table.read().count()
             read_s = round(time.time() - t0, 2)
         else:
             # soak-sized fixtures skip the full-table read to bound bench
-            # wall time; manifest rows = live file rows (delta rows may
-            # shadow base rows, so this can overcount under MOR — labeled)
+            # wall time. Manifest file-row sums OVERCOUNT under MOR (delta
+            # rows shadow base rows), so the value goes out under a
+            # DIFFERENT key than the exact counts — no reader can mistake
+            # one for the other.
+            rows_key = "manifest_rows"
             rows_after = sum(f["rows"] for f in pipe.table.files())
             read_s = None
         return {
@@ -139,7 +143,7 @@ def _sparse_epoch_case(
             "bytes_written": sum(
                 f.get("bytes", 0) for f in c.get("new_files", [])
             ),
-            "rows_after": rows_after,
+            rows_key: rows_after,
             "read_sec": read_s,
         }
     finally:

@@ -363,6 +363,19 @@ class CheckpointLog:
                     victim_mtime[p] = p.stat().st_mtime_ns
                 except FileNotFoundError:
                     victim_mtime[p] = None
+            # a dir already retired with an UNCHANGED mtime is just waiting
+            # out the grace window — its rows are in the consolidation and
+            # re-folding it would rewrite the whole consolidation (and
+            # retire one more full copy) on EVERY run inside the window.
+            # A changed/unverifiable one is the newer truth: fold it again.
+            victims = [
+                (e, p) for e, p in victims
+                if not (
+                    (ent := retired.get(p.name)) is not None
+                    and ent.get("mtime_ns") is not None
+                    and ent["mtime_ns"] == victim_mtime.get(p)
+                )
+            ]
             # strays (pre-publish crash orphans, superseded consolidations)
             # are retired rather than removed — reaped past grace
             for p in self.root.glob("compacted-*"):

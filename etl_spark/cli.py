@@ -345,7 +345,7 @@ def main(argv: list[str] | None = None) -> int:
         per_bucket: dict[int, int] = {}
         for f in deltas:
             per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-        mor_cap = max(2, t.max_files_per_bucket // 2)
+        mor_cap = t.mor_delta_cap
         fold_path = (
             None if not deltas
             else "shuffle" if delta_rows > t.fold_broadcast_rows

@@ -62,12 +62,17 @@ class IcebergTable:
         key_cols: tuple[str, ...] = ("repo", "path"),
         order_col: str = "commit",
         n_buckets: int = 32,
+        legacy_epoch_space: str = "batch",
     ) -> None:
         self.spark = spark
         self.identifier = identifier
         self.key_cols = tuple(key_cols)
         self.order_col = order_col
         self.n_buckets = n_buckets
+        # which ONE space the pre-namespacing shared epoch property belongs
+        # to (see applied_epochs); folding it everywhere would let a legacy
+        # batch id silently skip a stream micro-batch, or vice versa
+        self.legacy_epoch_space = legacy_epoch_space
         self._ensure_runtime()
 
     def _ensure_runtime(self) -> None:
@@ -132,21 +137,27 @@ class IcebergTable:
     def applied_epochs(self, space: str = "batch") -> set[int]:
         """Applied commit-ids for one epoch space, from snapshot summaries.
 
-        EVERY space also folds ids recorded under the legacy shared
-        ``applied-epochs`` property: builds that predate per-space
-        namespacing stamped every space there, so without the fold a
-        re-delivered batch on a pre-upgrade table would be re-applied
-        instead of skipped (the MERGE order guard makes that redundant
-        work, but exactly-once skip is the contract). The fold preserves a
-        pre-upgrade table's historical shared-id-space semantics; commits
-        made after the upgrade write only namespaced properties, so the
-        legacy set is frozen and new tables never populate it — spaces on
-        them separate cleanly."""
+        Ids recorded under the legacy shared ``applied-epochs`` property
+        (builds that predate per-space namespacing) fold into exactly ONE
+        space — ``legacy_epoch_space``, default ``"batch"`` — never into
+        all of them. Legacy ids are ambiguous (the stream space tracks raw
+        micro-batch ids, numerically colliding with segment epochs), and
+        the two error directions are not symmetric: folding a legacy id
+        into the WRONG space silently SKIPS a never-applied commit (data
+        loss), while not folding merely re-applies a MERGE whose order
+        guard makes it redundant-but-correct. So the fold is skip-biased
+        only where the operator declares the legacy usage lived; a
+        pre-upgrade table that really ran streaming attaches with
+        ``legacy_epoch_space="stream"`` once. Post-upgrade commits write
+        only namespaced properties, so the legacy set is frozen and new
+        tables never populate it — spaces on them separate cleanly."""
         rows = self.spark.sql(
             f"SELECT summary FROM {_quote(self.identifier)}.snapshots "
             "ORDER BY committed_at DESC"
         ).collect()
-        props = {_epoch_prop(space), LEGACY_EPOCH_PROP}
+        props = {_epoch_prop(space)}
+        if space == self.legacy_epoch_space:
+            props.add(LEGACY_EPOCH_PROP)
         out: set[int] = set()
         for r in rows:
             for name in props:

@@ -397,6 +397,15 @@ class SnapshotTable:
         # DISTINCT key per layout — repeated/hot-key lookups are driver-only.
         self._bucket_memo: dict[tuple, int] = {}
 
+    @property
+    def mor_delta_cap(self) -> int:
+        """Max live MOR delta files per bucket before the bucket folds back
+        into base files at merge time. Single source of truth — the merge
+        path, the default compaction slack, and cli status's debt report
+        must all agree, or the ops suggestion silently diverges from the
+        engine's actual fold trigger."""
+        return max(2, self.max_files_per_bucket // 2)
+
     def _bucket_file_allowance(self, bucket_rows: int) -> int:
         """Live-file budget for a bucket holding ``bucket_rows`` rows.
 
@@ -944,7 +953,8 @@ class SnapshotTable:
         target's files are still referenced, so vacuum keeps them."""
         m = self.manifest(version)  # raises if the snapshot is gone
         cur = self.current_version()
-        new = {**m, "summary": {"rollback_of": version}, "parent": cur}
+        new = {k: v for k, v in m.items() if k != "commit_stats"}
+        new.update({"summary": {"rollback_of": version}, "parent": cur})
         v = self._commit_manifest(new, base_version=cur)
         # the restored snapshot carries ITS layout (a rollback across a
         # rebucket restores the old bucket count) — re-adopt it so this
@@ -1001,7 +1011,7 @@ class SnapshotTable:
             # FRAGMENTED (holds more files than its rows require plus slack),
             # not merely large — a bucket legitimately needing many
             # target-size files must not be rewritten on every compact()
-            slack = max(2, self.max_files_per_bucket // 2)
+            slack = self.mor_delta_cap
 
             def _needed(fl):
                 rows = sum(f["rows"] for f in fl)
@@ -1034,7 +1044,8 @@ class SnapshotTable:
             shutil.rmtree(staging, ignore_errors=True)
         manifest = {
             **{k: v for k, v in m.items()
-               if k not in ("version", "committed_at", "files", "file_groups")},
+               if k not in ("version", "committed_at", "files",
+                            "file_groups", "commit_stats")},
             "summary": {"compaction": {"buckets": sorted(victims)}},
             "parent": m["version"],
         }
@@ -1100,7 +1111,7 @@ class SnapshotTable:
                 **{k: v for k, v in m.items()
                    if k not in ("version", "committed_at", "files",
                                 "file_groups", "manifest_n_groups",
-                                "n_buckets")},
+                                "n_buckets", "commit_stats")},
                 "n_buckets": n_buckets,
                 "summary": {"rebucket": {"from": old_n, "to": n_buckets}},
                 "parent": m["version"],
@@ -1739,7 +1750,7 @@ class SnapshotTable:
                                             s.get("key_stats")) for s in sref)
                 ]
 
-            mor_cap = max(2, self.max_files_per_bucket // 2)
+            mor_cap = self.mor_delta_cap
             mor_delta_raw: list[dict] = []   # staged files -> delta promote
             stale_check: list[dict] = []     # live files defining existing orders
             folded_buckets: list[int] = []

@@ -180,3 +180,50 @@ def test_lineage_compaction_grace_window_defers_reclamation(
             for r in log.read().where("epoch = 0").collect()}
     assert got0 == {(int(b), int(c))
                     for b, c in zip(pdf0["bucket"], pdf0["row_count"])}
+
+
+def test_lineage_compaction_is_idempotent_inside_grace_window(
+    spark, stream, tmpdir_path
+):
+    """ADVICE-r4-review: retired-but-present dirs must NOT be re-folded by
+    every compact() inside the grace window — that would rewrite the whole
+    consolidation (and retire one more full copy) per run under a
+    maintenance cron. A second compact() with nothing new is a no-op."""
+    import json
+    from pathlib import Path
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/ti", n_buckets=4)
+    pipe.replay(stream)  # 3 epochs
+    log = pipe.log
+    before = sorted(map(tuple, log.read().collect()))
+
+    out1 = log.compact(keep_last=1, grace_s=3600)
+    assert out1["compacted_epochs"] == 2
+    dirs_after_first = sorted(
+        p.name for p in Path(log.root).glob("compacted-*")
+    )
+    retired_after_first = json.loads(
+        (Path(log.root) / "retired.json").read_text()
+    )
+
+    # immediately again, still inside grace: nothing new to fold
+    out2 = log.compact(keep_last=1, grace_s=3600)
+    assert out2["compacted_epochs"] == 0 and out2["reaped_dirs"] == 0
+    assert sorted(
+        p.name for p in Path(log.root).glob("compacted-*")
+    ) == dirs_after_first  # no extra consolidation copies accumulate
+    assert json.loads(
+        (Path(log.root) / "retired.json").read_text()
+    ) == retired_after_first
+    assert sorted(map(tuple, log.read().collect())) == before
+
+    # a rewritten retiree IS new truth: the next compact re-folds just it
+    pdf0 = log.read().where("epoch = 0").toPandas()
+    pdf0["row_count"] = pdf0["row_count"] + 3
+    log._write_pandas(pdf0, 0)
+    out3 = log.compact(keep_last=1, grace_s=3600)
+    assert out3["compacted_epochs"] == 1
+    got0 = {(r.bucket, r.row_count)
+            for r in log.read().where("epoch = 0").collect()}
+    assert got0 == {(int(b), int(c))
+                    for b, c in zip(pdf0["bucket"], pdf0["row_count"])}

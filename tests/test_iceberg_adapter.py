@@ -74,12 +74,15 @@ def test_epoch_property_namespaced_per_space():
                                      _epoch_prop("stream")}
 
 
-def test_applied_epochs_folds_legacy_shared_property():
-    """ADVICE r3: stream epochs recorded by pre-namespacing builds under the
-    shared 'applied-epochs' property must still be recognized by
-    applied_epochs('stream') — otherwise a re-delivered streaming batch on a
-    pre-upgrade Iceberg table is re-applied instead of skipped. New-style
-    namespaced properties stay separated per space."""
+def test_applied_epochs_folds_legacy_shared_property_into_one_space():
+    """ADVICE r3, corrected in r4 review: legacy shared-property ids are
+    AMBIGUOUS (stream tracks raw micro-batch ids, colliding numerically
+    with segment epochs), so they fold into exactly ONE declared space —
+    default batch. Folding them everywhere would let a legacy batch id
+    silently SKIP a never-applied stream micro-batch (data loss); not
+    folding the other space merely re-applies a MERGE whose order guard
+    makes it redundant-but-correct. legacy_epoch_space='stream' flips the
+    fold for tables whose pre-upgrade usage was streaming."""
     from etl_spark.lake.iceberg import IcebergTable
 
     class _FakeResult:
@@ -92,7 +95,7 @@ def test_applied_epochs_folds_legacy_shared_property():
     class _FakeSpark:
         def sql(self, _q):
             return _FakeResult([
-                # pre-upgrade snapshot: every space stamped the shared prop
+                # pre-upgrade snapshot: the shared prop (space unknown)
                 {"summary": {"applied-epochs": "[0, 1]"}},
                 # post-upgrade snapshots: namespaced per space
                 {"summary": {"applied-epochs-batch": "[2]"}},
@@ -101,9 +104,14 @@ def test_applied_epochs_folds_legacy_shared_property():
 
     it = IcebergTable.__new__(IcebergTable)  # bypass runtime gate
     it.spark, it.identifier = _FakeSpark(), "cat.db.t"
-    # legacy ids fold into BOTH spaces (their historical shared semantics);
-    # namespaced ids stay space-local
+    it.legacy_epoch_space = "batch"
+    # default: legacy ids belong to batch; stream must NOT see them, so a
+    # colliding stream micro-batch re-applies (safe) instead of skipping
     assert it.applied_epochs("batch") == {0, 1, 2}
+    assert it.applied_epochs("stream") == {3}
+    # declared streaming legacy usage: the fold flips, batch re-applies
+    it.legacy_epoch_space = "stream"
+    assert it.applied_epochs("batch") == {2}
     assert it.applied_epochs("stream") == {0, 1, 3}
 
 

@@ -54,7 +54,9 @@ def run_level(nproc: int, mb: int, gb_per_proc: float) -> dict:
     t0 = time.perf_counter()
     for p in procs:
         p.start()
-    results = [out.get() for _ in procs]
+    # bounded get: a worker OOM-killed after barrier.wait() would never
+    # post its tuple and an unbounded get() hangs the probe forever
+    results = [out.get(timeout=600) for _ in procs]
     for p in procs:
         p.join()
     wall = time.perf_counter() - t0
