@@ -271,10 +271,19 @@ class CheckpointLog:
         os.replace(tmp, self.root / self._RETIRED)
 
     def _retire(self, retired: dict, name: str, mtime_ns: int | None) -> None:
-        """Record a superseded dir; keep the EARLIEST retired_at so repeated
-        re-folds of a still-present dir cannot postpone its reaping forever."""
-        if name not in retired:
+        """Record a superseded dir. Keep the EARLIEST retired_at (repeated
+        re-folds of a still-present dir cannot postpone its reaping
+        forever) but REFRESH mtime_ns: after a rewritten dir is re-folded,
+        the consolidation holds the NEW rows, so the new mtime is the one
+        that must match for both the reap's delete and compact()'s
+        already-retired skip — a stale stamp would make every later
+        compact() inside the grace window see the dir as changed and
+        re-fold it each run."""
+        ent = retired.get(name)
+        if ent is None:
             retired[name] = {"retired_at": time.time(), "mtime_ns": mtime_ns}
+        else:
+            ent["mtime_ns"] = mtime_ns
 
     def _reap(self, retired: dict, grace_s: float) -> int:
         """Delete retired dirs past the grace window. A per-epoch dir whose

@@ -32,8 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 #: legacy (pre-namespacing) property: early builds stamped EVERY space's ids
-#: here. Never written anymore; folded into every space on read so
-#: pre-upgrade tables keep exactly-once skip behavior (see applied_epochs).
+#: here, so the ids are ambiguous across spaces. Never written anymore;
+#: folded on read into exactly ONE declared space (``legacy_epoch_space``,
+#: default "batch") — see applied_epochs for why folding it everywhere
+#: would turn safe re-applies into silent skips.
 LEGACY_EPOCH_PROP = "applied-epochs"
 EPOCH_PROP = LEGACY_EPOCH_PROP
 

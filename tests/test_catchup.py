@@ -227,3 +227,14 @@ def test_lineage_compaction_is_idempotent_inside_grace_window(
             for r in log.read().where("epoch = 0").collect()}
     assert got0 == {(int(b), int(c))
                     for b, c in zip(pdf0["bucket"], pdf0["row_count"])}
+    # ...and the re-fold refreshed the retirement stamp, so the run AFTER
+    # the re-fold is a no-op again (a stale mtime stamp would make every
+    # later compact inside the window re-fold the same dir forever)
+    dirs_after_refold = sorted(
+        p.name for p in Path(log.root).glob("compacted-*")
+    )
+    out4 = log.compact(keep_last=1, grace_s=3600)
+    assert out4["compacted_epochs"] == 0
+    assert sorted(
+        p.name for p in Path(log.root).glob("compacted-*")
+    ) == dirs_after_refold

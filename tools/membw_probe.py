@@ -36,7 +36,7 @@ def _worker(mb: int, gb_budget: float, barrier, out) -> None:
     x = np.ones(mb * (1 << 20) // 8, dtype=np.float64)  # paged in by init
     # one pass = read + write = 2 * buffer bytes of bus traffic
     passes = max(1, int(gb_budget * (1 << 30) / (2 * x.nbytes)))
-    barrier.wait()  # all workers start streaming together
+    barrier.wait(timeout=600)  # all workers start streaming together
     t0 = time.perf_counter()
     for _ in range(passes):
         x += 1.0
@@ -45,20 +45,28 @@ def _worker(mb: int, gb_budget: float, barrier, out) -> None:
 
 def run_level(nproc: int, mb: int, gb_per_proc: float) -> dict:
     ctx = mp.get_context("spawn")
+    # a timeout alone can't bound a PRE-barrier death (an OOM kill during
+    # buffer page-in leaves the survivors parked in barrier.wait() forever,
+    # and interpreter exit would join non-daemon children): the barrier
+    # itself times out, workers are daemonic, and stragglers are terminated
     barrier = ctx.Barrier(nproc)
     out = ctx.Queue()
     procs = [
-        ctx.Process(target=_worker, args=(mb, gb_per_proc, barrier, out))
+        ctx.Process(
+            target=_worker, args=(mb, gb_per_proc, barrier, out), daemon=True
+        )
         for _ in range(nproc)
     ]
     t0 = time.perf_counter()
     for p in procs:
         p.start()
-    # bounded get: a worker OOM-killed after barrier.wait() would never
-    # post its tuple and an unbounded get() hangs the probe forever
-    results = [out.get(timeout=600) for _ in procs]
-    for p in procs:
-        p.join()
+    try:
+        results = [out.get(timeout=600) for _ in procs]
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+            p.join(timeout=30)
     wall = time.perf_counter() - t0
     total_bytes = sum(r[0] for r in results)
     # aggregate over the streaming window only (max per-worker stream time
