@@ -59,7 +59,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def _sparse_epoch_case(
     spark, n_events: int, *, scattered: bool, merge_mode: str | None = None,
-    read_count: bool = True,
+    read_count: bool = True, read_path_probes: bool = False,
 ) -> dict:
     """Steady-state CDC cost: bootstrap a table, then apply ONE small delta.
 
@@ -109,11 +109,25 @@ def _sparse_epoch_case(
         # column too would collide on the partition-discovering read.
         (delta.drop("epoch").repartition(4).write.mode("overwrite")
               .parquet(f"{root}/stream/epoch=1"))
+        v_before = pipe.table.current_version()
         t0 = time.time()
         stats = pipe.replay(f"{root}/stream")
         secs = time.time() - t0
         c = stats[0].commit
         rows_key = "rows_after"
+        lookup_s = feed_s = None
+        if read_path_probes:
+            # Read-side sublinearity probes (VERDICT r4 #4): at the soak's
+            # 10x file count, a point lookup must stay O(candidate files of
+            # one bucket) and the change feed O(new files since v_before),
+            # not O(table files). Untimed key pick, then timed probes.
+            probe = delta.select("repo", "path").orderBy("repo", "path").first()
+            t0 = time.time()
+            pipe.table.lookup(probe["repo"], probe["path"]).collect()
+            lookup_s = round(time.time() - t0, 2)
+            t0 = time.time()
+            feed_rows = pipe.table.changes_between(v_before).count()
+            feed_s = round(time.time() - t0, 2)
         if read_count:
             t0 = time.time()
             rows_after = pipe.table.read().count()
@@ -145,6 +159,14 @@ def _sparse_epoch_case(
             ),
             rows_key: rows_after,
             "read_sec": read_s,
+            **(
+                {
+                    "lookup_sec": lookup_s,
+                    "feed_sec": feed_s,
+                    "feed_rows": feed_rows,
+                }
+                if read_path_probes else {}
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -152,8 +174,15 @@ def _sparse_epoch_case(
 
 def bench_sparse_epoch(spark, n_events: int) -> dict:
     return {
-        "clustered": _sparse_epoch_case(spark, n_events, scattered=False),
-        "scattered": _sparse_epoch_case(spark, n_events, scattered=True),
+        # explicit COW: these two are the round-2+ comparability rows; the
+        # table default is "auto" since round 5, which would silently turn
+        # them into duplicates of the *_auto rows below
+        "clustered": _sparse_epoch_case(
+            spark, n_events, scattered=False, merge_mode="cow"
+        ),
+        "scattered": _sparse_epoch_case(
+            spark, n_events, scattered=True, merge_mode="cow"
+        ),
         # the round-2 scale risk, closed: same adversarial delta via MOR
         "scattered_mor": _sparse_epoch_case(
             spark, n_events, scattered=True, merge_mode="mor"
@@ -181,7 +210,7 @@ def bench_soak_10x(spark, n_events: int) -> dict:
     return {
         "scattered_auto_10x": _sparse_epoch_case(
             spark, n_events * 10, scattered=True, merge_mode="auto",
-            read_count=False,
+            read_count=False, read_path_probes=True,
         ),
     }
 
@@ -257,20 +286,44 @@ def main() -> int:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "replay": replay,
-                "sparse_epoch": {**sparse, **soak},
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-            }
-        )
-    )
+    # Full-fidelity detail goes out FIRST (its own stdout line + stderr
+    # copy); the machine-readable summary is the LAST line and kept
+    # compact — round 4's driver artifact came back `parsed: null` because
+    # the single summary line outgrew the driver's output-tail capture
+    # window once the verbose sparse_epoch sub-objects were inlined.
+    detail = {
+        "metric": "bench_detail",
+        "replay": replay,
+        "sparse_epoch": {**sparse, **soak},
+    }
+    print(json.dumps(detail, separators=(",", ":")))
+    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
+    soak_row = soak.get("scattered_auto_10x", {})
+    summary = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "replay_events_per_sec": replay["events_per_sec"],
+        "catchup_events_per_sec": replay["catchup_events_per_sec"],
+        # two-point sublinearity headline scalars (full row in the
+        # bench_detail line above)
+        "soak_10x": {
+            k: soak_row.get(k)
+            for k in (
+                "seconds", "table_files", "files_rewritten", "files_pruned",
+                "bytes_written", "lookup_sec", "feed_sec",
+            )
+        } if soak_row else None,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        summary.pop("soak_10x", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
     spark.stop()
     return 0
 

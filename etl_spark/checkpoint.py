@@ -271,16 +271,20 @@ class CheckpointLog:
         os.replace(tmp, self.root / self._RETIRED)
 
     def _retire(self, retired: dict, name: str, mtime_ns: int | None) -> None:
-        """Record a superseded dir. Keep the EARLIEST retired_at (repeated
-        re-folds of a still-present dir cannot postpone its reaping
-        forever) but REFRESH mtime_ns: after a rewritten dir is re-folded,
-        the consolidation holds the NEW rows, so the new mtime is the one
-        that must match for both the reap's delete and compact()'s
-        already-retired skip — a stale stamp would make every later
-        compact() inside the grace window see the dir as changed and
-        re-fold it each run."""
+        """Record a superseded dir. When the dir's content is UNCHANGED
+        since the prior retirement, keep the earliest retired_at (repeated
+        no-op re-folds of a still-present dir cannot postpone its reaping
+        forever). When the content CHANGED (rewritten, then re-folded), a
+        reader that resolved the PRE-refold marker may still be scanning
+        the dir — restart the grace window (reset retired_at) so the reap
+        cannot delete it out from under that reader. Convergence still
+        holds: re-folds only follow actual rewrites, so an idle dir's
+        clock is never restarted. mtime_ns is always refreshed: the
+        consolidation holds the NEW rows, so the new stamp is the one that
+        must match for both the reap's delete and compact()'s
+        already-retired skip."""
         ent = retired.get(name)
-        if ent is None:
+        if ent is None or ent.get("mtime_ns") != mtime_ns:
             retired[name] = {"retired_at": time.time(), "mtime_ns": mtime_ns}
         else:
             ent["mtime_ns"] = mtime_ns

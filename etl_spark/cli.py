@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                         "hot-key updates); auto picks per bucket per commit "
                         "from the delta's shape. Default: table's persisted "
                         "mode")
+    r.add_argument("--compact-after-commit", choices=["off", "auto"],
+                   default=None, dest="compact_after_commit",
+                   help="post-commit maintenance policy: auto folds live "
+                        "MOR delta debt back into base files whenever it "
+                        "exceeds half the broadcast-fold guard. Default: "
+                        "table's persisted policy (off)")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
     _add_spark_args(r)
@@ -165,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table, n_buckets=args.buckets,
             dedupe_strategy=args.dedupe, maintain_rollup=args.rollup,
             merge_mode=args.merge_mode,
+            compact_after_commit=args.compact_after_commit,
         )
         stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:
@@ -354,7 +361,10 @@ def main(argv: list[str] | None = None) -> int:
         suggest_compact = bool(deltas) and (
             fold_path == "shuffle"
             or delta_rows > t.fold_broadcast_rows // 2
-            or max(per_bucket.values()) > mor_cap
+            # >= : the merge path folds any bucket that would EXCEED the
+            # cap, so committed snapshots sit at most AT it — a bucket at
+            # the cap means the next delta commit to it pays the fold
+            or max(per_bucket.values()) >= mor_cap
         )
         # sustained scattered-delta pattern on a COW table: each commit's
         # manifest records rewritten_rows / staged_rows (write
@@ -363,7 +373,12 @@ def main(argv: list[str] | None = None) -> int:
         # delta files instead — say so
         amps = []
         for v in sorted(t.versions())[-6:]:
-            cs = (t.manifest(v) or {}).get("commit_stats") or {}
+            try:
+                cs = (t.manifest(v) or {}).get("commit_stats") or {}
+            except FileNotFoundError:
+                # concurrent expire_snapshots between versions() glob and
+                # the manifest read — skip the expired version
+                continue
             if cs.get("mode") == "cow" and cs.get("staged_rows"):
                 amps.append(cs["rewritten_rows"] / cs["staged_rows"])
         median_amp = sorted(amps)[len(amps) // 2] if amps else None
@@ -416,6 +431,9 @@ def main(argv: list[str] | None = None) -> int:
                             * (m.get("max_files_per_bucket") or 16)),
                     ),
                     "merge_mode": m.get("merge_mode", "cow"),
+                    "compact_after_commit": m.get(
+                        "compact_after_commit", "off"
+                    ),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
                 }

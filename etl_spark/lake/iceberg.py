@@ -2,7 +2,10 @@
 
 This sandbox ships no Iceberg runtime jar (verified; SURVEY §7.3 R1;
 re-attempted round 4 via ``spark.jars.packages`` — ivy resolution still
-fails with no network, gateway exits before port handoff), so the
+fails with no network, gateway exits before port handoff; re-verified
+round 5: no iceberg*runtime*.jar anywhere on disk and DNS resolution to
+Maven Central fails outright, so neither ``--packages`` nor a local jar
+drop is possible), so the
 engine runs on ``SnapshotTable`` (lake/table.py), which reimplements the same
 design on plain parquet. This adapter is the code-complete mapping for
 clusters that DO have Iceberg (``--packages

@@ -286,6 +286,7 @@ class SnapshotTable:
         manifest_inline_files: int = 2048,
         merge_mode: str | None = None,
         fold_broadcast_rows: int | None = None,
+        compact_after_commit: str | None = None,
     ) -> None:
         """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
         the bucketed, key-sorted write), so each bucket holds several files
@@ -295,7 +296,7 @@ class SnapshotTable:
         leave more live files than this in a bucket compacts the whole bucket
         instead.
 
-        ``merge_mode``: ``"cow"`` (default) rewrites the files a delta's keys
+        ``merge_mode``: ``"cow"`` rewrites the files a delta's keys
         can touch (copy-on-write — best for read-heavy tables and clustered
         deltas); ``"mor"`` (merge-on-read — Iceberg's equality-delete MERGE
         analog) instead promotes the staged delta as small DELTA files after
@@ -313,6 +314,11 @@ class SnapshotTable:
         COW (no read debt), and fragmentation/delta-cap hits fold as usual
         — so one commit can mix modes across buckets.
         Differential-tested: AUTO == MOR == COW final state.
+        ``"auto"`` is the default for NEW tables (round-4 bench: auto
+        matches best-of-both on clustered AND scattered shapes). Existing
+        tables keep their persisted policy; tables created before the
+        policy was persisted stay ``"cow"`` (the default they were written
+        under) until explicitly retuned.
 
         Manifest scaling: up to ``manifest_inline_files`` file entries live
         inline in the manifest JSON; past that, entries split into
@@ -353,7 +359,19 @@ class SnapshotTable:
         self.manifest_inline_files = manifest_inline_files
         if merge_mode not in (None, "cow", "mor", "auto"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
-        # None = adopt the table's persisted write policy (default "cow");
+        if compact_after_commit not in (None, "off", "auto"):
+            raise ValueError(
+                f"unknown compact_after_commit {compact_after_commit!r}"
+            )
+        # opt-in post-commit maintenance policy ("auto"): after a commit,
+        # when the snapshot's live MOR delta rows exceed HALF the fold
+        # broadcast guard (the same level `cli status` flags), fold them
+        # back into base files — so a long-running auto/MOR-mode table
+        # amortizes compaction into its write path and never degrades to
+        # the shuffle fold. Persisted write policy like merge_mode.
+        self.compact_after_commit = compact_after_commit
+        # None = adopt the table's persisted write policy (default "auto"
+        # for new tables, "cow" for pre-policy legacy tables);
         # an EXPLICIT value wins — merge_mode is a mutable write-policy knob
         # (Iceberg: ALTER ... write.merge.mode), not a layout invariant
         self.merge_mode = merge_mode
@@ -379,10 +397,16 @@ class SnapshotTable:
             if self.target_file_rows is None:
                 self.target_file_rows = m.get("target_file_rows")
             if self.merge_mode is None:
-                self.merge_mode = m.get("merge_mode")
+                # migration rule: persisted policy wins; a pre-policy
+                # legacy table (no merge_mode in its manifest) stays on
+                # the "cow" default it was written under
+                self.merge_mode = m.get("merge_mode") or "cow"
             if self.fold_broadcast_rows is None:
                 self.fold_broadcast_rows = m.get("fold_broadcast_rows")
-        self.merge_mode = self.merge_mode or "cow"
+            if self.compact_after_commit is None:
+                self.compact_after_commit = m.get("compact_after_commit")
+        self.merge_mode = self.merge_mode or "auto"
+        self.compact_after_commit = self.compact_after_commit or "off"
         self.target_file_rows = self.target_file_rows or 1_000_000
         self.max_files_per_bucket = self.max_files_per_bucket or 16
         self.fold_broadcast_rows = self.fold_broadcast_rows or 1_000_000
@@ -475,6 +499,31 @@ class SnapshotTable:
             return out
         return m.get("files", [])
 
+    def live_delta_rows(self, m: dict[str, Any] | None = None) -> int:
+        """Total rows in live MOR delta files — the table's accumulated
+        fold-on-read debt. O(groups) on a grouped manifest via the group
+        refs' ``delta_rows`` rollup; a pre-rollup legacy group ref is
+        loaded once (it is rewritten with the rollup on its next touch)."""
+        if m is None:
+            m = self.manifest()
+        if m is None:
+            return 0
+        if "file_groups" in m:
+            total = 0
+            for g in m["file_groups"]:
+                dr = g.get("delta_rows")
+                if dr is None:
+                    dr = sum(
+                        f["rows"] for f in self._load_group(g)
+                        if f.get("kind") == "delta"
+                    )
+                total += dr
+            return total
+        return sum(
+            f["rows"] for f in m.get("files", [])
+            if f.get("kind") == "delta"
+        )
+
     def _write_group(self, group_id: int, entries: list[dict]) -> dict:
         d = self.root / MANIFEST_DIR / self.GROUPS_DIR
         d.mkdir(parents=True, exist_ok=True)
@@ -489,6 +538,11 @@ class SnapshotTable:
             "n_files": len(entries),
             "rows": sum(e["rows"] for e in entries),
             "bytes": sum(e["bytes"] for e in entries),
+            # per-group MOR debt, so live_delta_rows() stays O(groups)
+            # on a grouped manifest instead of loading every group file
+            "delta_rows": sum(
+                e["rows"] for e in entries if e.get("kind") == "delta"
+            ),
         }
 
     def _attach_files(
@@ -1590,17 +1644,41 @@ class SnapshotTable:
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self._merge_epochs_once(
+                out = self._merge_epochs_once(
                     updates, epoch_ids, extra_summary, epoch_space,
                     merge_mode or self.merge_mode, size_hint=size_hint,
                     stamp_epoch=stamp_epoch,
                 )
+                break
             except FileExistsError as err:
                 last_err = err  # manifest swap lost; re-plan from new snapshot
-        raise RuntimeError(
-            f"merge of epochs {epoch_ids} lost the commit race {max_retries} "
-            "times; giving up"
-        ) from last_err
+        else:
+            raise RuntimeError(
+                f"merge of epochs {epoch_ids} lost the commit race "
+                f"{max_retries} times; giving up"
+            ) from last_err
+        return self._maybe_compact_after_commit(out)
+
+    def _maybe_compact_after_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
+        """Post-commit maintenance hook (``compact_after_commit="auto"``):
+        when the just-committed snapshot's live MOR delta rows exceed half
+        the broadcast-fold guard, fold the debt back into base files in a
+        follow-up snapshot-isolated commit. The threshold matches ``cli
+        status``'s ``suggested_compact`` level, so an auto-policy table
+        never reaches the degraded shuffle-fold read path; the fold cost is
+        amortized over the cheap MOR commits that accumulated the debt.
+        O(groups) debt check on the no-op path — no Spark job, no group
+        loads."""
+        if self.compact_after_commit != "auto" or commit.get("skipped"):
+            return commit
+        debt = self.live_delta_rows()
+        if debt <= self.fold_broadcast_rows // 2:
+            return commit
+        folded = self.compact()
+        return {
+            **commit,
+            "post_compact": {**folded, "delta_rows_before": debt},
+        }
 
     def _merge_epochs_once(
         self,
@@ -2000,6 +2078,7 @@ class SnapshotTable:
             "target_file_rows": self.target_file_rows,
             "merge_mode": self.merge_mode,
             "fold_broadcast_rows": self.fold_broadcast_rows,
+            "compact_after_commit": self.compact_after_commit,
             "summary": extra_summary or {},
             # per-commit write-amplification record (tiny, fixed-size): lets
             # ops tooling (cli status) see a sustained scattered-delta

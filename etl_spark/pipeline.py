@@ -154,6 +154,7 @@ class IngestPipeline:
         dedupe_strategy: str = "fused",
         maintain_rollup: bool = False,
         merge_mode: str | None = None,
+        compact_after_commit: str | None = None,
     ) -> None:
         """``dedupe_strategy``: ``fused`` (default; dedupe + bucket
         arrangement in ONE payload shuffle — the window over the write
@@ -169,6 +170,7 @@ class IngestPipeline:
             spark, table_root, key_cols=key_cols, order_col=order_col,
             n_buckets=n_buckets, target_file_rows=target_file_rows,
             max_files_per_bucket=max_files_per_bucket, merge_mode=merge_mode,
+            compact_after_commit=compact_after_commit,
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)

@@ -238,3 +238,43 @@ def test_lineage_compaction_is_idempotent_inside_grace_window(
     assert sorted(
         p.name for p in Path(log.root).glob("compacted-*")
     ) == dirs_after_refold
+
+
+def test_refold_of_rewritten_dir_restarts_grace_clock(
+    spark, stream, tmpdir_path
+):
+    """ADVICE-r5 #1: re-folding a REWRITTEN retiree must RESET retired_at,
+    not keep the original stamp — a reader that resolved the pre-refold
+    marker may still be scanning the dir, so its grace window restarts
+    with the new content. An UNCHANGED retiree keeps its earliest stamp
+    (repeated no-op compacts cannot postpone reaping)."""
+    import json
+    from pathlib import Path
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/tr", n_buckets=4)
+    pipe.replay(stream)  # 3 epochs
+    log = pipe.log
+
+    log.compact(keep_last=1, grace_s=3600)
+    retired = json.loads((Path(log.root) / "retired.json").read_text())
+    t0 = retired["epoch=0"]["retired_at"]
+    t1 = retired["epoch=1"]["retired_at"]
+    # backdate epoch=0's stamp so a kept-stamp bug is distinguishable from
+    # a reset (both would otherwise be ~now)
+    retired["epoch=0"]["retired_at"] = t0 - 1800
+    (Path(log.root) / "retired.json").write_text(json.dumps(retired))
+
+    # rewrite epoch=0 (rollback-then-replay), then re-fold it
+    pdf0 = log.read().where("epoch = 0").toPandas()
+    pdf0["row_count"] = pdf0["row_count"] + 1
+    log._write_pandas(pdf0, 0)
+    out = log.compact(keep_last=1, grace_s=3600)
+    assert out["compacted_epochs"] == 1 and out["reaped_dirs"] == 0
+
+    after = json.loads((Path(log.root) / "retired.json").read_text())
+    # changed content -> clock restarted (not the backdated stamp)
+    assert after["epoch=0"]["retired_at"] >= t0
+    # unchanged retiree -> earliest stamp kept
+    assert after["epoch=1"]["retired_at"] == t1
+    # and the dir is still physically present for the in-flight reader
+    assert (Path(log.root) / "epoch=0").exists()

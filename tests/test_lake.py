@@ -33,7 +33,8 @@ def test_merge_latest_wins_against_existing(spark, tmpdir_path):
 
 
 def test_bucket_pruning_carries_untouched_files(spark, tmpdir_path):
-    t = _tbl(spark, tmpdir_path)
+    # explicit COW: this test asserts copy-on-write rewrite mechanics
+    t = _tbl(spark, tmpdir_path, merge_mode="cow")
     rows = [("r", f"p{i:03d}", "c000000000001", "x") for i in range(200)]
     t.merge_epoch(_df(spark, rows), 0)
     m0 = t.manifest()
@@ -167,7 +168,7 @@ def test_file_level_pruning_carries_disjoint_files(spark, tmpdir_path):
     """A delta whose keys fall outside a file's [min,max] key range carries
     that file untouched — the merge rewrite unit is the file, not the bucket."""
     t = SnapshotTable(spark, tmpdir_path, n_buckets=1, target_file_rows=50,
-                      max_files_per_bucket=32)
+                      max_files_per_bucket=32, merge_mode="cow")
     rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(500)]
     t.merge_epoch(_df(spark, rows), 0)
     m0 = t.manifest()
@@ -354,7 +355,7 @@ def test_large_healthy_bucket_not_perma_compacted(spark, tmpdir_path):
     must neither fail fsck nor trigger whole-bucket rewrites on every sparse
     merge — only FRAGMENTATION (files >> rows/target) compacts."""
     t = SnapshotTable(spark, tmpdir_path, n_buckets=1, target_file_rows=10,
-                      max_files_per_bucket=4)
+                      max_files_per_bucket=4, merge_mode="cow")
     # 200 rows -> needs 20 files in the single bucket, 5x the nominal limit
     rows = [("r", f"p{i:04d}", "c000000000001", "x") for i in range(200)]
     t.merge_epoch(_df(spark, rows), 0)

@@ -397,7 +397,8 @@ def test_status_recommends_auto_after_scattered_cow_commits(
     from etl_spark.cli import main as cli_main
 
     root = f"{tmpdir_path}/t"
-    t = SnapshotTable(spark, root, n_buckets=4, target_file_rows=5)  # cow
+    t = SnapshotTable(spark, root, n_buckets=4, target_file_rows=5,
+                      merge_mode="cow")
     t.merge_epoch(
         _df(spark, [("r", f"p{i:03d}", "c000000000001", "x")
                     for i in range(200)]),
@@ -437,3 +438,128 @@ def test_status_recommends_auto_after_scattered_cow_commits(
     assert st["suggested_merge_mode"] is None
     got = {r.path: r.content for r in t2.read().collect()}
     assert len(got) == 200 and got["p000"] == "w8" and got["p001"] == "x"
+
+
+def test_new_table_defaults_to_auto_legacy_stays_cow(spark, tmpdir_path):
+    """VERDICT r4 #2: merge_mode defaults to "auto" for NEW tables (round-4
+    bench: auto matches best-of-both per delta shape). Migration rule:
+    existing tables keep their persisted policy; a PRE-policy manifest
+    (no merge_mode key) stays on the "cow" default it was written under."""
+    import json
+    from pathlib import Path
+
+    from etl_spark.lake.table import MANIFEST_DIR
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/new", n_buckets=2)
+    assert t.merge_mode == "auto"
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+    # attach re-adopts the persisted policy
+    assert SnapshotTable(spark, f"{tmpdir_path}/new").merge_mode == "auto"
+    # explicit constructor value still wins
+    assert SnapshotTable(
+        spark, f"{tmpdir_path}/new", merge_mode="mor"
+    ).merge_mode == "mor"
+
+    # simulate a pre-policy legacy table: strip merge_mode from the manifest
+    leg = SnapshotTable(spark, f"{tmpdir_path}/leg", n_buckets=2,
+                        merge_mode="cow")
+    leg.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+    mpath = sorted((Path(f"{tmpdir_path}/leg") / MANIFEST_DIR).glob("v*.json"))[-1]
+    m = json.loads(mpath.read_text())
+    del m["merge_mode"]
+    mpath.write_text(json.dumps(m))
+    assert SnapshotTable(spark, f"{tmpdir_path}/leg").merge_mode == "cow"
+
+
+def test_compact_after_commit_auto_folds_debt(spark, tmpdir_path):
+    """VERDICT r4 #3: the opt-in post-commit policy. MOR commits accumulate
+    delta rows cheaply until the snapshot's live delta rows exceed HALF the
+    broadcast-fold guard; the NEXT commit then folds the debt in a follow-up
+    snapshot, so a long-running MOR/auto table never degrades to the
+    shuffle fold path. Policy is persisted and re-adopted on attach."""
+    t = SnapshotTable(
+        spark, tmpdir_path, n_buckets=2, merge_mode="mor",
+        fold_broadcast_rows=40, compact_after_commit="auto",
+    )
+    # bootstrap as COW so the base is clean files with zero delta debt
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(100)]),
+        0, merge_mode="cow",
+    )
+    assert t.live_delta_rows() == 0
+
+    # patch 1: 15 delta rows -> debt 15 <= 20, hook must NOT fire
+    s1 = t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000002", "v1")
+                    for i in range(15)]),
+        1,
+    )
+    assert "post_compact" not in s1
+    assert t.live_delta_rows() == 15
+    assert any(f.get("kind") == "delta" for f in t.files())
+
+    # patch 2: +15 -> debt 30 > 20, hook folds everything back to base
+    s2 = t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000003", "v2")
+                    for i in range(15, 30)]),
+        2,
+    )
+    assert s2["post_compact"]["delta_rows_before"] == 30
+    assert s2["post_compact"]["compacted_buckets"] >= 1
+    assert t.live_delta_rows() == 0
+    assert not any(f.get("kind") == "delta" for f in t.files())
+    assert t.fsck()["ok"]
+
+    # final state reflects every patch
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 100
+    assert got["p000"] == "v1" and got["p020"] == "v2" and got["p099"] == "base"
+
+    # persisted policy: a fresh attach re-adopts it; default is off
+    assert SnapshotTable(spark, tmpdir_path).compact_after_commit == "auto"
+    assert SnapshotTable(
+        spark, f"{tmpdir_path}_other", n_buckets=2
+    ).compact_after_commit == "off"
+
+    # idempotent replay still skips BEFORE any maintenance runs
+    v = t.current_version()
+    out = t.merge_epoch(
+        _df(spark, [("r", "p000", "c000000000009", "EVIL")]), 1
+    )
+    assert out["skipped"] is True and t.current_version() == v
+
+
+def test_live_delta_rows_o_groups_on_grouped_manifest(spark, tmpdir_path):
+    """The debt probe reads the group refs' delta_rows rollup, not the
+    group files, once a manifest goes grouped — and a legacy ref without
+    the rollup is still summed correctly via a one-time group load."""
+    import json
+    from pathlib import Path
+
+    from etl_spark.lake.table import MANIFEST_DIR
+
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=4, merge_mode="mor",
+                      manifest_inline_files=2, manifest_groups=2)
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(40)]),
+        0, merge_mode="cow",
+    )
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000002", "v1")
+                    for i in range(7)]),
+        1,
+    )
+    m = t.manifest()
+    assert "file_groups" in m
+    want = sum(f["rows"] for f in t.files() if f.get("kind") == "delta")
+    assert want == 7
+    assert t.live_delta_rows() == want
+    # strip the rollup (pre-rollup legacy group refs) -> same answer
+    mpath = sorted((Path(str(tmpdir_path)) / MANIFEST_DIR).glob("v*.json"))[-1]
+    mm = json.loads(mpath.read_text())
+    for g in mm["file_groups"]:
+        g.pop("delta_rows", None)
+    mpath.write_text(json.dumps(mm))
+    assert SnapshotTable(spark, tmpdir_path).live_delta_rows() == want
