@@ -60,6 +60,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _sparse_epoch_case(
     spark, n_events: int, *, scattered: bool, merge_mode: str | None = None,
     read_count: bool = True, read_path_probes: bool = False,
+    autocompact: bool = False,
 ) -> dict:
     """Steady-state CDC cost: bootstrap a table, then apply ONE small delta.
 
@@ -109,6 +110,14 @@ def _sparse_epoch_case(
         # column too would collide on the partition-discovering read.
         (delta.drop("epoch").repartition(4).write.mode("overwrite")
               .parquet(f"{root}/stream/epoch=1"))
+        if autocompact:
+            # the post-commit maintenance round-trip (VERDICT r4 #3): drop
+            # the debt threshold under this delta's size so the commit
+            # itself crosses it, fires the fold, and `seconds` records the
+            # full amortized write (MOR commit + debt fold); read_sec then
+            # measures the restored clean-base read
+            pipe.table.compact_after_commit = "auto"
+            pipe.table.fold_broadcast_rows = max(2, n_events // 1000)
         v_before = pipe.table.current_version()
         t0 = time.time()
         stats = pipe.replay(f"{root}/stream")
@@ -167,6 +176,16 @@ def _sparse_epoch_case(
                 }
                 if read_path_probes else {}
             ),
+            **(
+                {
+                    "post_compact": {
+                        k: c["post_compact"].get(k)
+                        for k in ("compacted_buckets", "files_before",
+                                  "files_after", "delta_rows_before")
+                    } if "post_compact" in c else None,
+                }
+                if autocompact else {}
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -196,6 +215,13 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
         ),
         "scattered_auto": _sparse_epoch_case(
             spark, n_events, scattered=True, merge_mode="auto"
+        ),
+        # compact_after_commit="auto" round-trip (detail row): same
+        # scattered MOR delta, debt threshold forced under the delta size
+        # so the commit pays the fold inline; read_sec shows the clean base
+        "scattered_autocompact": _sparse_epoch_case(
+            spark, n_events, scattered=True, merge_mode="mor",
+            autocompact=True,
         ),
     }
 
