@@ -59,13 +59,23 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     # manifest_inline_files=6 forces GROUPED manifests almost immediately —
     # the 100-TB configuration — so group carry/rewrite logic is exercised
     # under the same random interleavings as everything else
+    # seeds 23/303 run with the post-commit auto-compaction policy and a
+    # tiny debt threshold, so MOR commits routinely cross it and the fold
+    # fires MID-SEQUENCE (between merges, deletes, rollbacks, streams) —
+    # asserting the policy never perturbs visible state, change-feed
+    # exactness, or rollback targets. Seed 7 keeps the policy off as the
+    # unchanged baseline. fold_broadcast_rows=6 also drags MOR reads and
+    # merge-time folds onto the shuffle path once debt exceeds 6 rows.
     t = SnapshotTable(spark, f"{tmpdir_path}/{seed}", n_buckets=4,
                       target_file_rows=8, manifest_groups=3,
-                      manifest_inline_files=6)
+                      manifest_inline_files=6,
+                      compact_after_commit=None if seed == 7 else "auto",
+                      fold_broadcast_rows=None if seed == 7 else 6)
     model: dict = {}
     history: dict[int, dict] = {}
     lsn = 0
     epoch = 0
+    post_compacts = 0
 
     def _df(rows, ep, widened=False):
         # rows carry per-row epoch provenance like real pipeline tables —
@@ -135,6 +145,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 epoch, merge_mode=mode,
             )
             epoch += 1
+            post_compacts += "post_compact" in out
             if not out.get("skipped"):
                 _apply_rows(model, rows)
                 history[out["version"]] = dict(model)
@@ -151,6 +162,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                 merge_mode=rng.choice([None, "cow", "mor", "auto"]),
             )
             epoch += 1
+            post_compacts += "post_compact" in out
             if not out.get("skipped"):
                 _apply_rows(model, rows)
                 history[out["version"]] = dict(model)
@@ -228,4 +240,33 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     # the op draw is deterministic per seed — every shipped seed must have
     # actually interleaved streaming micro-batches with the batch lifecycle
     assert seg > 0, f"seed={seed} never drew the stream op; pick another seed"
+    # Policy seeds end with one deterministic MOR burst big enough to cross
+    # the debt threshold, so the post-commit fold provably fires at least
+    # once per run regardless of which paths (merge/delete/stream/compact
+    # draws) happened to drain the debt mid-sequence — and the state/feed
+    # contracts are re-checked across the commit+fold pair.
+    if seed != 7:
+        v_prev = t.current_version()
+        model_prev = dict(model)
+        rows = [(r, p, "c%012d" % (lsn + i + 1), "z%d" % i, False)
+                for i, (r, p) in enumerate(KEYS[:8])]
+        lsn += 8
+        out = t.merge_epoch(_df(rows, epoch), epoch, merge_mode="mor")
+        epoch += 1
+        assert "post_compact" in out, f"seed={seed} forced fold did not fire"
+        post_compacts += 1
+        _apply_rows(model, rows)
+        assert _state(t) == {k: v[0] for k, v in _visible(model).items()}
+        feed = {
+            (r.repo, r.path): (
+                r.commit, bool(r.asDict().get("_deleted") or False)
+            )
+            for r in t.changes_between(v_prev).collect()
+        }
+        diff = {
+            k: (v[0][0], v[1]) for k, v in model.items()
+            if model_prev.get(k) != v
+        }
+        assert feed == diff, f"seed={seed} feed drifted across commit+fold"
+        assert post_compacts > 0
     assert t.fsck()["ok"]
