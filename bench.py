@@ -180,7 +180,8 @@ def _sparse_epoch_case(
                 {
                     "post_compact": {
                         k: c["post_compact"].get(k)
-                        for k in ("compacted_buckets", "files_before",
+                        for k in ("compacted_buckets", "selective_buckets",
+                                  "base_files_skipped", "files_before",
                                   "files_after", "delta_rows_before")
                     } if "post_compact" in c else None,
                 }
@@ -213,8 +214,12 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
         "clustered_auto": _sparse_epoch_case(
             spark, n_events, scattered=False, merge_mode="auto"
         ),
+        # read_path_probes here give the 1x points (lookup_sec/feed_sec)
+        # that pair with the 10x soak row's — the read-side sublinearity
+        # claim is two-point like the commit-side one
         "scattered_auto": _sparse_epoch_case(
-            spark, n_events, scattered=True, merge_mode="auto"
+            spark, n_events, scattered=True, merge_mode="auto",
+            read_path_probes=True,
         ),
         # compact_after_commit="auto" round-trip (detail row): same
         # scattered MOR delta, debt threshold forced under the delta size

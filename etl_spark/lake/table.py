@@ -1031,7 +1031,20 @@ class SnapshotTable:
         the rewritten buckets. Only sound once the upstream can no longer
         re-deliver events older than the tombstones (the tombstone's order is
         what blocks a stale upsert from resurrecting the key) — an operator
-        decision, off by default."""
+        decision, off by default.
+
+        Delta-carrying buckets that are NOT fragmented get a SELECTIVE fold
+        (mirroring the merge path's cap-hit fold): only base files whose key
+        stats intersect the bucket's delta keys are rewritten; disjoint base
+        files are carried untouched. The debt fold therefore costs
+        O(intersecting files), not O(files in delta buckets) — at 100 TB a
+        scattered 10^3-key delta folds by rewriting ~10^3 files instead of
+        every file of every touched bucket. Sound because a key lives in
+        exactly ONE base file per bucket (the merge invariant), so merging
+        the intersecting set with the deltas cannot strand a second copy in
+        a carried file. Whole-bucket rewrite is kept where it is the point:
+        fragmentation victims (the rewrite IS the defragmentation) and
+        ``purge_tombstones`` (a winning tombstone may sit in any file)."""
         import shutil
 
         m = self.manifest()
@@ -1075,13 +1088,46 @@ class SnapshotTable:
                 b for b, fl in by_bucket.items()
                 if len(fl) > max(slack, _needed(fl) + slack)
             }
+        # non-fragmented delta buckets fold selectively; fragmented ones
+        # (and every bucket under purge_tombstones) rewrite whole
+        selective = set() if purge_tombstones else delta_buckets - victims
         victims |= delta_buckets
         if not victims:
             return {"compacted_buckets": 0,
                     "files_before": len(all_files),
                     "files_after": len(all_files)}
-        old = [f for f in all_files if f["bucket"] in victims]
+        old = []
         carried = [f for f in all_files if f["bucket"] not in victims]
+        base_files_skipped = 0
+        for b in sorted(victims):
+            fl = by_bucket[b]
+            if b not in selective:
+                old += fl
+                continue
+            base, deltas = self._split_kinds(fl)
+            # same two-tier probe as the merge path: exact per-key
+            # containment read driver-side from the tiny delta files when
+            # the debt is sparse (scattered keys defeat envelope pruning),
+            # envelope overlap past the probe guard
+            keys = self._probe_staged_keys(deltas)
+            if keys is not None:
+                inter = [
+                    f for f in base
+                    if _keys_hit_file(keys, f.get("key_stats"),
+                                      self.key_cols)
+                ]
+            else:
+                inter = [
+                    f for f in base
+                    if any(_stats_intersect(f.get("key_stats"),
+                                            d.get("key_stats"))
+                           for d in deltas)
+                ]
+            inter_paths = {f["path"] for f in inter}
+            disjoint = [f for f in base if f["path"] not in inter_paths]
+            carried += disjoint
+            base_files_skipped += len(disjoint)
+            old += inter + deltas
         schema = T.StructType.fromJson(m["schema"])
         merged = self.arranged_updates(
             self._read_files(old, schema),
@@ -1107,6 +1153,8 @@ class SnapshotTable:
         version = self._commit_manifest(manifest, base_version=m["version"])
         return {
             "compacted_buckets": len(victims),
+            "selective_buckets": len(selective),
+            "base_files_skipped": base_files_skipped,
             "files_before": len(all_files),
             "files_after": len(carried) + len(new_files),
             "version": version,

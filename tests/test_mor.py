@@ -563,3 +563,59 @@ def test_live_delta_rows_o_groups_on_grouped_manifest(spark, tmpdir_path):
         g.pop("delta_rows", None)
     mpath.write_text(json.dumps(mm))
     assert SnapshotTable(spark, tmpdir_path).live_delta_rows() == want
+
+
+def test_compact_selective_fold_skips_disjoint_base_files(spark, tmpdir_path):
+    """The debt fold is stats-pruned like the merge path's cap-hit fold: a
+    non-fragmented delta bucket rewrites ONLY base files whose key range
+    intersects a delta key; disjoint base files are carried byte-identical
+    (same path, never re-staged). purge_tombstones keeps the whole-bucket
+    rewrite — a winning tombstone may sit in any file."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2, target_file_rows=4,
+                      merge_mode="mor")
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(80)]),
+        0, merge_mode="cow",
+    )
+    base_before = {f["path"] for f in t.files()}
+    assert len(base_before) >= 16  # ~10 key-ranged files per bucket
+
+    # sparse delta: 2 keys in one bucket's range, far apart
+    t.merge_epoch(
+        _df(spark, [("r", "p000", "c000000000002", "v1"),
+                    ("r", "p079", "c000000000002", "v1")]),
+        1,
+    )
+    n_deltas = sum(1 for f in t.files() if f.get("kind") == "delta")
+    assert n_deltas >= 1
+
+    out = t.compact()
+    assert out["selective_buckets"] >= 1
+    # the 2 delta keys intersect at most 2 key-ranged base files per
+    # bucket; everything else survives byte-identical (same path, never
+    # re-staged) — whether as a skipped file of a victim bucket or as a
+    # file of an untouched bucket
+    assert out["base_files_skipped"] >= 5
+    after = {f["path"] for f in t.files()}
+    assert len(base_before & after) >= len(base_before) - 4
+    assert not any(f.get("kind") == "delta" for f in t.files())
+    assert t.fsck()["ok"]
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 80
+    assert got["p000"] == "v1" and got["p079"] == "v1" and got["p040"] == "base"
+
+    # idempotent: a second compact with no debt and no fragmentation no-ops
+    again = t.compact()
+    assert again["compacted_buckets"] == 0
+
+    # purge_tombstones path stays whole-bucket (selective_buckets == 0)
+    t.delete_epochs(
+        spark.createDataFrame([("r", "p001", "c000000000003")],
+                              "repo string, path string, commit string"),
+        [2],
+    )
+    purged = t.compact(purge_tombstones=True)
+    assert purged["selective_buckets"] == 0
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 79 and "p001" not in got
