@@ -96,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="run the default compaction policy: rows-aware "
                         "fragmentation trigger PLUS unconditional fold of "
                         "buckets holding MOR delta files (table.compact() "
-                        "with no threshold override)")
+                        "with no threshold override; non-fragmented delta "
+                        "buckets fold selectively — only base files whose "
+                        "key stats intersect the delta keys rewrite)")
     m.add_argument("--compact-above", type=int, default=0,
                    help="rewrite buckets holding more than N live files "
                         "(0 = skip compaction; for the default policy use "
