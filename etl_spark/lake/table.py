@@ -1722,7 +1722,17 @@ class SnapshotTable:
         debt = self.live_delta_rows()
         if debt <= self.fold_broadcast_rows // 2:
             return commit
-        folded = self.compact()
+        try:
+            folded = self.compact()
+        except (FileExistsError, LayoutDriftError) as err:
+            # The MERGE already committed — the fold is best-effort
+            # maintenance and must not turn a successful commit into a
+            # failure. FileExistsError: a concurrent writer won the fold's
+            # manifest swap (its own post-commit hook will see the debt);
+            # LayoutDriftError: a rebucket landed in the window (which
+            # folds deltas itself). Either way the debt is still counted
+            # by live_delta_rows, so the NEXT commit retries the fold.
+            return {**commit, "post_compact_skipped": type(err).__name__}
         return {
             **commit,
             "post_compact": {**folded, "delta_rows_before": debt},

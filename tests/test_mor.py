@@ -619,3 +619,48 @@ def test_compact_selective_fold_skips_disjoint_base_files(spark, tmpdir_path):
     assert purged["selective_buckets"] == 0
     got = {r.path: r.content for r in t.read().collect()}
     assert len(got) == 79 and "p001" not in got
+
+
+def test_post_commit_fold_race_does_not_fail_the_merge(spark, tmpdir_path):
+    """The post-commit fold is best-effort maintenance: when its manifest
+    swap loses to a concurrent writer (FileExistsError — the exact raise
+    compact() hits), the already-committed MERGE must still report success;
+    the debt stays counted and the NEXT commit retries the fold."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2, merge_mode="mor",
+                      fold_broadcast_rows=4, compact_after_commit="auto")
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(20)]),
+        0, merge_mode="cow",
+    )
+    orig = t._commit_manifest
+    raised = {"n": 0}
+
+    def losing_swap(manifest, base_version=None):
+        if (manifest.get("summary", {}).get("compaction")
+                and raised["n"] == 0):
+            raised["n"] += 1
+            raise FileExistsError("simulated concurrent manifest swap")
+        return orig(manifest, base_version)
+
+    t._commit_manifest = losing_swap
+    out = t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000002", "v1")
+                    for i in range(10)]),
+        1,
+    )
+    assert raised["n"] == 1
+    assert out["post_compact_skipped"] == "FileExistsError"
+    assert "post_compact" not in out and not out.get("skipped")
+    assert t.live_delta_rows() == 10  # debt intact, still over threshold
+
+    # next commit retries the fold and clears the debt
+    out2 = t.merge_epoch(
+        _df(spark, [("r", "p000", "c000000000003", "v2")]), 2,
+    )
+    assert "post_compact" in out2
+    assert t.live_delta_rows() == 0
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 20
+    assert got["p000"] == "v2" and got["p005"] == "v1" and got["p015"] == "base"
+    assert t.fsck()["ok"]
