@@ -880,7 +880,11 @@ def q_cdc_stream_ingest(spark, sf_dir):
         spark, f"{root}/stream", f"{root}/table",
         checkpoint_dir=f"{root}/ckpt", n_buckets=16,
     )
-    q.awaitTermination()
+    # availableNow terminates on its own; the bound only guards the
+    # driver's correctness run against a wedged stream (a partial read
+    # then fails the hash compare loudly instead of hanging the round)
+    if not q.awaitTermination(600):
+        q.stop()
     from etl_spark.lake.table import SnapshotTable
 
     return SnapshotTable(spark, f"{root}/table").read().select(
