@@ -324,11 +324,13 @@ def main() -> int:
     # window once the verbose sparse_epoch sub-objects were inlined.
     detail = {
         "metric": "bench_detail",
+        "queries": timings,
         "replay": replay,
         "sparse_epoch": {**sparse, **soak},
     }
-    print(json.dumps(detail, separators=(",", ":")))
-    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
+    detail_line = json.dumps(detail, separators=(",", ":"))
+    print(detail_line)
+    print(detail_line, file=sys.stderr)
     soak_row = soak.get("scattered_auto_10x", {})
     summary = {
         "metric": "total_bench_seconds",
@@ -349,9 +351,15 @@ def main() -> int:
             )
         } if soak_row else None,
     }
+    # belt-and-braces: NEVER outgrow the driver's tail-capture window —
+    # round 4's artifact came back parsed:null exactly this way. Drop the
+    # least-essential keys in order until the line fits; everything popped
+    # here survives verbatim in the bench_detail line above.
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
-        summary.pop("soak_10x", None)
+    for droppable in ("soak_10x", "queries"):
+        if len(line) <= 1900:
+            break
+        summary.pop(droppable, None)
         line = json.dumps(summary, separators=(",", ":"))
     sys.stdout.flush()
     print(line)

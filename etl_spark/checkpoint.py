@@ -279,15 +279,12 @@ class CheckpointLog:
         the dir — restart the grace window (reset retired_at) so the reap
         cannot delete it out from under that reader. Convergence still
         holds: re-folds only follow actual rewrites, so an idle dir's
-        clock is never restarted. mtime_ns is always refreshed: the
-        consolidation holds the NEW rows, so the new stamp is the one that
-        must match for both the reap's delete and compact()'s
-        already-retired skip."""
+        clock is never restarted. An UNCHANGED dir keeps its existing
+        entry verbatim — its stamp already matches, so the reap's delete
+        and compact()'s already-retired skip both keep working."""
         ent = retired.get(name)
         if ent is None or ent.get("mtime_ns") != mtime_ns:
             retired[name] = {"retired_at": time.time(), "mtime_ns": mtime_ns}
-        else:
-            ent["mtime_ns"] = mtime_ns
 
     def _reap(self, retired: dict, grace_s: float) -> int:
         """Delete retired dirs past the grace window. A per-epoch dir whose

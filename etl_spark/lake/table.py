@@ -207,6 +207,18 @@ def _stats_intersect(a: dict | None, b: dict | None) -> bool:
     return True
 
 
+def _delta_files_by_bucket(entries: list[dict]) -> dict[str, int]:
+    """Per-bucket live MOR delta-file counts over a list of file entries.
+    Keys are stringified bucket ids (the rollup is persisted as JSON);
+    buckets holding no deltas are absent."""
+    out: dict[str, int] = {}
+    for e in entries:
+        if e.get("kind") == "delta":
+            b = str(e["bucket"])
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
 class SchemaEvolutionError(ValueError):
     pass
 
@@ -524,6 +536,29 @@ class SnapshotTable:
             if f.get("kind") == "delta"
         )
 
+    def max_bucket_delta_files(self, m: dict[str, Any] | None = None) -> int:
+        """Live delta files in the WORST bucket — the per-bucket fold depth
+        a MOR read pays there. O(groups) on a grouped manifest via the
+        refs' ``delta_files_by_bucket`` rollup (summed across refs, so the
+        count stays exact even if a bucket's entries ever span two refs); a
+        pre-rollup legacy ref is loaded once (it is rewritten with the
+        rollup on its next touch)."""
+        if m is None:
+            m = self.manifest()
+        if m is None:
+            return 0
+        per_bucket: dict[str, int] = {}
+        if "file_groups" in m:
+            for g in m["file_groups"]:
+                fb = g.get("delta_files_by_bucket")
+                if fb is None:
+                    fb = _delta_files_by_bucket(self._load_group(g))
+                for b, n in fb.items():
+                    per_bucket[b] = per_bucket.get(b, 0) + n
+        else:
+            per_bucket = _delta_files_by_bucket(m.get("files", []))
+        return max(per_bucket.values(), default=0)
+
     def _write_group(self, group_id: int, entries: list[dict]) -> dict:
         d = self.root / MANIFEST_DIR / self.GROUPS_DIR
         d.mkdir(parents=True, exist_ok=True)
@@ -543,6 +578,10 @@ class SnapshotTable:
             "delta_rows": sum(
                 e["rows"] for e in entries if e.get("kind") == "delta"
             ),
+            # exact per-bucket delta-file counts (only buckets that hold
+            # deltas appear), so max_bucket_delta_files() stays O(groups)
+            # and is correct even if a bucket's entries ever span two refs
+            "delta_files_by_bucket": _delta_files_by_bucket(entries),
         }
 
     def _attach_files(
@@ -1709,29 +1748,38 @@ class SnapshotTable:
 
     def _maybe_compact_after_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
         """Post-commit maintenance hook (``compact_after_commit="auto"``):
-        when the just-committed snapshot's live MOR delta rows exceed half
-        the broadcast-fold guard, fold the debt back into base files in a
-        follow-up snapshot-isolated commit. The threshold matches ``cli
-        status``'s ``suggested_compact`` level, so an auto-policy table
-        never reaches the degraded shuffle-fold read path; the fold cost is
-        amortized over the cheap MOR commits that accumulated the debt.
-        O(groups) debt check on the no-op path — no Spark job, no group
-        loads."""
+        fold accumulated MOR debt back into base files in a follow-up
+        snapshot-isolated commit when the just-committed snapshot crosses
+        either of ``cli status``'s ``suggested_compact`` arms — live delta
+        ROWS exceed half the broadcast-fold guard, or some bucket sits AT
+        the per-bucket delta-file cap (the next delta commit to it would
+        pay the fold inline). An auto-policy table therefore never reaches
+        the degraded shuffle-fold read path and never parks at the cap;
+        the fold cost is amortized over the cheap MOR commits that
+        accumulated the debt. The no-op path is free: both checks run on
+        the manifest the merge just built (threaded via ``_manifest``) —
+        no disk re-read, no Spark job, no group loads."""
+        m = commit.pop("_manifest", None)
         if self.compact_after_commit != "auto" or commit.get("skipped"):
             return commit
-        debt = self.live_delta_rows()
-        if debt <= self.fold_broadcast_rows // 2:
+        debt = self.live_delta_rows(m)
+        if (debt <= self.fold_broadcast_rows // 2
+                and self.max_bucket_delta_files(m) < self.mor_delta_cap):
             return commit
         try:
             folded = self.compact()
-        except (FileExistsError, LayoutDriftError) as err:
+        except Exception as err:  # noqa: BLE001 — best-effort by contract
             # The MERGE already committed — the fold is best-effort
-            # maintenance and must not turn a successful commit into a
-            # failure. FileExistsError: a concurrent writer won the fold's
-            # manifest swap (its own post-commit hook will see the debt);
-            # LayoutDriftError: a rebucket landed in the window (which
-            # folds deltas itself). Either way the debt is still counted
-            # by live_delta_rows, so the NEXT commit retries the fold.
+            # maintenance and must NEVER turn a successful commit into a
+            # failure (a streaming foreachBatch would otherwise kill the
+            # query, and a batch caller would re-run a whole replay, for
+            # an epoch that landed). Expected shapes: FileExistsError (a
+            # concurrent writer won the fold's manifest swap; its own hook
+            # sees the debt), LayoutDriftError (a rebucket landed in the
+            # window — it folds deltas itself); but a transient Spark
+            # failure inside compact() must be swallowed for the same
+            # reason. Either way the debt is still counted by
+            # live_delta_rows, so the NEXT commit retries the fold.
             return {**commit, "post_compact_skipped": type(err).__name__}
         return {
             **commit,
@@ -2166,6 +2214,10 @@ class SnapshotTable:
             "skipped": False,
             "epochs": new_ids,
             "version": version,
+            # the just-committed manifest, threaded to the post-commit hook
+            # so its debt check never re-reads from disk what this commit
+            # just built; popped before the dict reaches the caller
+            "_manifest": manifest,
             "mode": mode,
             **({"auto_modes": auto_modes} if mode == "auto" else {}),
             "delta_files": sum(

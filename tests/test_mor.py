@@ -531,9 +531,10 @@ def test_compact_after_commit_auto_folds_debt(spark, tmpdir_path):
 
 
 def test_live_delta_rows_o_groups_on_grouped_manifest(spark, tmpdir_path):
-    """The debt probe reads the group refs' delta_rows rollup, not the
-    group files, once a manifest goes grouped — and a legacy ref without
-    the rollup is still summed correctly via a one-time group load."""
+    """The debt probes (row debt AND worst-bucket delta-file count) read
+    the group refs' rollups, not the group files, once a manifest goes
+    grouped — and a legacy ref without the rollups is still summed
+    correctly via a one-time group load."""
     import json
     from pathlib import Path
 
@@ -556,13 +557,22 @@ def test_live_delta_rows_o_groups_on_grouped_manifest(spark, tmpdir_path):
     want = sum(f["rows"] for f in t.files() if f.get("kind") == "delta")
     assert want == 7
     assert t.live_delta_rows() == want
-    # strip the rollup (pre-rollup legacy group refs) -> same answer
+    per_bucket: dict[int, int] = {}
+    for f in t.files():
+        if f.get("kind") == "delta":
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    want_max = max(per_bucket.values())
+    assert t.max_bucket_delta_files() == want_max
+    # strip the rollups (pre-rollup legacy group refs) -> same answers
     mpath = sorted((Path(str(tmpdir_path)) / MANIFEST_DIR).glob("v*.json"))[-1]
     mm = json.loads(mpath.read_text())
     for g in mm["file_groups"]:
         g.pop("delta_rows", None)
+        g.pop("delta_files_by_bucket", None)
     mpath.write_text(json.dumps(mm))
-    assert SnapshotTable(spark, tmpdir_path).live_delta_rows() == want
+    legacy = SnapshotTable(spark, tmpdir_path)
+    assert legacy.live_delta_rows() == want
+    assert legacy.max_bucket_delta_files() == want_max
 
 
 def test_compact_selective_fold_skips_disjoint_base_files(spark, tmpdir_path):
@@ -655,6 +665,85 @@ def test_post_commit_fold_race_does_not_fail_the_merge(spark, tmpdir_path):
     assert t.live_delta_rows() == 10  # debt intact, still over threshold
 
     # next commit retries the fold and clears the debt
+    out2 = t.merge_epoch(
+        _df(spark, [("r", "p000", "c000000000003", "v2")]), 2,
+    )
+    assert "post_compact" in out2
+    assert t.live_delta_rows() == 0
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 20
+    assert got["p000"] == "v2" and got["p005"] == "v1" and got["p015"] == "base"
+    assert t.fsck()["ok"]
+
+
+def test_post_commit_fold_fires_on_per_bucket_cap(spark, tmpdir_path):
+    """cli status's suggested_compact has TWO arms and the hook must match
+    both: here total row debt stays far under half the broadcast guard,
+    but one hot bucket accumulates delta files up to mor_delta_cap — the
+    hook folds the moment the bucket SITS at the cap (the next delta
+    commit to it would otherwise pay the fold inline), so status can never
+    report suggested_compact=true forever on an auto-policy table."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2, merge_mode="mor",
+                      fold_broadcast_rows=10_000_000,
+                      compact_after_commit="auto")
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(20)]),
+        0, merge_mode="cow",
+    )
+    cap = t.mor_delta_cap
+    fired_at = None
+    for e in range(1, cap + 2):
+        out = t.merge_epoch(
+            _df(spark, [("r", "p000", f"c{e + 1:012d}", f"v{e}")]), e)
+        assert not out.get("skipped")
+        if "post_compact" in out:
+            fired_at = e
+            break
+    # each commit adds one delta file to p000's bucket; committed
+    # snapshots never exceed the cap, so the hook fires exactly when the
+    # bucket reaches it
+    assert fired_at == cap
+    assert t.max_bucket_delta_files() == 0
+    assert t.live_delta_rows() == 0
+    got = {r.path: r.content for r in t.read().collect()}
+    assert len(got) == 20 and got["p000"] == f"v{fired_at}"
+    assert t.fsck()["ok"]
+
+
+def test_post_commit_fold_swallows_unexpected_errors(spark, tmpdir_path):
+    """A transient failure INSIDE the best-effort fold (executor loss, a
+    concurrent vacuum unlinking a delta mid-read, ...) must not turn the
+    already-committed merge into a failure — a streaming foreachBatch
+    would otherwise kill the query for an epoch that landed. The debt
+    stays counted and the NEXT commit retries the fold."""
+    t = SnapshotTable(spark, tmpdir_path, n_buckets=2, merge_mode="mor",
+                      fold_broadcast_rows=4, compact_after_commit="auto")
+    t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000001", "base")
+                    for i in range(20)]),
+        0, merge_mode="cow",
+    )
+    orig = t.compact
+    calls = {"n": 0}
+
+    def flaky_compact(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated transient executor loss")
+        return orig(*a, **kw)
+
+    t.compact = flaky_compact
+    out = t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", "c000000000002", "v1")
+                    for i in range(10)]),
+        1,
+    )
+    assert calls["n"] == 1
+    assert out["post_compact_skipped"] == "RuntimeError"
+    assert "post_compact" not in out and not out.get("skipped")
+    assert t.live_delta_rows() == 10  # debt intact, still over threshold
+
     out2 = t.merge_epoch(
         _df(spark, [("r", "p000", "c000000000003", "v2")]), 2,
     )
