@@ -184,6 +184,15 @@ def _sparse_epoch_case(
                                   "base_files_skipped", "files_before",
                                   "files_after", "delta_rows_before")
                     } if "post_compact" in c else None,
+                    # a swallowed best-effort fold must be VISIBLE here:
+                    # without it, post_compact=null is ambiguous between
+                    # "hook never fired" and "fold raised", and `seconds`
+                    # would silently measure a commit without the fold the
+                    # row claims to amortize
+                    **(
+                        {"post_compact_skipped": c["post_compact_skipped"]}
+                        if "post_compact_skipped" in c else {}
+                    ),
                 }
                 if autocompact else {}
             ),

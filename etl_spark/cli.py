@@ -342,32 +342,15 @@ def main(argv: list[str] | None = None) -> int:
         from etl_spark.lake.table import decode_epoch_ranges
 
         log = CheckpointLog(spark, f"{args.table}/_checkpoint").read()
-        fl = t.files()
         eps = sorted(decode_epoch_ranges(m.get("applied_epochs")))
         # MOR read-amplification debt: live delta files/rows, worst bucket,
-        # and which fold path the next read() takes. Surfaced so an operator
-        # sees accumulating debt BEFORE the fold_broadcast_rows guard flips
-        # the read plan from broadcast anti-join to a full latest-wins
-        # shuffle over base ∪ delta.
-        deltas = [f for f in fl if f.get("kind") == "delta"]
-        delta_rows = sum(f.get("rows") or 0 for f in deltas)
-        per_bucket: dict[int, int] = {}
-        for f in deltas:
-            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-        mor_cap = t.mor_delta_cap
-        fold_path = (
-            None if not deltas
-            else "shuffle" if delta_rows > t.fold_broadcast_rows
-            else "broadcast"
-        )
-        suggest_compact = bool(deltas) and (
-            fold_path == "shuffle"
-            or delta_rows > t.fold_broadcast_rows // 2
-            # >= : the merge path folds any bucket that would EXCEED the
-            # cap, so committed snapshots sit at most AT it — a bucket at
-            # the cap means the next delta commit to it pays the fold
-            or max(per_bucket.values()) >= mor_cap
-        )
+        # and which fold path the next read() takes — so an operator sees
+        # accumulating debt BEFORE the fold_broadcast_rows guard flips the
+        # read plan to the shuffle fold. compaction_advice() is the SAME
+        # predicate the compact_after_commit="auto" hook fires on (single
+        # source of truth), and costs one manifest read: on a grouped
+        # manifest it sums the group refs' rollups, never the group files.
+        advice = t.compaction_advice(m)
         # sustained scattered-delta pattern on a COW table: each commit's
         # manifest records rewritten_rows / staged_rows (write
         # amplification); when the recent median exceeds the auto-mode
@@ -398,23 +381,23 @@ def main(argv: list[str] | None = None) -> int:
                     "applied_epochs": eps if len(eps) <= 1000
                     else m["applied_epochs"],
                     "applied_epoch_count": len(eps),
-                    "files": len(fl),
-                    "delta_files": len(deltas),
-                    "delta_rows": delta_rows,
-                    "delta_buckets": len(per_bucket),
+                    "files": advice["files"],
+                    "delta_files": advice["delta_files"],
+                    "delta_rows": advice["delta_rows"],
+                    "delta_buckets": advice["delta_buckets"],
                     "max_delta_files_per_bucket": (
-                        max(per_bucket.values()) if per_bucket else 0
+                        advice["max_delta_files_per_bucket"]
                     ),
-                    "fold_path": fold_path,
+                    "fold_path": advice["fold_path"],
                     "fold_shuffle_guard_rows": t.fold_broadcast_rows,
-                    "suggested_compact": suggest_compact,
+                    "suggested_compact": advice["suggested_compact"],
                     "recent_cow_write_amplification": (
                         round(median_amp, 1) if median_amp is not None
                         else None
                     ),
                     "suggested_merge_mode": "auto" if suggest_auto else None,
-                    "rows": sum(f["rows"] for f in fl),
-                    "bytes": sum(f["bytes"] for f in fl),
+                    "rows": advice["rows"],
+                    "bytes": advice["bytes"],
                     "n_buckets": m.get("n_buckets"),
                     # sizing rule (README design notes): a bucket's rows must
                     # fit in max_files_per_bucket target-size files, or every
@@ -424,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
                         None if rows <= nb * cap
                         else 1 << (max(1, -(-rows // cap)) - 1).bit_length()
                     ))(
-                        sum(f["rows"] for f in fl),
+                        advice["rows"],
                         m.get("n_buckets") or 32,
                         # legacy manifests may omit the sizing knobs: fall
                         # back to the CONSTRUCTOR defaults, not 1 — a wrong

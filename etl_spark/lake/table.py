@@ -513,51 +513,81 @@ class SnapshotTable:
 
     def live_delta_rows(self, m: dict[str, Any] | None = None) -> int:
         """Total rows in live MOR delta files — the table's accumulated
-        fold-on-read debt. O(groups) on a grouped manifest via the group
-        refs' ``delta_rows`` rollup; a pre-rollup legacy group ref is
-        loaded once (it is rewritten with the rollup on its next touch)."""
-        if m is None:
-            m = self.manifest()
-        if m is None:
-            return 0
-        if "file_groups" in m:
-            total = 0
-            for g in m["file_groups"]:
-                dr = g.get("delta_rows")
-                if dr is None:
-                    dr = sum(
-                        f["rows"] for f in self._load_group(g)
-                        if f.get("kind") == "delta"
-                    )
-                total += dr
-            return total
-        return sum(
-            f["rows"] for f in m.get("files", [])
-            if f.get("kind") == "delta"
-        )
+        fold-on-read debt. See :meth:`compaction_advice`."""
+        return self.compaction_advice(m)["delta_rows"]
 
     def max_bucket_delta_files(self, m: dict[str, Any] | None = None) -> int:
         """Live delta files in the WORST bucket — the per-bucket fold depth
-        a MOR read pays there. O(groups) on a grouped manifest via the
-        refs' ``delta_files_by_bucket`` rollup (summed across refs, so the
-        count stays exact even if a bucket's entries ever span two refs); a
-        pre-rollup legacy ref is loaded once (it is rewritten with the
-        rollup on its next touch)."""
+        a MOR read pays there. See :meth:`compaction_advice`."""
+        return self.compaction_advice(m)["max_delta_files_per_bucket"]
+
+    def compaction_advice(self, m: dict[str, Any] | None = None) -> dict:
+        """One O(groups) pass over the manifest rollups producing the
+        table's MOR debt report AND the compaction trigger decision — the
+        single source of truth shared by the post-commit auto-compaction
+        hook and ``cli status``, so the two sites cannot drift. On a
+        grouped manifest this reads only the group refs' ``rows`` /
+        ``bytes`` / ``n_files`` / ``delta_rows`` / ``delta_files_by_bucket``
+        rollups (a pre-rollup legacy ref is loaded once; it is rewritten
+        with rollups on its next touch) — never the group files themselves,
+        so ``status`` on a 100k-file table costs one manifest read.
+
+        ``suggested_compact`` fires when live delta ROWS exceed half the
+        broadcast-fold guard (the read plan is approaching the degraded
+        shuffle fold) or some bucket sits AT the per-bucket delta-file cap
+        (committed snapshots never exceed it — the merge path folds any
+        bucket that would — so AT the cap means the next delta commit to
+        it pays the fold inline)."""
         if m is None:
             m = self.manifest()
-        if m is None:
-            return 0
         per_bucket: dict[str, int] = {}
-        if "file_groups" in m:
+        delta_rows = files = rows = nbytes = 0
+        if m is not None and "file_groups" in m:
             for g in m["file_groups"]:
+                dr = g.get("delta_rows")
                 fb = g.get("delta_files_by_bucket")
-                if fb is None:
-                    fb = _delta_files_by_bucket(self._load_group(g))
+                if dr is None or fb is None:
+                    ent = self._load_group(g)
+                    dr = sum(
+                        f["rows"] for f in ent if f.get("kind") == "delta"
+                    )
+                    fb = _delta_files_by_bucket(ent)
+                delta_rows += dr
                 for b, n in fb.items():
                     per_bucket[b] = per_bucket.get(b, 0) + n
-        else:
-            per_bucket = _delta_files_by_bucket(m.get("files", []))
-        return max(per_bucket.values(), default=0)
+                files += g["n_files"]
+                rows += g["rows"]
+                nbytes += g["bytes"]
+        elif m is not None:
+            ent = m.get("files", [])
+            per_bucket = _delta_files_by_bucket(ent)
+            delta_rows = sum(
+                f["rows"] for f in ent if f.get("kind") == "delta"
+            )
+            files = len(ent)
+            rows = sum(f["rows"] for f in ent)
+            nbytes = sum(f["bytes"] for f in ent)
+        delta_files = sum(per_bucket.values())
+        max_per_bucket = max(per_bucket.values(), default=0)
+        fold_path = (
+            None if not delta_files
+            else "shuffle" if delta_rows > self.fold_broadcast_rows
+            else "broadcast"
+        )
+        return {
+            "files": files,
+            "rows": rows,
+            "bytes": nbytes,
+            "delta_files": delta_files,
+            "delta_rows": delta_rows,
+            "delta_buckets": len(per_bucket),
+            "max_delta_files_per_bucket": max_per_bucket,
+            "fold_path": fold_path,
+            "suggested_compact": bool(delta_files) and (
+                delta_rows > self.fold_broadcast_rows // 2
+                or max_per_bucket >= self.mor_delta_cap
+            ),
+        }
 
     def _write_group(self, group_id: int, entries: list[dict]) -> dict:
         d = self.root / MANIFEST_DIR / self.GROUPS_DIR
@@ -1086,9 +1116,23 @@ class SnapshotTable:
         ``purge_tombstones`` (a winning tombstone may sit in any file)."""
         import shutil
 
+        # no-op exits return the SAME shape as a fold run (zeroed counters,
+        # current version) so callers racing a concurrent fold — e.g. the
+        # post-commit hook when another writer folded the debt first — can
+        # index any key without hitting the rare-path-only KeyError
+        def _noop(m: dict[str, Any] | None, n_files: int) -> dict[str, Any]:
+            return {
+                "compacted_buckets": 0,
+                "selective_buckets": 0,
+                "base_files_skipped": 0,
+                "files_before": n_files,
+                "files_after": n_files,
+                "version": None if m is None else m["version"],
+            }
+
         m = self.manifest()
         if m is None:
-            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+            return _noop(m, 0)
         if m.get("n_buckets", self.n_buckets) != self.n_buckets:
             # same layout-drift guard as the merge path: compaction re-stages
             # rows with THIS handle's bucket expr — under a stale width it
@@ -1132,9 +1176,7 @@ class SnapshotTable:
         selective = set() if purge_tombstones else delta_buckets - victims
         victims |= delta_buckets
         if not victims:
-            return {"compacted_buckets": 0,
-                    "files_before": len(all_files),
-                    "files_after": len(all_files)}
+            return _noop(m, len(all_files))
         old = []
         carried = [f for f in all_files if f["bucket"] not in victims]
         base_files_skipped = 0
@@ -1762,10 +1804,10 @@ class SnapshotTable:
         m = commit.pop("_manifest", None)
         if self.compact_after_commit != "auto" or commit.get("skipped"):
             return commit
-        debt = self.live_delta_rows(m)
-        if (debt <= self.fold_broadcast_rows // 2
-                and self.max_bucket_delta_files(m) < self.mor_delta_cap):
+        advice = self.compaction_advice(m)
+        if not advice["suggested_compact"]:
             return commit
+        debt = advice["delta_rows"]
         try:
             folded = self.compact()
         except Exception as err:  # noqa: BLE001 — best-effort by contract

@@ -53,13 +53,13 @@ def _apply_rows(model: dict, rows: list) -> None:
         model[(repo, path)] = ((commit, content), deleted)
 
 
-@pytest.mark.parametrize("seed", [7, 23, 303])
+@pytest.mark.parametrize("seed", [7, 91, 303])
 def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     rng = random.Random(seed)
     # manifest_inline_files=6 forces GROUPED manifests almost immediately —
     # the 100-TB configuration — so group carry/rewrite logic is exercised
     # under the same random interleavings as everything else
-    # seeds 23/303 run with the post-commit auto-compaction policy and a
+    # seeds 91/303 run with the post-commit auto-compaction policy and a
     # tiny debt threshold, so MOR commits routinely cross it and the fold
     # fires MID-SEQUENCE (between merges, deletes, rollbacks, streams) —
     # asserting the policy never perturbs visible state, change-feed
@@ -246,6 +246,13 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     # draws) happened to drain the debt mid-sequence — and the state/feed
     # contracts are re-checked across the commit+fold pair.
     if seed != 7:
+        # the op draw is deterministic per seed — shipped policy seeds must
+        # fire the hook ORGANICALLY mid-sequence (between merges/deletes/
+        # streams/rollbacks), not only in the forced burst below; a seed
+        # that never does would leave the interleaved-fire paths untested
+        assert post_compacts > 0, (
+            f"seed={seed} hook never fired mid-sequence; pick another seed"
+        )
         v_prev = t.current_version()
         model_prev = dict(model)
         rows = [(r, p, "c%012d" % (lsn + i + 1), "z%d" % i, False)
@@ -254,7 +261,6 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
         out = t.merge_epoch(_df(rows, epoch), epoch, merge_mode="mor")
         epoch += 1
         assert "post_compact" in out, f"seed={seed} forced fold did not fire"
-        post_compacts += 1
         _apply_rows(model, rows)
         assert _state(t) == {k: v[0] for k, v in _visible(model).items()}
         feed = {
@@ -268,5 +274,4 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
             if model_prev.get(k) != v
         }
         assert feed == diff, f"seed={seed} feed drifted across commit+fold"
-        assert post_compacts > 0
     assert t.fsck()["ok"]
