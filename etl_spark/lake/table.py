@@ -870,21 +870,21 @@ class SnapshotTable:
         relative to ``v_from`` are read (manifest diff), filtered to rows
         whose ``epoch`` provenance lies in the applied-epoch delta — carried
         rows rewritten into merged bucket files are excluded by that filter.
+        The diff itself is O(changed manifest GROUPS) too — carried group
+        refs are skipped unopened (see :meth:`_diff_new_files`), so polling
+        the feed on a 10^6-file table does not re-read its manifest tree.
         """
         m_to = self.manifest(v_to)
         if m_to is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
         schema = T.StructType.fromJson(m_to["schema"])
         if v_from is None:
-            old_paths: set[str] = set()
+            m_from = None
             old_epochs: set[int] = set()
         else:
             m_from = self.manifest(v_from)
-            old_paths = {f["path"] for f in self._files_of(m_from)}
             old_epochs = _all_applied_epochs(m_from)
-        new_files = [
-            f for f in self._files_of(m_to) if f["path"] not in old_paths
-        ]
+        new_files = self._diff_new_files(m_from, m_to)
         delta_epochs = _all_applied_epochs(m_to) - old_epochs
         df = self._read_files(new_files, schema)
         if "epoch" in df.columns:
@@ -898,6 +898,55 @@ class SnapshotTable:
                 cond = cond | F.col("epoch").between(F.lit(lo), F.lit(hi))
             df = df.where(cond)
         return df
+
+    def _diff_new_files(
+        self, m_from: dict[str, Any] | None, m_to: dict[str, Any]
+    ) -> list[dict]:
+        """Manifest diff for the change feed: file entries present in
+        ``m_to`` but not in ``m_from``, loading only CHANGED manifest
+        groups. A group ref carried verbatim between the two snapshots
+        (same path) holds only files both sides already share — skip it
+        without reading the group file. A file's group id is a pure
+        function of (bucket, manifest_n_groups, n_buckets), so when both
+        layout knobs match, the old-side paths needed to exclude carried
+        files rewritten INTO a changed group can only live in the old
+        groups with those same ids — the diff therefore reads O(changed
+        groups) group files, not O(table): at the nominal scale a feed
+        between adjacent snapshots of a 10^6-file table opens a handful of
+        JSON files. Falls back to the full-listing diff across a rebucket
+        or regroup boundary (group ids reshuffle) and for inline
+        manifests (already O(manifest))."""
+        if m_from is None:
+            return self._files_of(m_to)
+        same_layout = (
+            "file_groups" in m_from
+            and "file_groups" in m_to
+            and m_from.get("manifest_n_groups") == m_to.get("manifest_n_groups")
+            and m_from.get("n_buckets") == m_to.get("n_buckets")
+            and all("group_id" in g for g in m_from["file_groups"])
+            and all("group_id" in g for g in m_to["file_groups"])
+        )
+        if not same_layout:
+            old_paths = {f["path"] for f in self._files_of(m_from)}
+            return [
+                f for f in self._files_of(m_to)
+                if f["path"] not in old_paths
+            ]
+        carried = {g["path"] for g in m_from["file_groups"]}
+        changed = [g for g in m_to["file_groups"] if g["path"] not in carried]
+        gids = {g["group_id"] for g in changed}
+        old_paths = {
+            f["path"]
+            for g in m_from["file_groups"]
+            if g["group_id"] in gids
+            for f in self._load_group(g)
+        }
+        return [
+            f
+            for g in changed
+            for f in self._load_group(g)
+            if f["path"] not in old_paths
+        ]
 
     def _read_files(self, files: list[dict], schema: T.StructType) -> DataFrame:
         if not files:
