@@ -47,13 +47,25 @@ from etl_spark.operators.sessionize import (
 )
 from etl_spark.operators.similarity import brute_force_topk, lsh_topk
 from etl_spark.operators.textdedup import (
+    MINHASH_PRIME,
     exact_dedupe,
     fingerprint_dedupe,
+    minhash_affine_consts,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+
+
+def _minhash_sig_terms(num_hashes: int) -> str:
+    """DuckDB expression list reproducing minhash_signature bit-for-bit:
+    per-seed list_min of the same Carter-Wegman (a*x + b) mod 2^31-1 family
+    over the md5-derived Z_p shingle keys (hv)."""
+    return ",\n                    ".join(
+        f"list_min(list_transform(hv, x -> ({a}*x + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_affine_consts(num_hashes)
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1412,20 +1424,30 @@ def oracle_sql() -> dict[str, str]:
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""
             WITH {shingle_cte},
-            sigs AS (
-                SELECT doc_id, list_transform(generate_series(0, 7),
-                    h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
+            hs AS (
+                SELECT doc_id, list_transform(sg,
+                    s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+                         % 2147483647) AS hv
                 FROM sh
+            ),
+            sigs AS (
+                SELECT doc_id, [{_minhash_sig_terms(8)}] AS sig
+                FROM hs
             )
             SELECT doc_id, hh.h, list_extract(sig, hh.h + 1) AS mh
             FROM sigs, (SELECT unnest(generate_series(0, 7)) AS h) hh
         """,
         "minhash_lsh": f"""
             WITH {shingle_cte},
-            sigs AS (
-                SELECT doc_id, list_transform(generate_series(0, 15),
-                    h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
+            hs AS (
+                SELECT doc_id, list_transform(sg,
+                    s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+                         % 2147483647) AS hv
                 FROM sh
+            ),
+            sigs AS (
+                SELECT doc_id, [{_minhash_sig_terms(16)}] AS sig
+                FROM hs
             ),
             bands AS (
                 SELECT doc_id, sig, b.band,

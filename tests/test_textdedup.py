@@ -70,7 +70,14 @@ def test_minhash_exact_dup_identical_signature(spark):
 
 
 def test_minhash_signature_matches_duckdb_oracle(spark):
-    """md5-based MinHash reproduces bit-for-bit in ANSI SQL (DuckDB)."""
+    """Carter-Wegman MinHash reproduces bit-for-bit in ANSI SQL (DuckDB):
+    one md5 key per shingle reduced into Z_(2^31-1), then (a*x + b) mod p
+    per seed with the same literal constants on both engines."""
+    from etl_spark.operators.textdedup import (
+        MINHASH_PRIME,
+        minhash_affine_consts,
+    )
+
     got = {
         r["doc_id"]: r["sig"]
         for r in _docs(spark)
@@ -83,7 +90,11 @@ def test_minhash_signature_matches_duckdb_oracle(spark):
         + ",".join(f"({i}, '{t}')" for i, t in DOCS)
         + ") t(doc_id, text)"
     )
-    q = r"""
+    terms = ",".join(
+        f"list_min(list_transform(hv, x -> ({a}*x + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_affine_consts(4)
+    )
+    q = rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
@@ -95,10 +106,14 @@ def test_minhash_signature_matches_duckdb_oracle(spark):
               i -> array_to_string(tk[i:i+2], ' ')))
         ELSE [array_to_string(tk, ' ')] END AS sg
       FROM toks
+    ), hs AS (
+      SELECT doc_id, list_transform(sg,
+          s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+               % 2147483647) AS hv
+      FROM sh
     )
-    SELECT doc_id, list_transform(generate_series(0,3),
-        h -> list_min(list_transform(sg, s -> md5(h || '|' || s)))) AS sig
-    FROM sh ORDER BY doc_id
+    SELECT doc_id, [{terms}] AS sig
+    FROM hs ORDER BY doc_id
     """
     want = {r[0]: r[1] for r in con.execute(q).fetchall()}
     assert got == want
