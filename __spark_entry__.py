@@ -72,6 +72,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that does not leak across runs. The CDC registry queries
+    build a temp table and return a DataFrame that lazily READS it, so the
+    dir cannot be removed before the caller collects — instead it is
+    removed at interpreter exit (driver/selfcheck/bench all consume the
+    result within the process), and stale same-prefix dirs left by crashed
+    or SIGKILLed earlier runs (>1 h old) are swept on the next call so
+    repeated rounds never fill /tmp."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - 3600
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _es(col) -> F.Column:
     """Epoch seconds (long) from TIMESTAMP/TIMESTAMP_NTZ."""
     c = F.col(col) if isinstance(col, str) else col
@@ -726,7 +752,6 @@ def q_media_features(spark, sf_dir):
 
 def q_cdc_replay_e2e(spark, sf_dir):
     """Full engine loop incl. the exactly-once sink, on a temp table root."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -735,7 +760,7 @@ def q_cdc_replay_e2e(spark, sf_dir):
         "epoch",
         F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
     ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = tempfile.mkdtemp(prefix="etl_spark_entry_")
+    root = _scratch_dir("etl_spark_entry_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
     pipe.replay(f"{root}/stream")
@@ -748,7 +773,6 @@ def q_cdc_replay_mor(spark, sf_dir):
     the read folds via the broadcast anti-join (lake/table.py merge_mode=
     "mor"). Driver-green here IS the MOR==COW==oracle differential at the
     driver's own gate."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -757,7 +781,7 @@ def q_cdc_replay_mor(spark, sf_dir):
         "epoch",
         F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
     ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = tempfile.mkdtemp(prefix="etl_spark_mor_")
+    root = _scratch_dir("etl_spark_mor_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(
         spark, f"{root}/table", n_buckets=16, count_input=False,
@@ -775,7 +799,6 @@ def q_cdc_rebucket(spark, sf_dir):
     ``rebucket(32)``-ed (lake/table.py) before the read — oracle-green here
     proves the full-table re-cluster preserves every row, every tombstone
     arbitration and the epoch bookkeeping bit-for-bit."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -784,7 +807,7 @@ def q_cdc_rebucket(spark, sf_dir):
         "epoch",
         F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
     ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = tempfile.mkdtemp(prefix="etl_spark_rebucket_")
+    root = _scratch_dir("etl_spark_rebucket_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(spark, f"{root}/table", n_buckets=8, count_input=False)
     pipe.replay(f"{root}/stream")
@@ -799,7 +822,6 @@ def q_cdc_deletes(spark, sf_dir):
     an md5-selected fifth of the keys (delete commit strictly newer than any
     upsert). The oracle is the COW replay's SQL minus the deleted keys —
     proving delete_epochs hides exactly those keys from the final state."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -808,7 +830,7 @@ def q_cdc_deletes(spark, sf_dir):
         "epoch",
         F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
     ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = tempfile.mkdtemp(prefix="etl_spark_del_")
+    root = _scratch_dir("etl_spark_del_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
     pipe.replay(f"{root}/stream", mode="catchup")
@@ -839,7 +861,6 @@ def q_cdc_deletes_stream(spark, sf_dir):
     newer-delete hides the key, delete-then-newer-upsert re-creates it.
     Oracle: latest-per-key over the same op-stamped stream, keeping only
     keys whose winner is an upsert."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -859,7 +880,7 @@ def q_cdc_deletes_stream(spark, sf_dir):
         .withColumn("content", F.when(is_del, null_s).otherwise(F.col("content")))
         .withColumn("lang", F.when(is_del, null_s).otherwise(F.col("lang")))
     )
-    root = tempfile.mkdtemp(prefix="etl_spark_sdel_")
+    root = _scratch_dir("etl_spark_sdel_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
     pipe.replay(f"{root}/stream")
@@ -877,7 +898,6 @@ def q_cdc_stream_ingest(spark, sf_dir):
     in the manifest's ``stream`` epoch space. Oracle-green here proves the
     streaming driver reaches the identical final table state as batch
     replay (one clean -> dedupe -> merge core, two drivers)."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.streaming.ingest import stream_ingest
@@ -886,7 +906,7 @@ def q_cdc_stream_ingest(spark, sf_dir):
         "epoch",
         F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
     ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = tempfile.mkdtemp(prefix="etl_spark_stream_")
+    root = _scratch_dir("etl_spark_stream_")
     write_segments(stream, f"{root}/stream")
     q = stream_ingest(
         spark, f"{root}/stream", f"{root}/table",
@@ -910,7 +930,6 @@ def q_cdc_change_feed(spark, sf_dir):
     manifest file diff + row-level epoch provenance, O(changed data). The
     oracle recomputes it as 'current winners whose winning epoch is 2 or 3'
     (epoch assignment is md5-derived so SQL reproduces it exactly)."""
-    import tempfile
 
     from etl_spark.datagen import write_segments
     from etl_spark.pipeline import IngestPipeline
@@ -927,7 +946,7 @@ def q_cdc_change_feed(spark, sf_dir):
         )
         .withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
     )
-    root = tempfile.mkdtemp(prefix="etl_spark_feed_")
+    root = _scratch_dir("etl_spark_feed_")
     write_segments(stream, f"{root}/stream")
     pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16, count_input=False)
     pipe.replay(f"{root}/stream")

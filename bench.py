@@ -163,9 +163,14 @@ def _sparse_epoch_case(
             "files_pruned": c.get("files_pruned"),
             "files_carried": c.get("carried_files"),
             "delta_files": c.get("delta_files", 0),
+            # headline write volume matches what `seconds` timed: the merge
+            # commit PLUS (for autocompact rows) the post-commit debt fold —
+            # otherwise the amortized row would pair fold-inclusive wall
+            # time with delta-only bytes, understating the cost it exists
+            # to measure. The fold-only share is in post_compact below.
             "bytes_written": sum(
                 f.get("bytes", 0) for f in c.get("new_files", [])
-            ),
+            ) + c.get("post_compact", {}).get("bytes_written", 0),
             rows_key: rows_after,
             "read_sec": read_s,
             **(
@@ -182,7 +187,8 @@ def _sparse_epoch_case(
                         k: c["post_compact"].get(k)
                         for k in ("compacted_buckets", "selective_buckets",
                                   "base_files_skipped", "files_before",
-                                  "files_after", "delta_rows_before")
+                                  "files_after", "delta_rows_before",
+                                  "bytes_written")
                     } if "post_compact" in c else None,
                     # a swallowed best-effort fold must be VISIBLE here:
                     # without it, post_compact=null is ambiguous between

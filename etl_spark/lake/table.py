@@ -369,6 +369,14 @@ class SnapshotTable:
         self.max_files_per_bucket = max_files_per_bucket
         self.manifest_groups = manifest_groups
         self.manifest_inline_files = manifest_inline_files
+        # rollup memo for PRE-rollup legacy group refs (no delta_rows /
+        # delta_files_by_bucket in the ref): group files are uuid-named and
+        # immutable, so the path is a safe cache key. Without it, a
+        # long-lived writer with compact_after_commit="auto" (which calls
+        # compaction_advice after EVERY commit) would re-read every cold
+        # legacy group file per commit — O(all legacy groups) JSON reads
+        # that no commit ever rewrites away.
+        self._legacy_rollup_memo: dict[str, tuple[int, dict[str, int]]] = {}
         if merge_mode not in (None, "cow", "mor", "auto"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         if compact_after_commit not in (None, "off", "auto"):
@@ -528,8 +536,9 @@ class SnapshotTable:
         hook and ``cli status``, so the two sites cannot drift. On a
         grouped manifest this reads only the group refs' ``rows`` /
         ``bytes`` / ``n_files`` / ``delta_rows`` / ``delta_files_by_bucket``
-        rollups (a pre-rollup legacy ref is loaded once; it is rewritten
-        with rollups on its next touch) — never the group files themselves,
+        rollups (a pre-rollup legacy ref is loaded once per Table instance
+        via the rollup memo; it is rewritten with rollups on its next
+        touch) — never the group files themselves,
         so ``status`` on a 100k-file table costs one manifest read.
 
         ``suggested_compact`` fires when live delta ROWS exceed half the
@@ -547,11 +556,18 @@ class SnapshotTable:
                 dr = g.get("delta_rows")
                 fb = g.get("delta_files_by_bucket")
                 if dr is None or fb is None:
-                    ent = self._load_group(g)
-                    dr = sum(
-                        f["rows"] for f in ent if f.get("kind") == "delta"
-                    )
-                    fb = _delta_files_by_bucket(ent)
+                    cached = self._legacy_rollup_memo.get(g["path"])
+                    if cached is None:
+                        ent = self._load_group(g)
+                        cached = (
+                            sum(
+                                f["rows"] for f in ent
+                                if f.get("kind") == "delta"
+                            ),
+                            _delta_files_by_bucket(ent),
+                        )
+                        self._legacy_rollup_memo[g["path"]] = cached
+                    dr, fb = cached
                 delta_rows += dr
                 for b, n in fb.items():
                     per_bucket[b] = per_bucket.get(b, 0) + n
@@ -1176,6 +1192,7 @@ class SnapshotTable:
                 "base_files_skipped": 0,
                 "files_before": n_files,
                 "files_after": n_files,
+                "bytes_written": 0,
                 "version": None if m is None else m["version"],
             }
 
@@ -1287,6 +1304,10 @@ class SnapshotTable:
             "base_files_skipped": base_files_skipped,
             "files_before": len(all_files),
             "files_after": len(carried) + len(new_files),
+            # write volume of the fold itself, so callers amortizing the
+            # fold into a commit's cost (post-commit hook, bench rows) can
+            # report bytes consistent with the wall time they measured
+            "bytes_written": sum(f.get("bytes") or 0 for f in new_files),
             "version": version,
         }
 
