@@ -45,3 +45,35 @@ def test_query_matches_oracle(spark, name):
     assert list(cg.columns) == list(cw.columns)
     assert len(cg) == len(cw)
     pd.testing.assert_frame_equal(cg, cw, check_dtype=False)
+
+
+def test_scratch_dir_sweeps_stale_and_registers_cleanup(tmp_path, monkeypatch):
+    """Registry queries build temp tables a returned DataFrame lazily
+    reads, so scratch roots outlive the query call — they are reaped at
+    interpreter exit, and >1h-stale dirs from crashed runs are swept on
+    the next call so repeated driver/bench rounds never fill /tmp."""
+    import atexit
+    import os
+    import tempfile
+
+    real_mkdtemp = tempfile.mkdtemp
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(
+        tempfile, "mkdtemp",
+        lambda prefix: real_mkdtemp(prefix=prefix, dir=str(tmp_path)),
+    )
+    stale = tmp_path / "etl_spark_x_stale"
+    stale.mkdir()
+    (stale / "f").write_text("x")
+    old = 7200
+    os.utime(stale, (os.path.getatime(stale) - old, os.path.getmtime(stale) - old))
+    fresh_existing = tmp_path / "etl_spark_x_fresh"
+    fresh_existing.mkdir()
+
+    registered = []
+    monkeypatch.setattr(atexit, "register", lambda fn, *a, **k: registered.append(a))
+    root = entry_mod._scratch_dir("etl_spark_x_")
+    assert not stale.exists()            # stale sibling swept
+    assert fresh_existing.exists()       # young sibling untouched
+    assert os.path.isdir(root)
+    assert registered and registered[0][0] == root  # atexit rmtree queued

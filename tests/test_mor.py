@@ -573,6 +573,18 @@ def test_live_delta_rows_o_groups_on_grouped_manifest(spark, tmpdir_path):
     legacy = SnapshotTable(spark, tmpdir_path)
     assert legacy.live_delta_rows() == want
     assert legacy.max_bucket_delta_files() == want_max
+    # ... and that one-time load is memoized per Table instance: a second
+    # advice call must not re-read any group file (the hot path —
+    # compact_after_commit="auto" calls compaction_advice after EVERY
+    # commit, and legacy refs are never rewritten by commits that don't
+    # touch their groups)
+    loads = []
+    orig = SnapshotTable._load_group
+    legacy._load_group = (  # type: ignore[method-assign]
+        lambda ref: loads.append(ref["path"]) or orig(legacy, ref)
+    )
+    assert legacy.live_delta_rows() == want
+    assert loads == []
 
 
 def test_compact_selective_fold_skips_disjoint_base_files(spark, tmpdir_path):
@@ -602,6 +614,12 @@ def test_compact_selective_fold_skips_disjoint_base_files(spark, tmpdir_path):
 
     out = t.compact()
     assert out["selective_buckets"] >= 1
+    # the fold reports its own write volume (bench rows pair it with the
+    # fold-inclusive wall time): exactly the bytes of the files it created
+    new_paths = {f["path"] for f in t.files()} - base_before
+    assert out["bytes_written"] == sum(
+        f["bytes"] for f in t.files() if f["path"] in new_paths
+    ) > 0
     # the 2 delta keys intersect at most 2 key-ranged base files per
     # bucket; everything else survives byte-identical (same path, never
     # re-staged) — whether as a skipped file of a victim bucket or as a
