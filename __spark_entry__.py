@@ -48,6 +48,7 @@ from etl_spark.operators.sessionize import (
 from etl_spark.operators.similarity import brute_force_topk, lsh_topk
 from etl_spark.operators.textdedup import (
     MINHASH_PRIME,
+    connected_components,
     exact_dedupe,
     fingerprint_dedupe,
     minhash_affine_consts,
@@ -567,6 +568,18 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION: MinHash-LSH pairs folded into connected
+    components (pointer-jumping min-label propagation), every document mapped
+    to the smallest doc_id of its near-dup family — the step after pair
+    generation that a keep-one-per-family dedup actually needs (canonical
+    selection = keep rows where doc_id == component). Oracle: the same LSH
+    pair CTEs + a recursive transitive-closure walk in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, verify_threshold=0.5)
+    return connected_components(pairs, all_ids=docs.select("doc_id"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # stop_shingle_limit guards the self-join against quadratic blowup on hub
     # shingles (a shingle shared by >limit docs is dropped on both sides; the
@@ -977,7 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-checked by tools/selfcheck.py and the pytest differentials.
     Round 5 swaps ``cdc_stream_ingest`` (the REAL readStream/foreachBatch
     driver, VERDICT r4 #6) in for ``minhash_sigs`` (displaced to
-    extra_queries; subsumed by the driver-green ``minhash_lsh``).
+    extra_queries; subsumed by the driver-green ``minhash_lsh``), and
+    ``dedup_components`` (near-dup cluster resolution — a NEW operator, not a
+    variant) in for ``simhash_fps`` (displaced; subsumed by the driver-green
+    ``simhash_pairs``, which recomputes the fingerprints).
     ``ann_ivf`` stays LAST (rows-only by design, carries a driver-visible
     recall column)."""
     return {
@@ -1017,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha": q_content_sha,
         "cdc_stream_ingest": q_cdc_stream_ingest,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "cdc_rebucket": q_cdc_rebucket,
@@ -1025,7 +1042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "winnow_fps": q_winnow_fps,
         "hier_cover": q_hier_cover,
-        "simhash_fps": q_simhash_fps,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf_md5": q_ann_ivf_md5,
@@ -1060,6 +1076,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot; the signature stage remains oracle-backed here, subsumed by
         # the driver-green minhash_lsh (which recomputes the signatures)
         "minhash_sigs": q_minhash_sigs,              # sibling: minhash_lsh
+        # round-5 swap: dedup_components (near-dup cluster resolution, a NEW
+        # operator) took the registry slot; the fingerprint stage remains
+        # oracle-backed here, subsumed by the driver-green simhash_pairs
+        # (which recomputes the fingerprints through the same pandas UDF)
+        "simhash_fps": q_simhash_fps,                # sibling: simhash_pairs
     }
 
 
@@ -1139,6 +1160,38 @@ def oracle_sql() -> dict[str, str]:
           FROM toks
         )
     """
+    # MinHash-LSH candidate-pair CTE chain (through the verified `pairs`
+    # relation) — shared by the minhash_lsh and dedup_components oracles so
+    # the component walk closes over exactly the driver-green pair set.
+    minhash_pairs_ctes = f"""{shingle_cte},
+            hs AS (
+                SELECT doc_id, list_transform(sg,
+                    s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+                         % 2147483647) AS hv
+                FROM sh
+            ),
+            sigs AS (
+                SELECT doc_id, [{_minhash_sig_terms(16)}] AS sig
+                FROM hs
+            ),
+            bands AS (
+                SELECT doc_id, sig, b.band,
+                       md5(array_to_string(sig[b.band*4+1:b.band*4+4], ',')) AS bucket
+                FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                       a.sig AS sa, bb.sig AS sb
+                FROM bands a JOIN bands bb
+                  ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b,
+                       round(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0, 6)
+                           AS est_jaccard
+                FROM cand
+                WHERE len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0 >= 0.5
+            )"""
     out = {
         "cdc_current_state": f"""
             WITH src AS ({_CHANGE_STREAM_SQL}),
@@ -1457,33 +1510,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs, (SELECT unnest(generate_series(0, 7)) AS h) hh
         """,
         "minhash_lsh": f"""
-            WITH {shingle_cte},
-            hs AS (
-                SELECT doc_id, list_transform(sg,
-                    s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
-                         % 2147483647) AS hv
-                FROM sh
+            WITH {minhash_pairs_ctes}
+            SELECT id_a, id_b, est_jaccard FROM pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {minhash_pairs_ctes},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
             ),
-            sigs AS (
-                SELECT doc_id, [{_minhash_sig_terms(16)}] AS sig
-                FROM hs
+            walk(u, lbl) AS (
+                SELECT u, v AS lbl FROM edges
+                UNION
+                SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.lbl
             ),
-            bands AS (
-                SELECT doc_id, sig, b.band,
-                       md5(array_to_string(sig[b.band*4+1:b.band*4+4], ',')) AS bucket
-                FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
-                       a.sig AS sa, bb.sig AS sb
-                FROM bands a JOIN bands bb
-                  ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+            comp AS (
+                SELECT u, least(u, min(lbl)) AS component FROM walk GROUP BY u
             )
-            SELECT id_a, id_b,
-                   round(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0, 6)
-                       AS est_jaccard
-            FROM cand
-            WHERE len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) / 16.0 >= 0.5
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
         """,
         "ngram_jaccard": f"""
             WITH {shingle_cte},

@@ -484,3 +484,104 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- Cluster resolution -------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    all_ids: DataFrame | None = None,
+    id_out: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate candidate pairs into clusters.
+
+    Pair generators (``minhash_lsh_pairs``, ``simhash_near_pairs``,
+    ``embedding_dedup``) emit EDGES; a training-data dedup pipeline needs the
+    transitive closure — one canonical document per connected component — or
+    an A~B, B~C family keeps two of its three members. This is the cluster
+    step the reference's per-trajectory grouping performs driver-side at its
+    scale (duckdb_construct_trajs_stops.py groups per key in one process);
+    here it must be distributed.
+
+    Algorithm: min-label propagation with pointer jumping. Every node starts
+    labelled with its own id; each round it adopts::
+
+        label(u) <- min(label(u), min over neighbours v of label(v),
+                        label(label(u)))          # pointer jump
+
+    The neighbour term moves the component minimum one hop per round; the
+    pointer-jump term (label-of-label) halves chain depth per round, so
+    convergence is O(log diameter) rounds — and near-dup clusters are
+    near-cliques (diameter 1-3) in practice, so 2-3 rounds. Each round is
+    three hash shuffles (neighbour min-agg, jump self-join, convergence
+    check), all partial-aggregated map-side: a hub node with 10^6 neighbours
+    contributes per-partition min() partials, never a collect_list. Labels
+    are monotonically non-increasing and always ids of same-component nodes,
+    so the fixpoint is exactly the component minimum. ``localCheckpoint``
+    truncates the iterative lineage each round (the standard Spark pattern
+    for iterative graph algorithms; on a cluster, checkpoint blocks live in
+    executor storage and are O(nodes)).
+
+    Returns ``(id_out, component)`` where ``component`` is the smallest
+    member id of the node's component. With ``all_ids`` (a 1-column frame of
+    every document id), singletons — docs in no pair — are included as their
+    own component, so the output is a total map suitable for canonical-doc
+    selection (keep rows where ``id_out == component``).
+    """
+    ua, ub = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(ua.alias("u"), ub.alias("v"))
+        .union(pairs.select(ub.alias("u"), ua.alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    ).localCheckpoint(eager=True)  # edges are re-joined every round; never
+    # recompute the (possibly expensive) upstream pair generator per round
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("_vl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_vl").alias("_nl"))
+        )
+        jumped = labels.join(
+            labels.select(F.col("u").alias("label"), F.col("label").alias("_ll")),
+            "label",
+            "left",
+        ).select("u", F.least("label", F.coalesce("_ll", "label")).alias("_jl"))
+        new = (
+            jumped.join(neigh, "u", "left")
+            .select(
+                "u", F.least("_jl", F.coalesce("_nl", F.col("_jl"))).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "u")
+            .where(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    out = labels.select(F.col("u").alias(id_out), F.col("label").alias("component"))
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias(id_out)).distinct()
+        out = ids.join(out, id_out, "left").select(
+            id_out, F.coalesce("component", F.col(id_out)).alias("component")
+        )
+    return out

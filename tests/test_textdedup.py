@@ -220,3 +220,83 @@ def test_token_count_bpe(spark):
     }
     # def | f | ( | x | ) | : | return | x | + | 1  -> 10
     assert got == {0: 10, 1: 0, 2: 0, 3: 2}
+
+
+# --- connected components (near-dup cluster resolution) ----------------------
+
+
+def _uf_components(pairs, all_ids):
+    """Reference union-find over the same pairs (plain Python)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in all_ids}
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    from etl_spark.operators.textdedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (7, 5)]
+    ids = list(range(1, 13))
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pdf, all_ids=idf).collect()
+    }
+    assert got == _uf_components(pairs, ids)
+    # singletons map to themselves
+    assert got[4] == 4 and got[6] == 6
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node path exercises the O(log diameter) pointer-jump term —
+    plain one-hop propagation would need 63 rounds; the cap is 50."""
+    from etl_spark.operators.textdedup import connected_components
+
+    n = 64
+    pairs = [(i, i + 1) for i in range(1, n)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(pdf).collect()
+    assert len(out) == n
+    assert all(r["component"] == 1 for r in out)
+
+
+def test_connected_components_empty_pairs(spark):
+    from etl_spark.operators.textdedup import connected_components
+
+    pdf = spark.createDataFrame([], "id_a long, id_b long")
+    idf = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pdf, all_ids=idf).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_dedup_components_closes_lsh_pairs(spark):
+    """End-to-end: components over minhash_lsh_pairs on the golden docs equal
+    union-find over the same pair set; canonical selection keeps one doc per
+    near-dup family."""
+    from etl_spark.operators.textdedup import connected_components
+
+    d = _docs(spark)
+    pairs_df = minhash_lsh_pairs(d, num_hashes=16, band_size=4, verify_threshold=0.5)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    comp = connected_components(pairs_df, all_ids=d.select("doc_id"))
+    got = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert got == _uf_components(pairs, [d0 for d0, _ in DOCS])
+    survivors = sorted(k for k, v in got.items() if k == v)
+    # docs 1/2 (and any near-dups LSH catches) collapse to one family root
+    assert 1 in survivors and 2 not in survivors
+    assert len(survivors) == len(set(got.values()))
