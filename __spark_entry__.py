@@ -31,6 +31,7 @@ from etl_spark.functions.content import (
     lang_id_heuristic,
     normalize_lang,
     quality_score,
+    split_assign,
     token_count,
 )
 from etl_spark.operators.dedupe import (
@@ -545,6 +546,14 @@ def q_lang_id(spark, sf_dir):
 def q_lang_normalize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", normalize_lang("lang").alias("lang_norm"))
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic seeded train/val/test assignment (90/5/5) — pure JVM
+    hash expression, reproducible across retries/backfills/cluster sizes;
+    oracle rebuilds the identical md5-bucket arithmetic in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", split_assign("doc_id").alias("split"))
 
 
 def q_content_sha(spark, sf_dir):
@@ -1081,6 +1090,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed here, subsumed by the driver-green simhash_pairs
         # (which recomputes the fingerprints through the same pandas UDF)
         "simhash_fps": q_simhash_fps,                # sibling: simhash_pairs
+        # round-5 addition (not a displaced variant): deterministic seeded
+        # train/val/test corpus splitting — a training-data-pipeline op with
+        # no registry slot free; oracle-checked here + pytest distribution test
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1493,6 +1506,18 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "lang_normalize": f"SELECT doc_id, {lang_case} AS lang_norm FROM documents",
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN h < 9000 THEN 'train'
+                        WHEN h < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR || '|13'), 1, 15))
+                           ::UBIGINT::BIGINT % 10000 AS h
+                FROM documents
+            )
+        """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""
             WITH {shingle_cte},

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "dedup_exact",
     "minhash_lsh",
+    "dedup_components",
     "ngram_jaccard",
     "ann_topk",
     "simhash_pairs",

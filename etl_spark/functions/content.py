@@ -148,3 +148,36 @@ def doc_fingerprint(col) -> Column:
         )
     )
     return F.md5(norm)
+
+
+def split_assign(
+    col,
+    train: float = 0.9,
+    val: float = 0.05,
+    seed: int = 13,
+) -> Column:
+    """Deterministic train/val/test assignment from a stable id column.
+
+    A 100-TB corpus can't be split by `rand()` (non-reproducible across
+    retries/backfills) or by sorting (a global shuffle). This hashes the id
+    with a seed — 60-bit md5 prefix reduced mod 10^4, the same bit-exact
+    construction as the MinHash keys (== DuckDB
+    ``('0x'||substr(md5(id||'|'||seed),1,15))::UBIGINT % 10000``) — and maps
+    the bucket to a split label by cumulative weight. Pure JVM expression
+    (codegen, zero Python, embarrassingly parallel): the same row lands in
+    the same split on every run, any cluster size, any partitioning.
+    """
+    assert 0 < train < 1 and 0 <= val < 1 and train + val <= 1
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", c.cast("string"), F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long") % F.lit(10_000)
+    t_hi = int(round(train * 10_000))
+    v_hi = t_hi + int(round(val * 10_000))
+    return (
+        F.when(h < t_hi, F.lit("train"))
+        .when(h < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

@@ -85,3 +85,35 @@ def test_vector_ops(spark):
     assert abs(got[0]["c"]) < 1e-12 and got[0]["d"] == 0.0
     assert abs(got[1]["c"] - 1.0) < 1e-12 and abs(got[1]["d"] - 5.0) < 1e-12
     assert got[2]["c"] == 0.0  # zero-norm guard
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    from etl_spark.functions.content import split_assign
+
+    n = 4000
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id", split_assign("doc_id").alias("split"))
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # weights hold within a loose binomial tolerance at n=4000
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    assert abs(counts["val"] / n - 0.05) < 0.02
+    assert abs(counts["test"] / n - 0.05) < 0.02
+    # deterministic: a second evaluation (different partitioning) is identical
+    again = {
+        r["doc_id"]: r["split"]
+        for r in df.repartition(7).select(
+            "doc_id", split_assign("doc_id").alias("split")
+        ).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # a different seed produces a different (but still complete) assignment
+    other = df.select("doc_id", split_assign("doc_id", seed=14).alias("split"))
+    moved = (
+        out.withColumnRenamed("split", "a")
+        .join(other.withColumnRenamed("split", "b"), "doc_id")
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert moved > 0
