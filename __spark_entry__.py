@@ -556,6 +556,24 @@ def q_corpus_split(spark, sf_dir):
     return d.select("doc_id", split_assign("doc_id").alias("split"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination over the deterministic 90/5/5 split: every
+    train doc flagged when it shares >=1 word 8-gram with any val/test doc
+    (GPT-3 appendix-C style; n is a knob). One semi join against the
+    holdout's distinct shingles — no pair explosion possible, holdout is
+    the broadcastable side at corpus scale. Returns (doc_id, contaminated)
+    for the full train split so the oracle checks both polarities."""
+    from etl_spark.operators.textdedup import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents").withColumn("split", split_assign("doc_id"))
+    train = d.where(F.col("split") == "train")
+    holdout = d.where(F.col("split") != "train")
+    bad = contaminated_ids(train, holdout, n=8).withColumn("_c", F.lit(True))
+    return train.join(bad, "doc_id", "left").select(
+        "doc_id", F.coalesce("_c", F.lit(False)).alias("contaminated")
+    )
+
+
 def q_content_sha(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", content_sha256("text").alias("sha"))
@@ -1094,6 +1112,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/val/test corpus splitting — a training-data-pipeline op with
         # no registry slot free; oracle-checked here + pytest distribution test
         "corpus_split": q_corpus_split,
+        # round-5 addition: eval-set decontamination (8-gram overlap between
+        # the seeded train split and val/test) — same no-free-slot situation
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1517,6 +1538,42 @@ def oracle_sql() -> dict[str, str]:
                            ::UBIGINT::BIGINT % 10000 AS h
                 FROM documents
             )
+        """,
+        "decontaminate": r"""
+            WITH sp AS (
+                SELECT doc_id, text,
+                       CASE WHEN h < 9000 THEN 'train'
+                            WHEN h < 9500 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id, text,
+                           ('0x' || substr(md5(doc_id::VARCHAR || '|13'), 1, 15))
+                               ::UBIGINT::BIGINT % 10000 AS h
+                    FROM documents
+                )
+            ), toks AS (
+                SELECT doc_id, split,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS tk
+                FROM sp
+            ), sh8 AS (
+                SELECT doc_id, split, CASE WHEN len(tk) >= 8 THEN
+                    list_distinct(list_transform(generate_series(1, len(tk)-7),
+                        i -> array_to_string(tk[i:i+7], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS sg
+                FROM toks
+            ), hold AS (
+                SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE split <> 'train'
+            ), bad AS (
+                SELECT DISTINCT t.doc_id
+                FROM (SELECT doc_id, unnest(sg) AS s FROM sh8
+                      WHERE split = 'train') t
+                JOIN hold h ON t.s = h.s
+            )
+            SELECT sh8.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
+            FROM sh8 LEFT JOIN bad ON sh8.doc_id = bad.doc_id
+            WHERE sh8.split = 'train'
         """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""

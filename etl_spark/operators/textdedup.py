@@ -585,3 +585,59 @@ def connected_components(
             id_out, F.coalesce("component", F.col(id_out)).alias("component")
         )
     return out
+
+
+# --- train/holdout decontamination --------------------------------------------
+
+def contaminated_ids(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_holdout: bool = False,
+) -> DataFrame:
+    """Train docs sharing >=1 word ``n``-gram with the holdout corpus.
+
+    The standard eval-set decontamination test (GPT-3 appendix C uses 13-gram
+    overlap; n is a knob). Both sides shingle through the same
+    :func:`shingles` expression the dedup family uses, so a doc with < n
+    tokens contributes its whole token string — short holdout docs still
+    catch exact copies of themselves, and can never collide with a true
+    n-gram (different token counts).
+
+    Scale shape: the holdout (an eval suite) is orders of magnitude smaller
+    than the train corpus, so its DISTINCT shingle set is the small side of
+    a single semi join — no pair explosion is possible (semi join emits each
+    train shingle row at most once, unlike the dedup self-joins, so no
+    stop-shingle hub guard is needed). Pass ``broadcast_holdout=True`` when
+    the holdout shingle set is known to fit the driver hint threshold;
+    default leaves the choice to AQE, which sees the actual built size.
+
+    Returns a one-column DataFrame ``[id_col]`` of contaminated train ids.
+    """
+    hold_sh = (
+        holdout.select(F.explode(shingles(text_col, n)).alias("_s")).distinct()
+    )
+    if broadcast_holdout:
+        hold_sh = F.broadcast(hold_sh)
+    tr_sh = train.select(
+        F.col(id_col).alias(id_col), F.explode(shingles(text_col, n)).alias("_s")
+    )
+    return tr_sh.join(hold_sh, "_s", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_holdout: bool = False,
+) -> DataFrame:
+    """``train`` minus every doc flagged by :func:`contaminated_ids`."""
+    bad = contaminated_ids(
+        train, holdout, n=n, text_col=text_col, id_col=id_col,
+        broadcast_holdout=broadcast_holdout,
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -300,3 +300,105 @@ def test_dedup_components_closes_lsh_pairs(spark):
     # docs 1/2 (and any near-dups LSH catches) collapse to one family root
     assert 1 in survivors and 2 not in survivors
     assert len(survivors) == len(set(got.values()))
+
+
+# --- decontamination ----------------------------------------------------------
+
+def test_decontaminate_flags_shared_ngram(spark):
+    from etl_spark.operators.textdedup import contaminated_ids, decontaminate
+
+    # 8 shared tokens between train doc 1 and holdout doc 10; train doc 2 is
+    # disjoint; train doc 3 is a short exact copy of holdout doc 11 (whole-doc
+    # shingle path); train doc 4 is short and unique.
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta plus trailing words"),
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+            (3, "short copy here"),
+            (4, "another short one"),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [
+            (10, "PREFIX alpha beta gamma delta epsilon zeta eta theta SUFFIX"),
+            (11, "short copy here"),
+        ],
+        "doc_id long, text string",
+    )
+    bad = sorted(r["doc_id"] for r in contaminated_ids(train, holdout, n=8).collect())
+    assert bad == [1, 3]
+    clean = sorted(r["doc_id"] for r in decontaminate(train, holdout, n=8).collect())
+    assert clean == [2, 4]
+
+
+def test_decontaminate_short_doc_cannot_match_true_ngram(spark):
+    from etl_spark.operators.textdedup import contaminated_ids
+
+    # A 3-token holdout doc whose whole-doc shingle is a substring of a train
+    # doc must NOT flag it: whole-doc shingles of < n tokens never equal a
+    # true n-gram (different token counts).
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "doc_id long, text string"
+    )
+    assert contaminated_ids(train, holdout, n=8).count() == 0
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    """Differential vs an independent DuckDB 8-gram overlap on seeded text."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    # plant one guaranteed 8-gram overlap
+    rows.append((100, "p1 p2 p3 p4 p5 p6 p7 p8 tail tokens here"))
+    rows.append((101, "lead p1 p2 p3 p4 p5 p6 p7 p8"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.where(F.col("doc_id") % 2 == 0)
+    holdout = df.where(F.col("doc_id") % 2 == 1)
+
+    from etl_spark.operators.textdedup import contaminated_ids
+
+    got = sorted(
+        r["doc_id"] for r in contaminated_ids(train, holdout, n=8).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS tk
+                FROM docs
+            ), sh8 AS (
+                SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
+                    list_distinct(list_transform(generate_series(1, len(tk)-7),
+                        i -> array_to_string(tk[i:i+7], ' ')))
+                  ELSE [array_to_string(tk, ' ')] END AS sg
+                FROM toks
+            ), hold AS (
+                SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE doc_id % 2 = 1
+            )
+            SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, unnest(sg) AS s FROM sh8 WHERE doc_id % 2 = 0) t
+            JOIN hold h ON t.s = h.s
+            ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    assert 100 in got  # the planted overlap survived the differential
