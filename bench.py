@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "dedup_components",
     "ngram_jaccard",
+    "decontaminate",
     "ann_topk",
     "simhash_pairs",
     "hier_cover",
