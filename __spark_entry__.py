@@ -50,6 +50,7 @@ from etl_spark.operators.similarity import brute_force_topk, lsh_topk
 from etl_spark.operators.textdedup import (
     MINHASH_PRIME,
     connected_components,
+    contaminated_ids,
     exact_dedupe,
     fingerprint_dedupe,
     minhash_affine_consts,
@@ -563,8 +564,6 @@ def q_decontaminate(spark, sf_dir):
     holdout's distinct shingles — no pair explosion possible, holdout is
     the broadcastable side at corpus scale. Returns (doc_id, contaminated)
     for the full train split so the oracle checks both polarities."""
-    from etl_spark.operators.textdedup import contaminated_ids
-
     d = _t(spark, sf_dir, "documents").withColumn("split", split_assign("doc_id"))
     train = d.where(F.col("split") == "train")
     holdout = d.where(F.col("split") != "train")
@@ -1145,6 +1144,20 @@ def _lsh_bucket_cte(n_planes: int, seed: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     lang_case = _lang_case_sql()
+    # Seeded-split hash, shared by the corpus_split and decontaminate
+    # oracles and derived from the SAME constants functions/content.py
+    # uses, so a seed/weight change cannot silently diverge the oracles.
+    from etl_spark.functions.content import SPLIT_SEED, SPLIT_TRAIN, SPLIT_VAL
+
+    t_hi = int(round(SPLIT_TRAIN * 10_000))
+    v_hi = t_hi + int(round(SPLIT_VAL * 10_000))
+    split_case = f"""
+            CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|{SPLIT_SEED}'), 1, 15))
+                          ::UBIGINT::BIGINT % 10000 < {t_hi} THEN 'train'
+                 WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|{SPLIT_SEED}'), 1, 15))
+                          ::UBIGINT::BIGINT % 10000 < {v_hi} THEN 'val'
+                 ELSE 'test' END
+    """
     # SimHash fingerprints, shared by the simhash_fps and simhash_pairs
     # oracles — bit-exact vs operators/textdedup.simhash64.
     simhash_cte = r"""
@@ -1527,30 +1540,12 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "lang_normalize": f"SELECT doc_id, {lang_case} AS lang_norm FROM documents",
-        "corpus_split": """
-            SELECT doc_id,
-                   CASE WHEN h < 9000 THEN 'train'
-                        WHEN h < 9500 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM (
-                SELECT doc_id,
-                       ('0x' || substr(md5(doc_id::VARCHAR || '|13'), 1, 15))
-                           ::UBIGINT::BIGINT % 10000 AS h
-                FROM documents
-            )
+        "corpus_split": f"""
+            SELECT doc_id, {split_case} AS split FROM documents
         """,
-        "decontaminate": r"""
+        "decontaminate": rf"""
             WITH sp AS (
-                SELECT doc_id, text,
-                       CASE WHEN h < 9000 THEN 'train'
-                            WHEN h < 9500 THEN 'val'
-                            ELSE 'test' END AS split
-                FROM (
-                    SELECT doc_id, text,
-                           ('0x' || substr(md5(doc_id::VARCHAR || '|13'), 1, 15))
-                               ::UBIGINT::BIGINT % 10000 AS h
-                    FROM documents
-                )
+                SELECT doc_id, text, {split_case} AS split FROM documents
             ), toks AS (
                 SELECT doc_id, split,
                        list_filter(regexp_split_to_array(trim(regexp_replace(
@@ -1564,12 +1559,16 @@ def oracle_sql() -> dict[str, str]:
                   ELSE [array_to_string(tk, ' ')] END AS sg
                 FROM toks
             ), hold AS (
+                -- s <> '' mirrors the Spark side: zero-token docs (empty/
+                -- NULL/punct-only) never participate (also drops the NULL
+                -- shingle DuckDB derives from NULL text, keeping parity
+                -- with Spark's coalesce-to-'' tokenization)
                 SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE split <> 'train'
             ), bad AS (
                 SELECT DISTINCT t.doc_id
                 FROM (SELECT doc_id, unnest(sg) AS s FROM sh8
                       WHERE split = 'train') t
-                JOIN hold h ON t.s = h.s
+                JOIN hold h ON t.s = h.s AND t.s <> '' AND h.s <> ''
             )
             SELECT sh8.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
             FROM sh8 LEFT JOIN bad ON sh8.doc_id = bad.doc_id

@@ -150,11 +150,19 @@ def doc_fingerprint(col) -> Column:
     return F.md5(norm)
 
 
+# Canonical corpus-split parameters. The DuckDB oracles in __spark_entry__
+# derive their CASE thresholds from these same constants, so changing the
+# seed or weights here keeps Spark and oracle in lockstep.
+SPLIT_SEED = 13
+SPLIT_TRAIN = 0.9
+SPLIT_VAL = 0.05
+
+
 def split_assign(
     col,
-    train: float = 0.9,
-    val: float = 0.05,
-    seed: int = 13,
+    train: float = SPLIT_TRAIN,
+    val: float = SPLIT_VAL,
+    seed: int = SPLIT_SEED,
 ) -> Column:
     """Deterministic train/val/test assignment from a stable id column.
 

@@ -489,6 +489,25 @@ def simhash_near_pairs(
 # --- Cluster resolution -------------------------------------------------------
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a superseded ``localCheckpoint`` snapshot's executor blocks NOW.
+
+    ``DataFrame.unpersist`` is a no-op for local checkpoints (they are not
+    registered with the cache manager) and the blocks otherwise live until
+    the JVM garbage-collects the RDD — on an iterative algorithm that can
+    stack O(rounds) full snapshots in executor storage. The checkpointed
+    RDD is reachable as the plan's ``LogicalRDD.rdd``; unpersisting it is
+    safe ONLY for frames that will never be read again (the lineage was
+    truncated, so the data is unrecoverable afterwards). Best-effort:
+    internal API, so any failure degrades to the old GC-eventually
+    behavior rather than erroring.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -523,8 +542,10 @@ def connected_components(
     are monotonically non-increasing and always ids of same-component nodes,
     so the fixpoint is exactly the component minimum. ``localCheckpoint``
     truncates the iterative lineage each round (the standard Spark pattern
-    for iterative graph algorithms; on a cluster, checkpoint blocks live in
-    executor storage and are O(nodes)).
+    for iterative graph algorithms); each superseded round's snapshot is
+    explicitly released after its last read, so executor storage holds the
+    edge set plus at most TWO label snapshots — O(nodes + edges), not
+    O(rounds x nodes).
 
     Returns ``(id_out, component)`` where ``component`` is the smallest
     member id of the node's component. With ``all_ids`` (a 1-column frame of
@@ -571,6 +592,10 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the changed-check above was the last read of the old snapshot;
+        # free its blocks so storage holds edges + 2 label snapshots, not
+        # O(rounds) of them
+        _release_local_checkpoint(labels)
         labels = new
         if changed == 0:
             break
@@ -614,16 +639,23 @@ def contaminated_ids(
     the holdout shingle set is known to fit the driver hint threshold;
     default leaves the choice to AQE, which sees the actual built size.
 
+    Docs that normalize to ZERO tokens (empty/NULL/punctuation-only text)
+    are excluded from both sides: their whole-doc shingle is the empty
+    string, and matching on it would cross-contaminate every empty train
+    doc with any empty holdout doc — a false positive unrelated to content.
+
     Returns a one-column DataFrame ``[id_col]`` of contaminated train ids.
     """
     hold_sh = (
-        holdout.select(F.explode(shingles(text_col, n)).alias("_s")).distinct()
+        holdout.select(F.explode(shingles(text_col, n)).alias("_s"))
+        .where(F.col("_s") != "")
+        .distinct()
     )
     if broadcast_holdout:
         hold_sh = F.broadcast(hold_sh)
     tr_sh = train.select(
         F.col(id_col).alias(id_col), F.explode(shingles(text_col, n)).alias("_s")
-    )
+    ).where(F.col("_s") != "")
     return tr_sh.join(hold_sh, "_s", "left_semi").select(id_col).distinct()
 
 

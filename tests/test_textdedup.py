@@ -402,3 +402,35 @@ def test_decontaminate_matches_duckdb_oracle(spark):
     ]
     assert got == want
     assert 100 in got  # the planted overlap survived the differential
+
+
+def test_decontaminate_empty_docs_never_cross_contaminate(spark):
+    from etl_spark.operators.textdedup import contaminated_ids
+
+    # punctuation-only / empty / NULL text all normalize to zero tokens;
+    # the empty whole-doc shingle must not match across them
+    train = spark.createDataFrame(
+        [(1, "$$$ !!!"), (2, ""), (3, None),
+         (4, "real words alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(10, "..."), (11, None)], "doc_id long, text string"
+    )
+    assert contaminated_ids(train, holdout, n=8).count() == 0
+
+
+def test_connected_components_releases_superseded_snapshots(spark):
+    from etl_spark.operators.textdedup import connected_components
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    # a 32-node chain forces several pointer-jump rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    assert all(r["component"] == 0 for r in out.collect())
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # edges + final labels may remain; superseded per-round snapshots must not
+    assert after - before <= 2
