@@ -31,6 +31,9 @@ from etl_spark.functions.content import (
     lang_id_heuristic,
     normalize_lang,
     quality_score,
+    dup_ngram_frac,
+    dup_token_frac,
+    max_token_run,
     split_assign,
     token_count,
 )
@@ -570,6 +573,20 @@ def q_decontaminate(spark, sf_dir):
     bad = contaminated_ids(train, holdout, n=8).withColumn("_c", F.lit(True))
     return train.join(bad, "doc_id", "left").select(
         "doc_id", F.coalesce("_c", F.lit(False)).alias("contaminated")
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals: duplicate-token fraction,
+    duplicate-2-gram fraction, and the longest consecutive same-token run
+    (an F.aggregate struct fold). All pure JVM array expressions fused into
+    the scan stage — zero shuffle, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        dup_token_frac("text").alias("dup_token_frac"),
+        dup_ngram_frac("text", 2).alias("dup_2gram_frac"),
+        max_token_run("text").cast("long").alias("max_token_run"),
     )
 
 
@@ -1114,6 +1131,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 addition: eval-set decontamination (8-gram overlap between
         # the seeded train split and val/test) — same no-free-slot situation
         "decontaminate": q_decontaminate,
+        # round-5 addition: Gopher-style within-doc repetition signals
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1573,6 +1592,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh8.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
             FROM sh8 LEFT JOIN bad ON sh8.doc_id = bad.doc_id
             WHERE sh8.split = 'train'
+        """,
+        "repetition_stats": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(
+                                trim(coalesce(text, '')), '\s+') END AS t
+                FROM documents
+            ), fr AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) > 0 THEN
+                           round(1 - len(list_distinct(t)) / len(t), 6)
+                       ELSE 0.0 END AS dup_token_frac,
+                       CASE WHEN len(t) >= 2 THEN
+                           round(1 - len(list_distinct(list_transform(
+                               generate_series(1, len(t)-1),
+                               i -> array_to_string(t[i:i+1], ' '))))
+                             / (len(t)-1), 6)
+                       ELSE 0.0 END AS dup_2gram_frac
+                FROM tk
+            ), ex AS (
+                -- parallel unnest zips positionally (no WITH ORDINALITY here)
+                SELECT doc_id, unnest(t) AS tok,
+                       unnest(generate_series(1, len(t))) AS ord
+                FROM tk
+            ), runs AS (
+                SELECT doc_id, count(*) AS rl
+                FROM (SELECT doc_id, tok,
+                             ord - row_number() OVER (
+                                 PARTITION BY doc_id, tok ORDER BY ord) AS grp
+                      FROM ex)
+                GROUP BY doc_id, tok, grp
+            ), mr AS (
+                SELECT doc_id, max(rl) AS max_token_run FROM runs GROUP BY doc_id
+            )
+            SELECT fr.doc_id, fr.dup_token_frac, fr.dup_2gram_frac,
+                   coalesce(mr.max_token_run, 0) AS max_token_run
+            FROM fr LEFT JOIN mr USING (doc_id)
         """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""

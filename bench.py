@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_components",
     "ngram_jaccard",
     "decontaminate",
+    "repetition_stats",
     "ann_topk",
     "simhash_pairs",
     "hier_cover",

@@ -189,3 +189,66 @@ def split_assign(
         .when(h < v_hi, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def _ws_tokens(col) -> Column:
+    """Raw whitespace tokens of trimmed text; empty array for empty/null.
+    (Repetition signals keep case/punct — unlike the dedup family's
+    normalized shingles — so 'foo!' repeated is caught verbatim.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def dup_token_frac(col) -> Column:
+    """Fraction of tokens that repeat an earlier token (Gopher-style
+    within-doc repetition signal): 1 - distinct/total. 0 for empty docs.
+    Pure JVM array expressions — fused into the scan stage, zero shuffle."""
+    tk = _ws_tokens(col)
+    n = F.size(tk)
+    return F.when(n > 0, F.round(1 - F.size(F.array_distinct(tk)) / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_ngram_frac(col, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats: 1 - distinct/total.
+    0 for docs with < n tokens. The Gopher duplicate-n-gram filter's
+    numerator, as a pure JVM expression."""
+    tk = _ws_tokens(col)
+
+    def from_toks(t):
+        cnt = F.size(t) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(
+            cnt > 0, F.round(1 - F.size(F.array_distinct(grams)) / cnt, 6)
+        ).otherwise(F.lit(0.0))
+
+    # let-bind the token array (same trick as shingles()) so tokenization
+    # runs once, not once per n-gram
+    return F.get(F.transform(F.array(tk), from_toks), 0)
+
+
+def max_token_run(col) -> Column:
+    """Longest consecutive run of one repeated token (boilerplate /
+    degenerate-generation signal). A single F.aggregate fold with a
+    (prev, run, best) struct accumulator — linear, JVM-side, no UDF,
+    no shuffle. 0 for empty docs."""
+    tk = _ws_tokens(col)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(tk, init, merge, lambda acc: acc["best"])

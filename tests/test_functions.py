@@ -117,3 +117,39 @@ def test_split_assign_deterministic_and_weighted(spark):
         .count()
     )
     assert moved > 0
+
+
+def test_repetition_stats_golden(spark):
+    from etl_spark.functions.content import (
+        dup_ngram_frac,
+        dup_token_frac,
+        max_token_run,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 6 tokens/2 distinct; 5 grams/2 distinct
+            (2, "x x x x y"),          # run of 4
+            (3, "all unique words"),   # no repetition
+            (4, ""),                   # empty
+            (5, None),                 # null
+            (6, "solo"),               # 1 token: no 2-grams, run 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_token_frac("text").alias("dt"),
+            dup_ngram_frac("text", 2).alias("d2"),
+            max_token_run("text").alias("mr"),
+        ).collect()
+    }
+    assert (rows[1]["dt"], rows[1]["d2"], rows[1]["mr"]) == (0.666667, 0.6, 1)
+    assert (rows[2]["dt"], rows[2]["d2"], rows[2]["mr"]) == (0.6, 0.5, 4)
+    assert (rows[3]["dt"], rows[3]["d2"], rows[3]["mr"]) == (0.0, 0.0, 1)
+    assert (rows[4]["dt"], rows[4]["d2"], rows[4]["mr"]) == (0.0, 0.0, 0)
+    assert (rows[5]["dt"], rows[5]["d2"], rows[5]["mr"]) == (0.0, 0.0, 0)
+    assert (rows[6]["dt"], rows[6]["d2"], rows[6]["mr"]) == (0.0, 0.0, 1)
