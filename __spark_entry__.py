@@ -34,6 +34,8 @@ from etl_spark.functions.content import (
     dup_ngram_frac,
     dup_token_frac,
     max_token_run,
+    pii_counts,
+    redact_pii,
     split_assign,
     token_count,
 )
@@ -590,6 +592,34 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (emails / IPv4 / long digit runs) — a pure JVM
+    regexp chain fused into the scan. The synthetic corpus carries no PII,
+    so the query plants deterministic PII on every 7th doc (mirrored
+    exactly in the oracle SQL) and hash-checks counts plus the sha256 of
+    the redacted text, proving both polarities end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" acct 12345678901"),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    s = d.select("doc_id", planted.alias("t"))
+    n_email, n_ip, n_num = pii_counts("t")
+    return s.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_num.alias("n_longnums"),
+        content_sha256(redact_pii("t")).alias("redacted_sha"),
+    )
+
+
 def q_content_sha(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", content_sha256("text").alias("sha"))
@@ -1133,6 +1163,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # round-5 addition: Gopher-style within-doc repetition signals
         "repetition_stats": q_repetition_stats,
+        # round-5 addition: PII detect/redact over planted deterministic PII
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1167,6 +1199,12 @@ def oracle_sql() -> dict[str, str]:
     # oracles and derived from the SAME constants functions/content.py
     # uses, so a seed/weight change cannot silently diverge the oracles.
     from etl_spark.functions.content import SPLIT_SEED, SPLIT_TRAIN, SPLIT_VAL
+
+    from etl_spark.functions.content import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_LONGNUM_RE,
+    )
 
     t_hi = int(round(SPLIT_TRAIN * 10_000))
     v_hi = t_hi + int(round(SPLIT_VAL * 10_000))
@@ -1630,6 +1668,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT fr.doc_id, fr.dup_token_frac, fr.dup_2gram_frac,
                    coalesce(mr.max_token_run, 0) AS max_token_run
             FROM fr LEFT JOIN mr USING (doc_id)
+        """,
+        "pii_scrub": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                           coalesce(text, '') || ' contact user' || doc_id
+                           || '@example.com from 10.0.0.' || (doc_id % 256)
+                           || ' acct 12345678901'
+                       ELSE coalesce(text, '') END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS n_ipv4,
+                   len(regexp_extract_all(t, '{PII_LONGNUM_RE}')) AS n_longnums,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(t,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_IPV4_RE}', '<IP>', 'g'),
+                       '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_sha
+            FROM planted
         """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""

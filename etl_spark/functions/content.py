@@ -252,3 +252,39 @@ def max_token_run(col) -> Column:
         )
 
     return F.aggregate(tk, init, merge, lambda acc: acc["best"])
+
+
+# --- PII detection / redaction -------------------------------------------------
+# Patterns are deliberately RE2-and-Java compatible (no backrefs/lookaround)
+# so the DuckDB oracle runs the IDENTICAL regex text.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\b\d{9,}\b"  # phone/account/card-ish digit runs
+
+
+def pii_counts(col) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_longnums) — JVM regexp_count, zero Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(c, F.lit(""))
+    return (
+        F.regexp_count(s, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(s, F.lit(PII_IPV4_RE)).cast("long"),
+        F.regexp_count(s, F.lit(PII_LONGNUM_RE)).cast("long"),
+    )
+
+
+def redact_pii(col) -> Column:
+    """Replace emails/IPv4s/long digit runs with typed placeholders.
+
+    Order matters: emails first (their local/domain parts contain dots and
+    digits that the later patterns would otherwise shred), then IPv4, then
+    bare long digit runs. Pure JVM regexp_replace chain — codegen'd,
+    embarrassingly parallel, no UDF; at 100 TB this fuses into the scan
+    stage like every other content transform.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.coalesce(c, F.lit(""))
+    s = F.regexp_replace(s, PII_EMAIL_RE, "<EMAIL>")
+    s = F.regexp_replace(s, PII_IPV4_RE, "<IP>")
+    s = F.regexp_replace(s, PII_LONGNUM_RE, "<NUM>")
+    return s

@@ -153,3 +153,34 @@ def test_repetition_stats_golden(spark):
     assert (rows[4]["dt"], rows[4]["d2"], rows[4]["mr"]) == (0.0, 0.0, 0)
     assert (rows[5]["dt"], rows[5]["d2"], rows[5]["mr"]) == (0.0, 0.0, 0)
     assert (rows[6]["dt"], rows[6]["d2"], rows[6]["mr"]) == (0.0, 0.0, 1)
+
+
+def test_pii_redaction_golden(spark):
+    from etl_spark.functions.content import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk from 10.0.0.1 card 4111111111111111"),
+            (2, "no pii here 123 foo 12.34 1.2.3.4.5"),
+            (3, None),
+            (4, "two mails a@b.io c@d.org and ip 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    e, i, n = pii_counts("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", e.alias("e"), i.alias("i"), n.alias("n"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["n"]) == (1, 1, 1)
+    assert rows[1]["red"] == "mail <EMAIL> from <IP> card <NUM>"
+    # "1.2.3.4.5" over-matches its IPv4-shaped prefix — safety-first
+    # redaction flags version-ish strings rather than leaking real IPs
+    assert (rows[2]["e"], rows[2]["i"], rows[2]["n"]) == (0, 1, 0)
+    assert rows[2]["red"] == "no pii here 123 foo 12.34 <IP>.5"
+    assert rows[3]["red"] == ""
+    assert (rows[4]["e"], rows[4]["i"]) == (2, 1)
+    assert rows[4]["red"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
