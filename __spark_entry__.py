@@ -353,10 +353,9 @@ _SESSION_SQL = """
 
 
 
-CORPUS_PREP_SQL = r"""
-    WITH scored AS (
-        SELECT doc_id, text, lang,
-               round((
+# Shared oracle fragments (quality score / lang-id heuristic) — one copy,
+# spliced into both corpus_prep and corpus_pipeline so they cannot drift.
+QUALITY_SQL = r"""round((
                    least(length(coalesce(text, '')) / 1000.0, 1.0)
                    + CASE WHEN length(coalesce(text, '')) > 0 THEN
                        len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
@@ -364,8 +363,9 @@ CORPUS_PREP_SQL = r"""
                      ELSE 0.0 END
                    + least(len(regexp_extract_all(coalesce(text, ''),
                        '(?i)\b(the|a|of|and|to|in|is|that|it|for)\b')) / 20.0, 1.0)
-               ) / 3.0, 6) AS quality,
-               CASE WHEN len(regexp_extract_all(coalesce(text, ''), '[{}();=<>/\\\[\]]'))
+               ) / 3.0, 6)"""
+
+LANG_GUESS_SQL = r"""CASE WHEN len(regexp_extract_all(coalesce(text, ''), '[{}();=<>/\\\[\]]'))
                          / greatest(length(coalesce(text, '')), 1)::DOUBLE > 0.05
                     THEN 'code'
                     WHEN len(regexp_extract_all(coalesce(text, ''),
@@ -374,7 +374,13 @@ CORPUS_PREP_SQL = r"""
                              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
                              END) + 1)::DOUBLE > 0.12
                     THEN 'en'
-                    ELSE 'other' END AS lang_guess
+                    ELSE 'other' END"""
+
+CORPUS_PREP_SQL = r"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               __QUALITY__ AS quality,
+               __LANG_GUESS__ AS lang_guess
         FROM documents
     ), gated AS (
         SELECT * FROM scored WHERE quality >= 0.3 AND lang_guess <> 'other'
@@ -388,7 +394,7 @@ CORPUS_PREP_SQL = r"""
            END AS n_tokens,
            lang_guess
     FROM kept
-"""
+""".replace("__QUALITY__", QUALITY_SQL).replace("__LANG_GUESS__", LANG_GUESS_SQL)
 
 
 def q_j6_star_revenue(spark, sf_dir):
@@ -589,6 +595,44 @@ def q_repetition_stats(spark, sf_dir):
         dup_token_frac("text").alias("dup_token_frac"),
         dup_ngram_frac("text", 2).alias("dup_2gram_frac"),
         max_token_run("text").cast("long").alias("max_token_run"),
+    )
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed modern training-data prep pipeline, end to end:
+    quality gate -> lang gate -> repetition gate (dup_token_frac <= 0.6)
+    -> exact dedupe -> seeded 90/5/5 split -> train decontaminated
+    against val/test (8-gram overlap). Gate order is the 100-TB cost
+    order: scan-fused JVM gates first (no shuffle, kill rows early),
+    then the one-shuffle dedupe, then the broadcast semi-join
+    decontamination on the survivors."""
+    d = _t(spark, sf_dir, "documents")
+    gated = d.where(
+        (quality_score("text") >= 0.3)
+        & (lang_id_heuristic("text") != "other")
+        & (dup_token_frac("text") <= 0.6)
+    )
+    # Materialize the staged (gated+deduped+split) frame ONCE: the
+    # decontamination step fans out into train/holdout branches that would
+    # otherwise each re-scan + re-gate + re-dedupe the corpus (8 parquet
+    # scans measured). In production this stage boundary is a table write;
+    # here localCheckpoint is the single-plan equivalent (1 scan, branches
+    # read the snapshot).
+    staged = (
+        exact_dedupe(gated)
+        .withColumn("split", split_assign("doc_id"))
+        .localCheckpoint()
+    )
+    train = staged.where(F.col("split") == "train")
+    holdout = staged.where(F.col("split") != "train")
+    from etl_spark.operators.textdedup import decontaminate
+
+    clean = decontaminate(train, holdout, n=8).unionByName(holdout)
+    return clean.select(
+        "doc_id",
+        "split",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
     )
 
 
@@ -1165,6 +1209,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         # round-5 addition: PII detect/redact over planted deterministic PII
         "pii_scrub": q_pii_scrub,
+        # round-5 addition: the composed gates->dedupe->split->decontaminate
+        # pipeline, one plan end to end
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1689,6 +1736,45 @@ def oracle_sql() -> dict[str, str]:
                        '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_sha
             FROM planted
         """,
+        "corpus_pipeline": r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+               END AS tk,
+               __QUALITY__ AS quality,
+               __LANG_GUESS__ AS lang_guess
+        FROM documents
+    ), gated AS (
+        SELECT * FROM base
+        WHERE quality >= 0.3 AND lang_guess <> 'other'
+          AND (CASE WHEN len(tk) > 0 THEN
+                   round(1 - len(list_distinct(tk)) / len(tk), 6)
+               ELSE 0.0 END) <= 0.6
+    ), kept AS (
+        SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated GROUP BY md5(coalesce(text, '')))
+    ), sp AS (
+        SELECT *, __SPLIT_CASE__ AS split FROM kept
+    ), sh8 AS (
+        SELECT doc_id, split, CASE WHEN len(tk) >= 8 THEN
+            list_distinct(list_transform(generate_series(1, len(tk)-7),
+                i -> array_to_string(tk[i:i+7], ' ')))
+          ELSE [array_to_string(tk, ' ')] END AS sg
+        FROM sp
+    ), hold AS (
+        SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE split <> 'train'
+    ), bad AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(sg) AS s FROM sh8 WHERE split = 'train') t
+        JOIN hold h ON t.s = h.s AND t.s <> '' AND h.s <> ''
+    )
+    SELECT sp.doc_id, sp.split, len(sp.tk) AS n_tokens, sp.quality
+    FROM sp LEFT JOIN bad USING (doc_id)
+    WHERE sp.split <> 'train' OR bad.doc_id IS NULL
+        """.replace("__QUALITY__", QUALITY_SQL)
+           .replace("__LANG_GUESS__", LANG_GUESS_SQL)
+           .replace("__SPLIT_CASE__", split_case),
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""
             WITH {shingle_cte},
