@@ -636,6 +636,22 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (pretraining batch assembly): greedy next-fit of
+    docs into 128-token sequences within 8 deterministic md5 pack buckets.
+    One shuffle on the bucket; the sequential walk runs per bucket in an
+    Arrow-batched applyInPandas. Fully deterministic under any
+    partitioning, so the DuckDB oracle replays the identical recurrence
+    with a WITH RECURSIVE walk."""
+    from etl_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(d, capacity=128, n_buckets=8)
+    return packed.select("doc_id", "pack_bucket", "seq_idx", "seq_offset")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (emails / IPv4 / long digit runs) — a pure JVM
     regexp chain fused into the scan. The synthetic corpus carries no PII,
@@ -1212,6 +1228,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 addition: the composed gates->dedupe->split->decontaminate
         # pipeline, one plan end to end
         "corpus_pipeline": q_corpus_pipeline,
+        # round-5 addition: sequence packing (pretraining batch assembly)
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1775,6 +1793,39 @@ def oracle_sql() -> dict[str, str]:
         """.replace("__QUALITY__", QUALITY_SQL)
            .replace("__LANG_GUESS__", LANG_GUESS_SQL)
            .replace("__SPLIT_CASE__", split_case),
+        "pack_sequences": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                             ELSE len(regexp_split_to_array(
+                                 trim(coalesce(text, '')), '\s+'))
+                        END)::BIGINT AS n_tokens,
+                       (('0x' || substr(md5(doc_id::VARCHAR || '|pack'), 1, 15))
+                            ::UBIGINT::BIGINT % 8)::INT AS pack_bucket
+                FROM documents
+            ), ordered AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+                FROM t
+            ), walk AS (
+                SELECT doc_id, pack_bucket, n_tokens, rn,
+                       0::BIGINT AS seq_idx, 0::BIGINT AS seq_offset,
+                       n_tokens AS acc
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.pack_bucket, o.n_tokens, o.rn,
+                       CASE WHEN w.acc + o.n_tokens > 128 AND w.acc > 0
+                            THEN w.seq_idx + 1 ELSE w.seq_idx END,
+                       CASE WHEN w.acc + o.n_tokens > 128 AND w.acc > 0
+                            THEN 0 ELSE w.acc END,
+                       CASE WHEN w.acc + o.n_tokens > 128 AND w.acc > 0
+                            THEN o.n_tokens ELSE w.acc + o.n_tokens END
+                FROM walk w
+                JOIN ordered o
+                  ON o.pack_bucket = w.pack_bucket AND o.rn = w.rn + 1
+            )
+            SELECT doc_id, pack_bucket, seq_idx, seq_offset FROM walk
+        """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""
             WITH {shingle_cte},

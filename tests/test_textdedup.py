@@ -434,3 +434,19 @@ def test_connected_components_releases_superseded_snapshots(spark):
     after = len(sc._jsc.sc().getRDDStorageInfo())
     # edges + final labels may remain; superseded per-round snapshots must not
     assert after - before <= 2
+
+
+def test_connected_components_hub_star(spark):
+    """A 2000-degree hub: the neighbour min must partial-aggregate, never
+    materialize a per-node edge list — and converge in O(1) rounds."""
+    from etl_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1000, i) for i in range(2, 2002)] + [(0, 1000)],
+        "id_a long, id_b long",
+    )
+    out = connected_components(pairs)
+    rows = out.collect()
+    # nodes: 0, hub 1000, spokes 2..2001 (1000 double-counts) -> 2001
+    assert len(rows) == 2001
+    assert all(r["component"] == 0 for r in rows)
