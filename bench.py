@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "decontaminate",
     "repetition_stats",
+    "pack_sequences",
+    "corpus_pipeline",
     "ann_topk",
     "simhash_pairs",
     "hier_cover",
