@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                         "table's persisted policy (off)")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
+    r.add_argument("--clean-corpus", action="store_true",
+                   help="maintain the clean-corpus derived table (stage 2: "
+                        "repetition gate + lang norm + PII redaction, "
+                        "recomputed only for commit-touched keys)")
     _add_spark_args(r)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
@@ -172,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
         pipe = IngestPipeline(
             spark, args.table, n_buckets=args.buckets,
             dedupe_strategy=args.dedupe, maintain_rollup=args.rollup,
+            maintain_clean_corpus=args.clean_corpus,
             merge_mode=args.merge_mode,
             compact_after_commit=args.compact_after_commit,
         )

@@ -257,3 +257,127 @@ class LineIndex:
     def read(self) -> DataFrame:
         return self.table.read().drop("epoch")
 
+
+
+# --- derived clean corpus (CDC x training-data prep) ---------------------------
+
+def clean_corpus_expr(rows: DataFrame) -> DataFrame:
+    """Row-local prep over (a subset of) the snapshot's current rows:
+    repetition gate (``dup_token_frac <= 0.5`` kills degenerate docs),
+    then derive lang_norm / n_tokens / quality and PII-redact the content.
+    Every transform is a scan-fused JVM expression — the incremental
+    maintainer's cost is O(rows recomputed), shuffle-free."""
+    from etl_spark.functions.content import (
+        content_sha256,
+        dup_token_frac,
+        normalize_lang,
+        quality_score,
+        redact_pii,
+        token_count,
+    )
+
+    gated = rows.where(dup_token_frac("content") <= 0.5)
+    return gated.select(
+        "repo",
+        "path",
+        "commit",
+        normalize_lang("lang").alias("lang"),
+        token_count("content").cast("long").alias("n_tokens"),
+        quality_score("content").alias("quality"),
+        redact_pii("content").alias("content"),
+        content_sha256(redact_pii("content")).alias("content_sha256"),
+    )
+
+
+class CleanCorpus:
+    """Incrementally maintained CLEAN-CORPUS derived table — the bridge
+    between the CDC half of the engine and the training-data prep half.
+
+    After each fact-table commit, only the commit-touched keys can have
+    changed. Every row in the commit's new files IS a current row (COW
+    rewrites produce post-merge files; MOR delta rows are the winners for
+    their keys), so the maintainer recomputes the row-local prep on
+    exactly those rows — no snapshot re-read at all, cost O(commit
+    footprint). Keys whose current row is a CDC tombstone or fails the
+    quality gate are tombstoned in the derived table in the SAME commit.
+
+    Like RepoRollup, the output is itself a SnapshotTable keyed on
+    ``(repo, path)`` and ordered by ``as_of_version`` (the source snapshot
+    version), inheriting atomic commits and exactly-once epoch idempotence
+    — replaying a commit's maintenance is a no-op. A full recompute
+    (``refresh_full``) is differential-tested equal to the incremental
+    path, including under CDC deletes.
+    """
+
+    def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
+                 n_buckets: int = 16) -> None:
+        self.spark = spark
+        self.source = table
+        self.table = SnapshotTable(
+            spark, root, key_cols=("repo", "path"), order_col="as_of_version",
+            n_buckets=n_buckets,
+        )
+        if self.table.exists() and self.table.order_col != "as_of_version":
+            raise ValueError(
+                f"clean corpus at {root} is ordered by "
+                f"{self.table.order_col!r}; rebuild via refresh_full"
+            )
+
+    def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
+        if commit.get("skipped"):
+            return {"skipped": True}
+        new_files = commit.get("new_files") or []
+        if not new_files:
+            return {"skipped": True}
+        schema = self.source.schema()
+        as_of = int(commit["version"])
+        new_rows = self.source._read_files(new_files, schema)
+        if TOMBSTONE_COL in new_rows.columns:
+            live = new_rows.where(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            )
+        else:
+            live = new_rows
+        updates = clean_corpus_expr(live).withColumn(
+            "as_of_version", F.lit(as_of).cast("long")
+        )
+        # touched keys with no surviving clean row: CDC-deleted, or the
+        # new content fails the gate — tombstone them in the same commit
+        gone = (
+            new_rows.select("repo", "path")
+            .distinct()
+            .join(updates.select("repo", "path"), ["repo", "path"], "left_anti")
+            .withColumn("as_of_version", F.lit(as_of).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(True))
+        )
+        return self.table.merge_epochs(
+            updates.unionByName(gone, allowMissingColumns=True),
+            [int(e) for e in commit["epochs"]],
+            extra_summary={"derived_from_version": commit.get("version")},
+            assume_deduped=True,  # commit files hold <=1 row per key
+        )
+
+    def refresh_full(self, epoch_id: int) -> dict[str, Any]:
+        updates = clean_corpus_expr(self.source.read()).withColumn(
+            "as_of_version",
+            F.lit(int(self.source.current_version())).cast("long"),
+        )
+        if self.table.exists():
+            gone = (
+                self.table.read()
+                .select("repo", "path")
+                .join(updates.select("repo", "path"), ["repo", "path"], "left_anti")
+                .withColumn(
+                    "as_of_version",
+                    F.lit(int(self.source.current_version())).cast("long"),
+                )
+                .withColumn(TOMBSTONE_COL, F.lit(True))
+            )
+            updates = updates.unionByName(gone, allowMissingColumns=True)
+        return self.table.merge_epochs(
+            updates, [epoch_id], extra_summary={"full_refresh": True},
+            assume_deduped=True,
+        )
+
+    def read(self) -> DataFrame:
+        return self.table.read().drop("epoch", TOMBSTONE_COL, "as_of_version")

@@ -153,6 +153,7 @@ class IngestPipeline:
         count_input: bool = True,
         dedupe_strategy: str = "fused",
         maintain_rollup: bool = False,
+        maintain_clean_corpus: bool = False,
         merge_mode: str | None = None,
         compact_after_commit: str | None = None,
     ) -> None:
@@ -181,6 +182,14 @@ class IngestPipeline:
 
             self.rollup = RepoRollup(
                 spark, self.table, f"{table_root}/_rollup",
+                n_buckets=max(4, n_buckets // 4),
+            )
+        self.clean_corpus = None
+        if maintain_clean_corpus:
+            from etl_spark.derived import CleanCorpus
+
+            self.clean_corpus = CleanCorpus(
+                spark, self.table, f"{table_root}/_clean",
                 n_buckets=max(4, n_buckets // 4),
             )
         if dedupe_strategy not in ("fused", "maxby", "window", "salted", "auto"):
@@ -296,6 +305,10 @@ class IngestPipeline:
         stats.commit = commit
         if not commit.get("skipped"):
             self._log_lineage(commit)
+            if self.clean_corpus is not None:
+                # stage-2 derived table: clean corpus maintained for exactly
+                # the commit-touched keys (row-local, O(commit footprint))
+                self.clean_corpus.update_for_commit(commit)
             if self.rollup is not None:
                 # stage-2 derived table: per-repo rollup maintained for
                 # exactly the repos this commit touched (SURVEY §3.3 / P2)

@@ -200,3 +200,73 @@ def test_rollup_rejects_foreign_order_col(spark, tmpdir_path):
     fact = SnapshotTable(spark, f"{tmpdir_path}/fact", n_buckets=4)
     with pytest.raises(ValueError, match="as_of_version"):
         RepoRollup(spark, fact, f"{tmpdir_path}/legacy", n_buckets=4)
+
+
+# --- clean corpus (CDC x prep) -------------------------------------------------
+
+def test_clean_corpus_incremental_equals_full(spark, stream, tmpdir_path):
+    from etl_spark.derived import CleanCorpus
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/cc_t", n_buckets=8)
+    cc = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cc", n_buckets=4)
+    for st in pipe.replay(stream):
+        out = cc.update_for_commit(st.commit)
+        assert not out.get("skipped")
+    full = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cc_full", n_buckets=4)
+    full.refresh_full(999)
+    assert _canon(cc.read()) == _canon(full.read())
+    # the repetition gate actually discriminates on this corpus
+    n_clean = cc.read().count()
+    n_all = pipe.table.read().count()
+    assert 0 < n_clean < n_all
+
+
+def test_clean_corpus_handles_deletes(spark, tmpdir_path):
+    from etl_spark.datagen import change_stream, write_segments
+    from etl_spark.derived import CleanCorpus
+
+    root = f"{tmpdir_path}/cc_del_stream"
+    df = change_stream(spark, 3000, n_repos=10, paths_per_repo=20,
+                       events_per_epoch=1000, dup_pct=5, delete_pct=10)
+    write_segments(df, root)
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/cc_del_t", n_buckets=8)
+    cc = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cc_del", n_buckets=4)
+    for st in pipe.replay(root):
+        cc.update_for_commit(st.commit)
+    full = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cc_del_full", n_buckets=4)
+    full.refresh_full(999)
+    assert _canon(cc.read()) == _canon(full.read())
+    # no clean row may survive for a key deleted in the fact table
+    fact_keys = {(r["repo"], r["path"]) for r in
+                 pipe.table.read().select("repo", "path").collect()}
+    for r in cc.read().select("repo", "path").collect():
+        assert (r["repo"], r["path"]) in fact_keys
+
+
+def test_clean_corpus_idempotent_per_commit(spark, stream, tmpdir_path):
+    from etl_spark.derived import CleanCorpus
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/cc_t2", n_buckets=8)
+    cc = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cc2", n_buckets=4)
+    stats = pipe.replay(stream)
+    for st in stats:
+        cc.update_for_commit(st.commit)
+    v = cc.table.current_version()
+    out = cc.update_for_commit(stats[-1].commit)
+    assert out.get("skipped")
+    assert cc.table.current_version() == v
+
+
+def test_clean_corpus_values(spark, stream, tmpdir_path):
+    from etl_spark.derived import CleanCorpus, clean_corpus_expr
+    from etl_spark.functions.content import dup_token_frac
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/cc_t3", n_buckets=8)
+    pipe.replay(stream, mode="catchup")
+    final = pipe.table.read()
+    got = clean_corpus_expr(final)
+    # gate honored
+    assert got.count() == final.where(dup_token_frac("content") <= 0.5).count()
+    one = got.limit(1).collect()[0]
+    assert one["n_tokens"] > 0
+    assert len(one["content_sha256"]) == 64
