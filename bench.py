@@ -307,6 +307,15 @@ def bench_replay(spark, n_events: int) -> dict:
         t0 = time.time()
         cat.replay(f"{root}/stream", mode="catchup")
         catchup_s = time.time() - t0
+
+        # replay again with stage-2 clean-corpus maintenance on: the delta
+        # vs replay_sec is the per-commit derived-table overhead, which must
+        # stay O(commit footprint), not O(table)
+        cc = IngestPipeline(spark, f"{root}/table_cc", n_buckets=64,
+                            count_input=False, maintain_clean_corpus=True)
+        t0 = time.time()
+        cc.replay(f"{root}/stream")
+        clean_s = time.time() - t0
         return {
             "events_generated": n_events,
             "rows_written": applied,
@@ -315,6 +324,8 @@ def bench_replay(spark, n_events: int) -> dict:
             "events_per_sec": round(n_events / replay_s, 1),
             "catchup_sec": round(catchup_s, 2),
             "catchup_events_per_sec": round(n_events / catchup_s, 1),
+            "replay_clean_sec": round(clean_s, 2),
+            "clean_events_per_sec": round(n_events / clean_s, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -343,6 +354,7 @@ def main() -> int:
     replay = bench_replay(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["cdc_replay"] = replay["replay_sec"]
     timings["cdc_replay_catchup"] = replay["catchup_sec"]
+    timings["cdc_replay_clean"] = replay["replay_clean_sec"]
     sparse = bench_sparse_epoch(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["cdc_sparse_epoch"] = sparse["clustered"]["seconds"]
     timings["cdc_sparse_epoch_scattered"] = sparse["scattered"]["seconds"]
