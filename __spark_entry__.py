@@ -1774,12 +1774,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) FROM gated GROUP BY md5(coalesce(text, '')))
     ), sp AS (
         SELECT *, __SPLIT_CASE__ AS split FROM kept
-    ), sh8 AS (
-        SELECT doc_id, split, CASE WHEN len(tk) >= 8 THEN
-            list_distinct(list_transform(generate_series(1, len(tk)-7),
-                i -> array_to_string(tk[i:i+7], ' ')))
-          ELSE [array_to_string(tk, ' ')] END AS sg
+    ), ntk AS (
+        -- decontamination shingles on NORMALIZED tokens (lowercase,
+        -- punctuation stripped) — byte-identical to the standalone
+        -- `decontaminate` oracle and Spark's norm_tokens(); the raw
+        -- whitespace `tk` above stays the n_tokens / repetition-gate basis
+        SELECT doc_id, split,
+               list_filter(regexp_split_to_array(trim(regexp_replace(
+                   lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                   t -> t <> '') AS nt
         FROM sp
+    ), sh8 AS (
+        SELECT doc_id, split, CASE WHEN len(nt) >= 8 THEN
+            list_distinct(list_transform(generate_series(1, len(nt)-7),
+                i -> array_to_string(nt[i:i+7], ' ')))
+          ELSE [array_to_string(nt, ' ')] END AS sg
+        FROM ntk
     ), hold AS (
         SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE split <> 'train'
     ), bad AS (

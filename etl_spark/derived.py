@@ -66,97 +66,136 @@ def rollup_expr(snapshot_rows: DataFrame) -> DataFrame:
     return base.join(top_lang, "repo")
 
 
-class RepoRollup:
-    """Incrementally maintained per-repo rollup of a snapshot table."""
+class IncrementalDerived:
+    """Shared scaffolding for incrementally maintained derived tables.
+
+    Holds the invariants the two concrete tables (:class:`RepoRollup`,
+    :class:`CleanCorpus`) must share in ONE place:
+
+    - the output is itself a SnapshotTable keyed on ``KEY_COLS`` and ordered
+      by ``as_of_version`` — the SOURCE SNAPSHOT VERSION the row was computed
+      at. The order must be the source version, not any source-derived column
+      (e.g. last_commit): a CDC DELETE can make a recomputed value tie with
+      or drop below the stale row's, so source columns are not monotonic
+      under deletes and the stale row would win latest-wins.
+    - attach adopts the persisted layout; a table created before the
+      as_of_version ordering would make the invariant silently inert AND
+      break ``gone`` tombstones (they carry only the keys, so they'd sort
+      last and never win). Fail loudly: rebuild via refresh_full.
+    - after a fact-table commit, touched keys come from the commit's new
+      files (small, bucket-pure). Touched keys with no recomputed row (every
+      fact row CDC-deleted, or the new content fails a gate) are tombstoned
+      in the SAME commit — two commits would break epoch idempotence.
+    - ``refresh_full`` ≡ the incremental path (differential-tested),
+      including the zombie-row tombstoning of keys the recompute no longer
+      produces.
+
+    Subclasses define ``KEY_COLS``, ``KIND`` (error messages), ``_expr``
+    (full recompute over current snapshot rows) and ``_recompute`` (the
+    per-commit update set from the commit's new rows / touched keys).
+    """
+
+    KEY_COLS: tuple[str, ...] = ()
+    KIND = "derived table"
 
     def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
                  n_buckets: int = 16) -> None:
         self.spark = spark
         self.source = table
         self.table = SnapshotTable(
-            spark, root, key_cols=("repo",), order_col="as_of_version",
+            spark, root, key_cols=self.KEY_COLS, order_col="as_of_version",
             n_buckets=n_buckets,
         )
-        # attach adopts the persisted layout; a rollup created before the
-        # as_of_version ordering (order_col=last_commit) would make the
-        # constructor arg silently inert AND break `gone` tombstones (they
-        # carry no last_commit, so they'd sort last and never win). Fail
-        # loudly: rebuild via refresh_full into a fresh root.
         if self.table.exists() and self.table.order_col != "as_of_version":
             raise ValueError(
-                f"rollup at {root} is ordered by {self.table.order_col!r}; "
-                "this version maintains rollups ordered by as_of_version — "
-                "rebuild it (refresh_full) into a fresh root"
+                f"{self.KIND} at {root} is ordered by "
+                f"{self.table.order_col!r}; this version maintains derived "
+                "tables ordered by as_of_version — rebuild it (refresh_full) "
+                "into a fresh root"
             )
 
-    def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
-        """Maintain the rollup after one fact-table commit.
+    # -- subclass hooks --------------------------------------------------
+    def _expr(self, rows: DataFrame) -> DataFrame:
+        """Derived rows from CURRENT source rows (tombstones pre-filtered)."""
+        raise NotImplementedError
 
-        Touched repos come from the commit's new files (small, bucket-pure);
-        their rollups are recomputed from the snapshot and upserted under the
-        same epoch ids — idempotent if replayed.
-        """
+    def _recompute(self, new_rows: DataFrame, touched: DataFrame) -> DataFrame:
+        """Update set for one commit, from its raw new-file rows (tombstones
+        INCLUDED — filter if row-local) and the distinct touched keys."""
+        raise NotImplementedError
+
+    # -- shared maintenance ------------------------------------------------
+    def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
+        """Maintain the derived table after one fact-table commit; upserts
+        run under the same epoch ids — idempotent if replayed."""
         if commit.get("skipped"):
             return {"skipped": True}
         new_files = commit.get("new_files") or []
         if not new_files:
             return {"skipped": True}
-        schema = self.source.schema()
+        keys = list(self.KEY_COLS)
         as_of = int(commit["version"])
-        new_rows = self.source._read_files(new_files, schema)
-        touched_repos = new_rows.select("repo").distinct()
-        current = self.source.read().join(
-            F.broadcast(touched_repos), "repo", "left_semi"
-        )
-        updates = rollup_expr(current).withColumn(
+        new_rows = self.source._read_files(new_files, self.source.schema())
+        touched = new_rows.select(*keys).distinct()
+        updates = self._recompute(new_rows, touched).withColumn(
             "as_of_version", F.lit(as_of).cast("long")
         )
-        # a repo whose EVERY file was tombstoned has no current rows and so
-        # no rollup row in `updates` — its stale rollup must be tombstoned
-        # too, in the SAME commit (two commits would break epoch idempotence)
-        gone = touched_repos.join(updates.select("repo"), "repo", "left_anti")
-        tomb = gone.withColumn(
-            "as_of_version", F.lit(as_of).cast("long")
-        ).withColumn(TOMBSTONE_COL, F.lit(True))
+        gone = (
+            touched.join(updates.select(*keys), keys, "left_anti")
+            .withColumn("as_of_version", F.lit(as_of).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(True))
+        )
         return self.table.merge_epochs(
-            updates.unionByName(tomb, allowMissingColumns=True),
+            updates.unionByName(gone, allowMissingColumns=True),
             [int(e) for e in commit["epochs"]],
             extra_summary={"derived_from_version": commit.get("version")},
-            assume_deduped=True,  # one row per repo across both branches
+            assume_deduped=True,  # one row per key across both branches
         )
 
     def refresh_full(self, epoch_id: int) -> dict[str, Any]:
-        """Recompute every repo's rollup from scratch (bootstrap / repair).
-
-        Repos present in the rollup but absent from the recompute (every
-        fact row tombstoned since the rollup last saw them) are tombstoned
-        in the same commit — without this, repair would leave zombie rollup
-        rows the incremental path (update_for_commit's ``gone`` branch)
-        would have removed, breaking refresh ≡ incremental.
-        """
-        updates = rollup_expr(self.source.read()).withColumn(
-            "as_of_version",
-            F.lit(int(self.source.current_version())).cast("long"),
+        """Recompute every key from scratch (bootstrap / repair)."""
+        keys = list(self.KEY_COLS)
+        as_of = int(self.source.current_version())
+        updates = self._expr(self.source.read()).withColumn(
+            "as_of_version", F.lit(as_of).cast("long")
         )
         if self.table.exists():
             gone = (
                 self.table.read()
-                .select("repo")
-                .join(updates.select("repo"), "repo", "left_anti")
-                .withColumn(
-                    "as_of_version",
-                    F.lit(int(self.source.current_version())).cast("long"),
-                )
+                .select(*keys)
+                .join(updates.select(*keys), keys, "left_anti")
+                .withColumn("as_of_version", F.lit(as_of).cast("long"))
                 .withColumn(TOMBSTONE_COL, F.lit(True))
             )
             updates = updates.unionByName(gone, allowMissingColumns=True)
         return self.table.merge_epochs(
             updates, [epoch_id], extra_summary={"full_refresh": True},
-            assume_deduped=True,  # one row per repo across both branches
+            assume_deduped=True,  # one row per key across both branches
         )
 
     def read(self) -> DataFrame:
         return self.table.read().drop("epoch", TOMBSTONE_COL, "as_of_version")
+
+
+class RepoRollup(IncrementalDerived):
+    """Incrementally maintained per-repo rollup of a snapshot table.
+
+    The rollup is a per-key AGGREGATE, so a commit's update set is
+    recomputed from the SNAPSHOT (semi-joined to the touched repos — small,
+    broadcastable), not from the commit rows alone.
+    """
+
+    KEY_COLS = ("repo",)
+    KIND = "rollup"
+
+    def _expr(self, rows: DataFrame) -> DataFrame:
+        return rollup_expr(rows)
+
+    def _recompute(self, new_rows: DataFrame, touched: DataFrame) -> DataFrame:
+        current = self.source.read().join(
+            F.broadcast(touched), "repo", "left_semi"
+        )
+        return rollup_expr(current)
 
 
 def explode_lines(rows: DataFrame) -> DataFrame:
@@ -289,95 +328,29 @@ def clean_corpus_expr(rows: DataFrame) -> DataFrame:
     )
 
 
-class CleanCorpus:
+class CleanCorpus(IncrementalDerived):
     """Incrementally maintained CLEAN-CORPUS derived table — the bridge
     between the CDC half of the engine and the training-data prep half.
 
-    After each fact-table commit, only the commit-touched keys can have
-    changed. Every row in the commit's new files IS a current row (COW
-    rewrites produce post-merge files; MOR delta rows are the winners for
-    their keys), so the maintainer recomputes the row-local prep on
-    exactly those rows — no snapshot re-read at all, cost O(commit
-    footprint). Keys whose current row is a CDC tombstone or fails the
-    quality gate are tombstoned in the derived table in the SAME commit.
-
-    Like RepoRollup, the output is itself a SnapshotTable keyed on
-    ``(repo, path)`` and ordered by ``as_of_version`` (the source snapshot
-    version), inheriting atomic commits and exactly-once epoch idempotence
-    — replaying a commit's maintenance is a no-op. A full recompute
-    (``refresh_full``) is differential-tested equal to the incremental
-    path, including under CDC deletes.
+    The prep is ROW-LOCAL, so unlike the rollup a commit's update set needs
+    no snapshot re-read at all: every live row in the commit's new files IS
+    a current row (COW rewrites produce post-merge files; MOR delta rows are
+    the winners for their keys), and the maintainer recomputes the prep on
+    exactly those rows — cost O(commit footprint). Keys whose current row is
+    a CDC tombstone or fails the quality gate fall to the shared ``gone``
+    branch. A full recompute (``refresh_full``) is differential-tested equal
+    to the incremental path, including under CDC deletes.
     """
 
-    def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
-                 n_buckets: int = 16) -> None:
-        self.spark = spark
-        self.source = table
-        self.table = SnapshotTable(
-            spark, root, key_cols=("repo", "path"), order_col="as_of_version",
-            n_buckets=n_buckets,
-        )
-        if self.table.exists() and self.table.order_col != "as_of_version":
-            raise ValueError(
-                f"clean corpus at {root} is ordered by "
-                f"{self.table.order_col!r}; rebuild via refresh_full"
-            )
+    KEY_COLS = ("repo", "path")
+    KIND = "clean corpus"
 
-    def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
-        if commit.get("skipped"):
-            return {"skipped": True}
-        new_files = commit.get("new_files") or []
-        if not new_files:
-            return {"skipped": True}
-        schema = self.source.schema()
-        as_of = int(commit["version"])
-        new_rows = self.source._read_files(new_files, schema)
+    def _expr(self, rows: DataFrame) -> DataFrame:
+        return clean_corpus_expr(rows)
+
+    def _recompute(self, new_rows: DataFrame, touched: DataFrame) -> DataFrame:
         if TOMBSTONE_COL in new_rows.columns:
-            live = new_rows.where(
+            new_rows = new_rows.where(
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             )
-        else:
-            live = new_rows
-        updates = clean_corpus_expr(live).withColumn(
-            "as_of_version", F.lit(as_of).cast("long")
-        )
-        # touched keys with no surviving clean row: CDC-deleted, or the
-        # new content fails the gate — tombstone them in the same commit
-        gone = (
-            new_rows.select("repo", "path")
-            .distinct()
-            .join(updates.select("repo", "path"), ["repo", "path"], "left_anti")
-            .withColumn("as_of_version", F.lit(as_of).cast("long"))
-            .withColumn(TOMBSTONE_COL, F.lit(True))
-        )
-        return self.table.merge_epochs(
-            updates.unionByName(gone, allowMissingColumns=True),
-            [int(e) for e in commit["epochs"]],
-            extra_summary={"derived_from_version": commit.get("version")},
-            assume_deduped=True,  # commit files hold <=1 row per key
-        )
-
-    def refresh_full(self, epoch_id: int) -> dict[str, Any]:
-        updates = clean_corpus_expr(self.source.read()).withColumn(
-            "as_of_version",
-            F.lit(int(self.source.current_version())).cast("long"),
-        )
-        if self.table.exists():
-            gone = (
-                self.table.read()
-                .select("repo", "path")
-                .join(updates.select("repo", "path"), ["repo", "path"], "left_anti")
-                .withColumn(
-                    "as_of_version",
-                    F.lit(int(self.source.current_version())).cast("long"),
-                )
-                .withColumn(TOMBSTONE_COL, F.lit(True))
-            )
-            updates = updates.unionByName(gone, allowMissingColumns=True)
-        return self.table.merge_epochs(
-            updates, [epoch_id], extra_summary={"full_refresh": True},
-            assume_deduped=True,
-        )
-
-    def read(self) -> DataFrame:
-        return self.table.read().drop("epoch", TOMBSTONE_COL, "as_of_version")
+        return clean_corpus_expr(new_rows)

@@ -158,6 +158,21 @@ SPLIT_TRAIN = 0.9
 SPLIT_VAL = 0.05
 
 
+def md5_bucket(col, seed, mod: int) -> Column:
+    """Stable bucket id in [0, mod): 60-bit md5 prefix of ``"<id>|<seed>"``
+    reduced mod ``mod``. The repo's ONE seeded-hash construction — the
+    corpus split and pack buckets both call this, and every DuckDB oracle
+    mirrors it as ``('0x'||substr(md5(id||'|'||seed),1,15))::UBIGINT % mod``;
+    keep the bit width / separator changes here and nowhere else."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", c.cast("string"), F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(mod)
+
+
 def split_assign(
     col,
     train: float = SPLIT_TRAIN,
@@ -176,12 +191,7 @@ def split_assign(
     the same split on every run, any cluster size, any partitioning.
     """
     assert 0 < train < 1 and 0 <= val < 1 and train + val <= 1
-    c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", c.cast("string"), F.lit(str(seed)))), 1, 15),
-        16,
-        10,
-    ).cast("long") % F.lit(10_000)
+    h = md5_bucket(col, seed, 10_000)
     t_hi = int(round(train * 10_000))
     v_hi = t_hi + int(round(val * 10_000))
     return (

@@ -33,17 +33,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_spark.functions.content import md5_bucket
+
 
 def pack_bucket_expr(col, n_buckets: int, seed: str = "pack") -> Column:
-    """Stable bucket id in [0, n_buckets): 60-bit md5 prefix mod n_buckets.
-    Pure JVM expression; identical arithmetic is SQL-expressible."""
-    c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", c.cast("string"), F.lit(seed))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return (h % F.lit(n_buckets)).cast("int")
+    """Stable bucket id in [0, n_buckets): the shared seeded md5-bucket
+    construction (functions.content.md5_bucket — one place keeps Spark and
+    the DuckDB oracles bit-exact). Pure JVM expression."""
+    return md5_bucket(col, seed, n_buckets).cast("int")
 
 
 def pack_sequences(
@@ -76,6 +73,17 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bad = pdf[token_col].isna()
+        if bad.any():
+            # NULL token counts have no defined packing — fail with the
+            # contract and the rows, not an Arrow float-NaN cast traceback
+            sample = pdf.loc[bad, id_col].head(5).tolist()
+            raise ValueError(
+                f"pack_sequences: {token_col!r} is NULL for "
+                f"{int(bad.sum())} row(s) (e.g. {id_col} in {sample}); "
+                "token counts must be non-null — filter or coalesce "
+                "upstream"
+            )
         toks = pdf[token_col].to_numpy()
         n = len(toks)
         seq = np.zeros(n, dtype=np.int64)

@@ -77,3 +77,62 @@ def test_scratch_dir_sweeps_stale_and_registers_cleanup(tmp_path, monkeypatch):
     assert fresh_existing.exists()       # young sibling untouched
     assert os.path.isdir(root)
     assert registered and registered[0][0] == root  # atexit rmtree queued
+
+
+def test_corpus_pipeline_decontamination_normalizes_case_and_punct(
+    spark, tmp_path
+):
+    """Regression: the composed corpus_pipeline oracle must shingle the
+    decontamination step over NORMALIZED tokens (lowercase, punctuation
+    stripped) exactly like Spark's norm_tokens()/shingles() — a train doc
+    sharing an 8-gram with a holdout doc up to case/punctuation IS
+    contaminated. The stock sf0.001 corpus has no such cross-split partial
+    overlap, so this seeds one deliberately and runs query + oracle on it."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_spark.functions.content import split_assign
+
+    # find one train id and one non-train id among small ints
+    ids = spark.range(1, 60).select(
+        F.col("id").alias("doc_id"), split_assign("doc_id").alias("split")
+    ).toPandas()
+    train_id = int(ids[ids.split == "train"].doc_id.iloc[0])
+    hold_id = int(ids[ids.split != "train"].doc_id.iloc[0])
+
+    base = (
+        "The Quick Brown Fox Jumps Over The Lazy Dog And Then It Runs To "
+        "The Old Stone Bridge In The Morning For A While With The Others"
+    )
+    # same words, lowercased + punctuation: identical NORMALIZED 8-grams,
+    # zero shared RAW 8-grams (case differs), different md5 (not exact dups)
+    variant = (
+        "the quick, brown fox jumps over the lazy dog; and then it runs "
+        "onward to the distant harbor in the evening for a moment there"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [train_id, hold_id],
+            "text": [base, variant],
+            "lang": ["en", "en"],
+            "source": ["seed", "seed"],
+            "n_chars": [len(base), len(variant)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    got = _QUERIES["corpus_pipeline"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(_ORACLES["corpus_pipeline"]).df()
+
+    # both docs pass the gates; the train doc is contaminated and dropped
+    assert hold_id in set(got.doc_id), "holdout doc fell to a gate"
+    assert train_id not in set(got.doc_id), "case-variant overlap missed"
+    cg, cw = canon(got), canon(want)
+    assert list(cg.columns) == list(cw.columns)
+    pd.testing.assert_frame_equal(cg, cw, check_dtype=False)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_spark.operators.packing import pack_sequences
@@ -58,3 +59,16 @@ def test_pack_carries_all_input_columns(spark):
         "doc_id", "n_tokens", "extra", "pack_bucket", "seq_idx", "seq_offset"
     }
     assert out.where(F.col("extra") != "x").count() == 0
+
+
+def test_pack_rejects_null_token_counts_with_clear_error(spark):
+    """NULL n_tokens has no defined packing — the operator must name its
+    contract and the offending ids, not die on a float-NaN cast deep in
+    applyInPandas."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception) as ei:
+        pack_sequences(df, capacity=64, n_buckets=1).collect()
+    msg = str(ei.value)
+    assert "pack_sequences" in msg and "NULL" in msg and "doc_id" in msg
