@@ -652,6 +652,34 @@ def q_pack_sequences(spark, sf_dir):
     return packed.select("doc_id", "pack_bucket", "seq_idx", "seq_offset")
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Stratified downsample to ~50 docs per language — hash-threshold
+    sampling (zero corpus shuffles: one tiny per-stratum count, rates
+    broadcast back, embarrassingly-parallel filter). Deterministic: the
+    same doc ids survive on every run / cluster size, so the oracle
+    hash-matches the exact surviving row set."""
+    from etl_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, quota=50, strata_cols=("lang",))
+    return out.select(
+        "doc_id", "lang", F.round("sample_rate", 6).alias("sample_rate")
+    )
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled training-mix weights per language
+    (``p_i ∝ tokens_i^0.3`` — the Pile/XLM-R upweight-the-tail regime)
+    over whitespace token counts. One n_strata-row aggregate; the
+    normalizing window runs over those few rows, never the corpus."""
+    from etl_spark.operators.sampling import domain_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_mixture(
+        d, alpha=0.3, strata_cols=("lang",), weight_col=token_count("text")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (emails / IPv4 / long digit runs) — a pure JVM
     regexp chain fused into the scan. The synthetic corpus carries no PII,
@@ -1230,6 +1258,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         # round-5 addition: sequence packing (pretraining batch assembly)
         "pack_sequences": q_pack_sequences,
+        # round-5 addition: stratified hash-threshold downsampling (the
+        # shuffle-free alternative to per-stratum rank, which would
+        # serialize each stratum through one reducer)
+        "corpus_sample": q_corpus_sample,
+        # round-5 addition: temperature-scaled domain mixing weights
+        "domain_mixture": q_domain_mixture,
     }
 
 
@@ -1835,6 +1869,36 @@ def oracle_sql() -> dict[str, str]:
                   ON o.pack_bucket = w.pack_bucket AND o.rn = w.rn + 1
             )
             SELECT doc_id, pack_bucket, seq_idx, seq_offset FROM walk
+        """,
+        "corpus_sample": r"""
+            WITH n AS (
+                SELECT lang, count(*) AS _n FROM documents GROUP BY lang
+            ), r AS (
+                SELECT lang, least(1.0, 50.0 / _n) AS sample_rate FROM n
+            )
+            SELECT d.doc_id, d.lang, round(r.sample_rate, 6) AS sample_rate
+            FROM documents d JOIN r USING (lang)
+            -- floor, not ::BIGINT: DuckDB's cast rounds-half-even while
+            -- Spark's cast("long") truncates
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|sample'), 1, 15))
+                      ::UBIGINT::BIGINT % 1000000
+                  < floor(r.sample_rate * 1000000)::BIGINT
+        """,
+        "domain_mixture": r"""
+            WITH tk AS (
+                SELECT lang,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                trim(coalesce(text, '')), '\s+'))
+                       END AS nt
+                FROM documents
+            ), agg AS (
+                SELECT lang, sum(nt)::DOUBLE AS tokens FROM tk GROUP BY lang
+            )
+            SELECT lang, tokens::BIGINT AS tokens,
+                   round(pow(tokens, 0.3) / sum(pow(tokens, 0.3)) OVER (), 8)
+                       AS mix_weight
+            FROM agg
         """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""
