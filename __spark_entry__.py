@@ -741,6 +741,21 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs, all_ids=docs.select("doc_id"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup with the PRODUCTION keep-rule: LSH pairs -> connected
+    components -> keep the highest-quality member per family (ties to the
+    lowest id — deterministic, so the oracle hash-matches the exact
+    choices). One component-keyed shuffle on top of dedup_components;
+    map-side-combinable max_by."""
+    from etl_spark.operators.textdedup import keep_best_per_component
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, verify_threshold=0.5)
+    comp = connected_components(pairs, all_ids=docs.select("doc_id"))
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    return keep_best_per_component(comp, scored)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # stop_shingle_limit guards the self-join against quadratic blowup on hub
     # shingles (a shingle shared by >limit docs is dropped on both sides; the
@@ -1264,6 +1279,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         # round-5 addition: temperature-scaled domain mixing weights
         "domain_mixture": q_domain_mixture,
+        # round-5 addition: the production dedup keep-rule — highest-quality
+        # member per near-dup family (composes the driver-green
+        # dedup_components with a deterministic argmax)
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1937,6 +1956,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {minhash_pairs_ctes},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            walk(u, lbl) AS (
+                SELECT u, v AS lbl FROM edges
+                UNION
+                SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.lbl
+            ),
+            comp AS (
+                SELECT u, least(u, min(lbl)) AS component FROM walk GROUP BY u
+            ),
+            allc AS (
+                SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                       {QUALITY_SQL} AS quality
+                FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+            ),
+            ranked AS (
+                SELECT component, doc_id, quality,
+                       row_number() OVER (PARTITION BY component
+                           ORDER BY quality DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY component) AS n_members,
+                       max(quality) OVER (PARTITION BY component)
+                           AS best_quality
+                FROM allc
+            )
+            SELECT component, doc_id AS keep_id, n_members, best_quality
+            FROM ranked WHERE rn = 1
         """,
         "ngram_jaccard": f"""
             WITH {shingle_cte},

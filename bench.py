@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pack_sequences",
     "corpus_pipeline",
+    "corpus_sample",
     "ann_topk",
     "simhash_pairs",
     "hier_cover",

@@ -612,6 +612,40 @@ def connected_components(
     return out
 
 
+def keep_best_per_component(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: the production dedup keep-rule.
+
+    ``components`` is :func:`connected_components` output (``id_col``,
+    ``component``); ``scored`` carries ``id_col`` + ``score_col``. Per
+    near-dup family, keep the HIGHEST-scoring member (ties break to the
+    lowest id, so the choice is deterministic across runs / cluster sizes
+    — required for exactly-once re-runs and SQL-oracle checkability).
+    Keeping the best copy, not an arbitrary one, is the policy that
+    matters at corpus scale: near-dup families routinely mix a clean
+    original with boilerplate-wrapped mirrors.
+
+    One shuffle on ``component``; ``max_by`` over a (score, -id) struct
+    gets map-side partial aggregation, so a pathological 10^6-member
+    family costs O(partitions).
+
+    Returns (component, keep_id, n_members, best_<score_col>).
+    """
+    j = components.join(scored.select(id_col, score_col), id_col)
+    return j.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg")),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(score_col).alias(f"best_{score_col}"),
+    )
+
+
 # --- train/holdout decontamination --------------------------------------------
 
 def contaminated_ids(

@@ -450,3 +450,26 @@ def test_connected_components_hub_star(spark):
     # nodes: 0, hub 1000, spokes 2..2001 (1000 double-counts) -> 2001
     assert len(rows) == 2001
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_keep_best_per_component_quality_then_id(spark):
+    """Keep rule: highest quality wins; ties break to the LOWEST id;
+    singletons keep themselves; n_members counts the whole family."""
+    from etl_spark.operators.textdedup import keep_best_per_component
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, component long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9),   # tie at 0.9 -> keep 2
+         (7, 0.1), (8, 0.4),             # 8 wins
+         (9, 0.7)],                      # singleton keeps itself
+        "doc_id long, quality double",
+    )
+    out = {r["component"]: r for r in
+           keep_best_per_component(comp, scored).collect()}
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["best_quality"] == 0.9
+    assert out[7]["keep_id"] == 8 and out[7]["n_members"] == 2
+    assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
