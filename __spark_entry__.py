@@ -1896,12 +1896,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, least(1.0, 50.0 / _n) AS sample_rate FROM n
             )
             SELECT d.doc_id, d.lang, round(r.sample_rate, 6) AS sample_rate
-            FROM documents d JOIN r USING (lang)
+            -- null-safe join: a NULL stratum key is a stratum, not a
+            -- dropped slice (mirrors stratified_sample's eqNullSafe)
+            FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
             -- floor, not ::BIGINT: DuckDB's cast rounds-half-even while
-            -- Spark's cast("long") truncates
+            -- Spark's cast("long") truncates; greatest(1, ..) mirrors the
+            -- never-quantize-to-zero clamp
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|sample'), 1, 15))
-                      ::UBIGINT::BIGINT % 1000000
-                  < floor(r.sample_rate * 1000000)::BIGINT
+                      ::UBIGINT::BIGINT % 1000000000
+                  < greatest(1, floor(r.sample_rate * 1000000000)::BIGINT)
         """,
         "domain_mixture": r"""
             WITH tk AS (
@@ -1913,11 +1916,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), agg AS (
                 SELECT lang, sum(nt)::DOUBLE AS tokens FROM tk GROUP BY lang
+            ), si AS (
+                -- integer micro-units before normalizing: the sum is exact
+                -- long arithmetic (order-independent) and the final long/
+                -- long division is correctly rounded — deterministic across
+                -- engines, unlike a float-sum of pow() outputs
+                SELECT lang, tokens,
+                       floor(pow(tokens, 0.3) * 1000000)::BIGINT AS _si
+                FROM agg
             )
             SELECT lang, tokens::BIGINT AS tokens,
-                   round(pow(tokens, 0.3) / sum(pow(tokens, 0.3)) OVER (), 8)
-                       AS mix_weight
-            FROM agg
+                   round(_si / sum(_si) OVER (), 8) AS mix_weight
+            FROM si
         """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "minhash_sigs": f"""

@@ -34,9 +34,12 @@ from pyspark.sql import functions as F
 
 from etl_spark.functions.content import md5_bucket
 
-# hash-threshold resolution: keep-rate quantized to 1/RES. 1e6 keeps the
-# quantization error (<=1e-6 of a stratum) far below the binomial noise.
-SAMPLE_RES = 1_000_000
+# hash-threshold resolution: keep-rate quantized to 1/RES. 1e9 bounds the
+# quantization bias at n*1e-9 rows per stratum — below the binomial noise
+# sqrt(quota) for any stratum up to quota*1e9*sqrt(quota) rows; the
+# threshold is additionally clamped to >=1 so a stratum can never quantize
+# to ZERO kept rows however large it is.
+SAMPLE_RES = 1_000_000_000
 
 
 def stratified_sample(
@@ -49,23 +52,41 @@ def stratified_sample(
     """Deterministic per-stratum downsample to ~``quota`` rows per stratum.
 
     Strata at or under quota pass through whole (keep-rate 1.0); larger
-    strata keep each row iff ``md5_bucket(id|seed) % 1e6 < rate * 1e6``
-    with ``rate = quota / count``. Adds a ``sample_rate`` column recording
-    the stratum's applied keep-rate (the trainer needs it to de-bias
-    frequency estimates). See the module docstring for why hash-threshold
-    beats exact-rank at corpus scale.
+    strata keep each row iff ``md5_bucket(id|seed) % RES < rate * RES``
+    with ``rate = quota / count``. A NULL stratum key is a stratum like
+    any other (null-safe join), not a dropped slice — unlabeled docs are
+    exactly the rows a silent filter would lose at corpus scale. Adds a
+    ``sample_rate`` column recording the stratum's applied keep-rate (the
+    trainer needs it to de-bias frequency estimates). See the module
+    docstring for why hash-threshold beats exact-rank at corpus scale.
     """
     assert quota > 0
     keys = list(strata_cols)
+    for reserved in ("sample_rate", "_keep_thresh"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"stratified_sample: input already has a {reserved!r} column "
+                "(it is this operator's output/internal name) — rename or "
+                "drop it first"
+            )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    rate = F.least(F.lit(1.0), F.lit(float(quota)) / F.col("_n"))
     rates = counts.select(
         *keys,
-        F.least(F.lit(1.0), F.lit(float(quota)) / F.col("_n")).alias("sample_rate"),
+        rate.alias("sample_rate"),
+        # clamp: a stratum with rate < 1/RES must keep ~rate*n rows, not 0
+        F.greatest(F.lit(1), (rate * SAMPLE_RES).cast("long")).alias(
+            "_keep_thresh"
+        ),
     )
-    # rates has one row per stratum — always the broadcast side
-    keyed = df.join(F.broadcast(rates), keys)
-    thresh = (F.col("sample_rate") * SAMPLE_RES).cast("long")
-    return keyed.where(md5_bucket(id_col, seed, SAMPLE_RES) < thresh)
+    # rates has one row per stratum — always the broadcast side; null-safe
+    # equality so NULL-keyed strata match their own count row
+    b = F.broadcast(rates)
+    cond = [df[k].eqNullSafe(b[k]) for k in keys]
+    keyed = df.join(b, cond).drop(*[b[k] for k in keys])
+    return keyed.where(
+        md5_bucket(id_col, seed, SAMPLE_RES) < F.col("_keep_thresh")
+    ).drop("_keep_thresh")
 
 
 def domain_mixture(
@@ -83,15 +104,30 @@ def domain_mixture(
     """
     assert alpha >= 0.0
     keys = list(strata_cols)
+    for reserved in ("tokens", "mix_weight", "_si"):
+        if reserved in keys:
+            raise ValueError(
+                f"domain_mixture: stratum column {reserved!r} collides with "
+                "an output/internal column name — alias it first"
+            )
     size = (
         F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
     ).cast("double").alias("tokens")
     agg = df.groupBy(*keys).agg(size)
-    scaled = agg.withColumn("_s", F.pow("tokens", F.lit(float(alpha))))
+    # tokens^alpha is floored into integer micro-units BEFORE normalizing:
+    # the window sum is then exact long arithmetic (order-independent —
+    # a float sum's order varies per run/engine) and the final division of
+    # two exactly-representable longs is correctly rounded, so mix_weight
+    # is deterministic and bit-stable vs the SQL oracle. Residual hazard is
+    # only pow() landing within 1 ulp of a 1e-6 floor boundary.
+    scaled = agg.withColumn(
+        "_si",
+        F.floor(F.pow("tokens", F.lit(float(alpha))) * 1_000_000).cast("long"),
+    )
     # the window runs over n_strata rows (tiny), not the corpus
     total = Window.partitionBy()
     return scaled.select(
         *keys,
         F.col("tokens").cast("long").alias("tokens"),
-        F.round(F.col("_s") / F.sum("_s").over(total), 8).alias("mix_weight"),
+        F.round(F.col("_si") / F.sum("_si").over(total), 8).alias("mix_weight"),
     )

@@ -636,10 +636,13 @@ def keep_best_per_component(
     Returns (component, keep_id, n_members, best_<score_col>).
     """
     j = components.join(scored.select(id_col, score_col), id_col)
+    # min_by over (-score, id): max score, then MIN id — negating the
+    # (numeric) score instead of the id keeps the tie-break valid for
+    # string/any-orderable id columns
     return j.groupBy("component").agg(
-        F.max_by(
+        F.min_by(
             F.col(id_col),
-            F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg")),
+            F.struct((-F.col(score_col)).alias("_ns"), F.col(id_col)),
         ).alias("keep_id"),
         F.count(F.lit(1)).alias("n_members"),
         F.max(score_col).alias(f"best_{score_col}"),

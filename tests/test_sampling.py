@@ -67,3 +67,41 @@ def test_mixture_alpha_zero_is_uniform(spark):
     df = _corpus(spark, {"en": 500, "fr": 20})
     w = {r["lang"]: r["mix_weight"] for r in domain_mixture(df, alpha=0.0).collect()}
     assert abs(w["en"] - 0.5) < 1e-8 and abs(w["fr"] - 0.5) < 1e-8
+
+
+def test_sample_null_stratum_is_a_stratum_not_a_dropped_slice(spark):
+    """NULL lang docs must pass through / downsample like any stratum —
+    a plain equi-join would silently delete the whole unlabeled slice."""
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", None), (4, "d", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(df, quota=100)
+    assert out.count() == 4  # quota above every count: all pass through
+    nulls = out.where(F.col("lang").isNull())
+    assert nulls.count() == 2
+    assert nulls.select("sample_rate").distinct().collect()[0][0] == 1.0
+
+
+def test_sample_threshold_clamps_to_one_for_mega_strata(spark, monkeypatch):
+    """A stratum with rate < 1/RES must keep ~rate*n rows, not quantize to
+    ZERO (the 100-TB cliff: quota 50 over 6e7 docs at low resolution).
+    Simulated by shrinking the resolution instead of materializing 1e9
+    rows: with RES=10 and rate 0.05 the unclamped threshold floors to 0."""
+    from etl_spark.operators import sampling as mod
+
+    monkeypatch.setattr(mod, "SAMPLE_RES", 10)
+    df = _corpus(spark, {"en": 20})
+    out = stratified_sample(df, quota=1)  # rate 0.05 -> floor(0.5) == 0
+    n = out.count()
+    assert n > 0  # clamp keeps bucket-0 ids (~1/10 of the stratum)
+    assert n < 20
+
+
+def test_sample_rejects_reserved_column_collision(spark):
+    df = _corpus(spark, {"en": 5}).withColumn("sample_rate", F.lit(0.1))
+    try:
+        stratified_sample(df, quota=3)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "sample_rate" in str(e)

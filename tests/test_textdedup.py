@@ -473,3 +473,20 @@ def test_keep_best_per_component_quality_then_id(spark):
     assert out[1]["best_quality"] == 0.9
     assert out[7]["keep_id"] == 8 and out[7]["n_members"] == 2
     assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
+
+
+def test_keep_best_tie_break_works_for_string_ids(spark):
+    """The tie-break negates the SCORE, not the id, so any orderable id
+    type works: string ids with tied quality keep the lexicographically
+    smallest."""
+    from etl_spark.operators.textdedup import keep_best_per_component
+
+    comp = spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("c", "a")], "doc_id string, component string"
+    )
+    scored = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.9), ("c", 0.1)], "doc_id string, quality double"
+    )
+    out = keep_best_per_component(comp, scored).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == "a" and out[0]["n_members"] == 3
