@@ -139,3 +139,44 @@ def test_staging_width_bounds(size_bytes, n_buckets, par):
         assert w >= min(wide, max(1, par))
         if size_bytes >= wide * (256 << 10):
             assert w == wide
+
+
+def test_stratified_sample_differential_on_random_corpus(spark):
+    """Seeded randomized bulk differential: stratified_sample's surviving
+    id set must equal an independent Python recompute of the contract
+    (md5-bucket < max(1, trunc(min(1, quota/n) * RES))), across random
+    strata including NULL and counts straddling the quota."""
+    import hashlib
+
+    from etl_spark.operators.sampling import SAMPLE_RES, stratified_sample
+
+    rng = random.Random(20260819)
+    langs = ["en", "fr", "de", None]
+    rows = [
+        (i, "text " + str(i), rng.choice(langs)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    quota = 300
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, quota=quota).select("doc_id").collect()
+    }
+
+    counts: dict[object, int] = {}
+    for _i, _t, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    want = set()
+    for i, _t, lang in rows:
+        rate = min(1.0, quota / counts[lang])
+        thresh = max(1, int(rate * SAMPLE_RES))
+        b = int(hashlib.md5(f"{i}|sample".encode()).hexdigest()[:15], 16)
+        if b % SAMPLE_RES < thresh:
+            want.add(i)
+    assert got == want
+    # and every stratum actually landed near its quota (or passed whole)
+    for lang, n in counts.items():
+        kept = sum(1 for i, _t, lg in rows if lg == lang and i in got)
+        if n <= quota:
+            assert kept == n
+        else:
+            assert abs(kept - quota) <= 4 * (quota * (1 - quota / n)) ** 0.5
