@@ -12,7 +12,7 @@ Scale design (100 TB):
   quota``): a rank needs a total order per stratum, which serializes each
   stratum through ONE reducer — the biggest stratum (``lang='en'``) is the
   whole corpus's bottleneck. Instead each row is kept iff its seeded
-  60-bit md5 bucket (functions.content.md5_bucket, mod 1e6) falls under
+  60-bit md5 bucket (functions.content.md5_bucket, mod SAMPLE_RES) falls under
   the stratum's keep-rate: ZERO shuffles on the corpus — one tiny
   aggregate computes per-stratum counts, the rates broadcast-join back,
   and the filter is embarrassingly parallel. The sample size per stratum
