@@ -680,6 +680,17 @@ def q_domain_mixture(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Per-language top-25 normalized tokens (tokenizer-training vocab
+    stats). Two-stage: one (lang, token) count shuffle with map-side
+    partial agg over the corpus, then the per-lang rank runs over the
+    distinct-token frame only. Deterministic tie-break (count desc,
+    token asc) makes the result hash-matchable."""
+    from etl_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=25, min_count=2)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (emails / IPv4 / long digit runs) — a pure JVM
     regexp chain fused into the scan. The synthetic corpus carries no PII,
@@ -1283,6 +1294,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member per near-dup family (composes the driver-green
         # dedup_components with a deterministic argmax)
         "dedup_keep_best": q_dedup_keep_best,
+        # round-5 addition: per-stratum top-k token counts (tokenizer
+        # vocab stats) — corpus-wide count shuffle, vocabulary-sized rank
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1888,6 +1902,26 @@ def oracle_sql() -> dict[str, str]:
                   ON o.pack_bucket = w.pack_bucket AND o.rn = w.rn + 1
             )
             SELECT doc_id, pack_bucket, seq_idx, seq_offset FROM walk
+        """,
+        "vocab_topk": r"""
+            WITH tk AS (
+                SELECT lang,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(
+                           lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g')),
+                           '\s+'), t -> t <> '') AS ts
+                FROM documents
+            ), ex AS (
+                SELECT lang, unnest(ts) AS token FROM tk
+            ), c AS (
+                SELECT lang, token, count(*) AS n
+                FROM ex GROUP BY lang, token
+                HAVING count(*) >= 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+                FROM c
+            )
+            SELECT lang, token, n, rank FROM r WHERE rank <= 25
         """,
         "corpus_sample": r"""
             WITH n AS (
