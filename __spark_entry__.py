@@ -757,7 +757,7 @@ def q_dedup_keep_best(spark, sf_dir):
     components -> keep the highest-quality member per family (ties to the
     lowest id — deterministic, so the oracle hash-matches the exact
     choices). One component-keyed shuffle on top of dedup_components;
-    map-side-combinable max_by."""
+    map-side-combinable min_by over a (-score, id) struct."""
     from etl_spark.operators.textdedup import keep_best_per_component
 
     docs = _t(spark, sf_dir, "documents")
@@ -1951,12 +1951,15 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
                 SELECT lang, sum(nt)::DOUBLE AS tokens FROM tk GROUP BY lang
             ), si AS (
-                -- integer micro-units before normalizing: the sum is exact
-                -- long arithmetic (order-independent) and the final long/
-                -- long division is correctly rounded — deterministic across
-                -- engines, unlike a float-sum of pow() outputs
+                -- max-normalized integer units before summing: max of
+                -- doubles is exact/order-independent, the sum is exact
+                -- long arithmetic, and the final division is correctly
+                -- rounded — deterministic across engines (a float-sum of
+                -- pow() outputs is neither) and overflow-free at any
+                -- token scale or alpha
                 SELECT lang, tokens,
-                       floor(pow(tokens, 0.3) * 1000000)::BIGINT AS _si
+                       floor(pow(tokens, 0.3) / max(pow(tokens, 0.3)) OVER ()
+                             * 1000000000)::BIGINT AS _si
                 FROM agg
             )
             SELECT lang, tokens::BIGINT AS tokens,
@@ -2024,7 +2027,8 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
                 SELECT component, doc_id, quality,
                        row_number() OVER (PARTITION BY component
-                           ORDER BY quality DESC, doc_id ASC) AS rn,
+                           ORDER BY quality DESC NULLS LAST, doc_id ASC)
+                           AS rn,
                        count(*) OVER (PARTITION BY component) AS n_members,
                        max(quality) OVER (PARTITION BY component)
                            AS best_quality

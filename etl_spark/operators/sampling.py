@@ -114,18 +114,21 @@ def domain_mixture(
         F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
     ).cast("double").alias("tokens")
     agg = df.groupBy(*keys).agg(size)
-    # tokens^alpha is floored into integer micro-units BEFORE normalizing:
-    # the window sum is then exact long arithmetic (order-independent —
-    # a float sum's order varies per run/engine) and the final division of
-    # two exactly-representable longs is correctly rounded, so mix_weight
-    # is deterministic and bit-stable vs the SQL oracle. Residual hazard is
-    # only pow() landing within 1 ulp of a 1e-6 floor boundary.
-    scaled = agg.withColumn(
-        "_si",
-        F.floor(F.pow("tokens", F.lit(float(alpha))) * 1_000_000).cast("long"),
-    )
-    # the window runs over n_strata rows (tiny), not the corpus
-    total = Window.partitionBy()
+    # tokens^alpha is normalized by the window MAX (max of doubles is
+    # exact and order-independent, unlike a float sum) and floored into
+    # integer units in [0, 1e9] BEFORE summing: the window sum is then
+    # exact long arithmetic — overflow-free for any token scale or alpha
+    # (incl. alpha=1 on 1e13-token strata) up to ~9e9 strata — and the
+    # final division of two exactly-representable longs is correctly
+    # rounded, so mix_weight is deterministic and bit-stable vs the SQL
+    # oracle; 1e9 units are 10x finer than the 8-decimal output grid.
+    # Residual hazard is only pow() landing within 1 ulp of a floor
+    # boundary. (A corpus whose every stratum has zero tokens yields NULL
+    # weights.)
+    total = Window.partitionBy()  # runs over n_strata rows, not the corpus
+    p = F.pow("tokens", F.lit(float(alpha)))
+    si = F.floor(p / F.max(p).over(total) * 1_000_000_000).cast("long")
+    scaled = agg.withColumn("_si", si)
     return scaled.select(
         *keys,
         F.col("tokens").cast("long").alias("tokens"),

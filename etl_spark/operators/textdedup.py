@@ -629,20 +629,20 @@ def keep_best_per_component(
     matters at corpus scale: near-dup families routinely mix a clean
     original with boilerplate-wrapped mirrors.
 
-    One shuffle on ``component``; ``max_by`` over a (score, -id) struct
+    One shuffle on ``component``; ``min_by`` over a (-score, id) struct
     gets map-side partial aggregation, so a pathological 10^6-member
-    family costs O(partitions).
+    family costs O(partitions). Negating the (numeric) score instead of
+    the id keeps the tie-break valid for string/any-orderable id columns;
+    a NULL score coalesces to +inf in the negated key so it can never
+    beat a scored member (an all-NULL family keeps its lowest id).
 
     Returns (component, keep_id, n_members, best_<score_col>).
     """
     j = components.join(scored.select(id_col, score_col), id_col)
-    # min_by over (-score, id): max score, then MIN id — negating the
-    # (numeric) score instead of the id keeps the tie-break valid for
-    # string/any-orderable id columns
+    neg = F.coalesce(-F.col(score_col), F.lit(float("inf")))
     return j.groupBy("component").agg(
         F.min_by(
-            F.col(id_col),
-            F.struct((-F.col(score_col)).alias("_ns"), F.col(id_col)),
+            F.col(id_col), F.struct(neg.alias("_ns"), F.col(id_col))
         ).alias("keep_id"),
         F.count(F.lit(1)).alias("n_members"),
         F.max(score_col).alias(f"best_{score_col}"),

@@ -105,3 +105,17 @@ def test_sample_rejects_reserved_column_collision(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "sample_rate" in str(e)
+
+
+def test_mixture_alpha_one_survives_mega_token_strata(spark):
+    """alpha=1 (proportional) on 1e13-token strata must not overflow the
+    integer-unit scaling (max-normalized units, not absolute)."""
+    df = spark.createDataFrame(
+        [(1, "x", "en", 20_000_000_000_000), (2, "y", "fr", 5_000_000_000_000)],
+        "doc_id long, text string, lang string, w long",
+    )
+    out = {r["lang"]: r for r in
+           domain_mixture(df, alpha=1.0, weight_col=F.col("w")).collect()}
+    assert abs(out["en"]["mix_weight"] - 0.8) < 1e-6
+    assert abs(out["fr"]["mix_weight"] - 0.2) < 1e-6
+    assert out["en"]["tokens"] == 20_000_000_000_000

@@ -490,3 +490,24 @@ def test_keep_best_tie_break_works_for_string_ids(spark):
     out = keep_best_per_component(comp, scored).collect()
     assert len(out) == 1
     assert out[0]["keep_id"] == "a" and out[0]["n_members"] == 3
+
+
+def test_keep_best_null_score_never_wins(spark):
+    """A NULL-scored member must lose to ANY scored member (the negated
+    sort key coalesces NULL to +inf); an all-NULL family keeps min id."""
+    from etl_spark.operators.textdedup import keep_best_per_component
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)],
+        "doc_id long, component long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.5), (8, None), (9, None)],
+        "doc_id long, quality double",
+    )
+    out = {r["component"]: r for r in
+           keep_best_per_component(comp, scored).collect()}
+    assert out[1]["keep_id"] == 1          # NULL (doc 2) never wins
+    assert out[1]["best_quality"] == 0.9
+    assert out[8]["keep_id"] == 8          # all-NULL family: min id
+    assert out[8]["best_quality"] is None
