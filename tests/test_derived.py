@@ -270,3 +270,55 @@ def test_clean_corpus_values(spark, stream, tmpdir_path):
     one = got.limit(1).collect()[0]
     assert one["n_tokens"] > 0
     assert len(one["content_sha256"]) == 64
+
+
+def test_clean_corpus_feeds_the_prep_operators_end_to_end(
+    spark, stream, tmpdir_path
+):
+    """The two halves of the engine interlock: CDC replay maintains the
+    clean corpus, and the training-prep operators (stratified sampling,
+    mixture weights, sequence packing, vocab stats) run directly on its
+    output columns — the production path from a change stream to
+    training batches."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.derived import CleanCorpus
+    from etl_spark.operators.packing import pack_sequences
+    from etl_spark.operators.sampling import domain_mixture, stratified_sample
+    from etl_spark.operators.vocab import vocab_topk
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/tc", n_buckets=8)
+    cc = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/clean", n_buckets=4)
+    for st in pipe.replay(stream):
+        cc.update_for_commit(st.commit)
+    corpus = cc.read().withColumn(
+        "doc_id", F.xxhash64("repo", "path")  # stable numeric id per key
+    )
+    n = corpus.count()
+    assert n > 0
+
+    sampled = stratified_sample(corpus, quota=25, strata_cols=("lang",),
+                                id_col="doc_id")
+    per = {r["lang"]: r["count"] for r in
+           sampled.groupBy("lang").count().collect()}
+    counts = {r["lang"]: r["count"] for r in
+              corpus.groupBy("lang").count().collect()}
+    for lang, c in per.items():
+        assert c <= counts[lang]
+
+    mix = domain_mixture(corpus, alpha=0.3, strata_cols=("lang",),
+                         weight_col=F.col("n_tokens"))
+    total = sum(r["mix_weight"] for r in mix.collect())
+    assert abs(total - 1.0) < 1e-6
+
+    packed = pack_sequences(
+        corpus.select("doc_id", "n_tokens"), capacity=256, n_buckets=4
+    )
+    assert packed.count() == n
+    assert packed.where(
+        (F.col("seq_offset") < 0) | (F.col("seq_idx") < 0)
+    ).count() == 0
+
+    vocab = vocab_topk(corpus, k=5, text_col="content", min_count=2)
+    assert vocab.where(F.col("rank") > 5).count() == 0
+    assert vocab.count() > 0
