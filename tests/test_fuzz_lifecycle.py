@@ -22,6 +22,7 @@ which exercises re-attach under every evolved layout.)
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -53,7 +54,14 @@ def _apply_rows(model: dict, rows: list) -> None:
         model[(repo, path)] = ((commit, content), deleted)
 
 
-@pytest.mark.parametrize("seed", [7, 91, 303])
+# soak knobs: FUZZ_SEEDS / FUZZ_STEPS env overrides for ad hoc long
+# runs (the round-close soak); CI defaults stay 3 seeds x 24 steps.
+# Seed 7 always runs with the auto-compaction policy OFF (baseline).
+_SEEDS = [int(x) for x in os.environ.get("FUZZ_SEEDS", "7,91,303").split(",")]
+_STEPS = int(os.environ.get("FUZZ_STEPS", "24"))
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
 def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     rng = random.Random(seed)
     # manifest_inline_files=6 forces GROUPED manifests almost immediately —
@@ -120,7 +128,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                             "c%012d" % c_lsn, "v%d" % c_lsn, "u"))
         return out
 
-    for step in range(24):
+    for step in range(_STEPS):
         op = rng.choice(
             ["merge", "merge", "merge", "delete", "compact",
              "rebucket", "rollback", "expire_vacuum", "stream"]
