@@ -892,7 +892,9 @@ def q_ann_lsh(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, k=10, n_planes=4)
+    # dim=64 (the embeddings width): plane literals precomputed once,
+    # bit-identical to the per-row expression AND the oracle CTE
+    out = lsh_topk(emb, queries, k=10, n_planes=4, dim=64)
     return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
@@ -903,7 +905,7 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     from etl_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4, dim=64)
 
 
 def q_token_bpe(spark, sf_dir):

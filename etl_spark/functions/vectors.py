@@ -27,6 +27,17 @@ def l2_norm(a) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    """Cosine similarity; 0.0 when either vector has zero norm."""
+    """Cosine similarity; 0.0 when either vector has zero norm, NULL when a
+    vector is NULL / contains a NULL element / lengths mismatch.
+
+    The three-way split matters for data hygiene: a zero vector is a valid
+    "similar to nothing" (score 0.0), but a corrupt vector (null element,
+    truncated array) must NOT be asserted non-similar — it propagates NULL,
+    which threshold filters and descending rankers naturally exclude, so
+    corruption surfaces as absence rather than a confident 0.0."""
     na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        F.when(na.isNull() | nb.isNull(), F.lit(None).cast("double"))
+        .when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+        .otherwise(F.lit(0.0))
+    )

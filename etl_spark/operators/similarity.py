@@ -31,6 +31,66 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _not_self(neighbor_col: str, query_col: str):
+    """Self-match exclusion that survives mixed id types and NULLs.
+
+    A raw ``!=`` between a string query id and a long corpus id coerces the
+    string to NULL and silently drops EVERY candidate; comparing canonical
+    string forms keeps same-type semantics (two longs are equal iff their
+    strings are) and null-safe equality keeps null-id rows instead of
+    nulling the predicate.
+    """
+    return ~F.col(neighbor_col).cast("string").eqNullSafe(
+        F.col(query_col).cast("string")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Distributed per-query top-k over (query, neighbor_id, score) rows.
+
+    A naive ``row_number() OVER (PARTITION BY query)`` funnels every scored
+    row of a query through ONE reducer — 10^9 rows per task for brute-force
+    scoring. Instead each scan partition pre-reduces to its local top-k
+    (sorted ascending on (-score, id) = the global (score desc, id asc)
+    order, so negation round-trips never touch the emitted score), and the
+    final rank window sees only k x partitions candidates per query. The
+    result is bit-identical to the single-window form: every global top-k
+    row is necessarily in its partition's top-k.
+    """
+    pre = (
+        scored.groupBy(query_id_col, F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("_ns"),
+                            F.col("neighbor_id").alias("_nid"),
+                            F.col("score").alias("_s"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(query_id_col, F.explode("_top").alias("_t"))
+        .select(
+            query_id_col,
+            F.col("_t._nid").alias("neighbor_id"),
+            F.col("_t._s").alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,17 +114,10 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .where(_not_self("neighbor_id", query_id_col))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "score", "rank")
-    )
+    return _rank_topk(scored, k, query_id_col)
 
 
 def _plane_component(plane: int, dim, seed: int):
@@ -91,20 +144,38 @@ def _plane_component(plane: int, dim, seed: int):
     return (F.pmod(h, F.lit(2_000_000)) - F.lit(1_000_000)) / 1_000_000.0
 
 
-def lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7):
+def _plane_component_py(plane: int, i: int, seed: int) -> float:
+    """Driver-side twin of :func:`_plane_component` — identical arithmetic
+    (60-bit md5 prefix, exact-in-double integers), so precomputed plane
+    literals are bit-equal to the per-row JVM expression AND the oracle."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{plane}|{i}|{seed}".encode()).hexdigest()[:15], 16
+    )
+    return ((h % 2_000_000) - 1_000_000) / 1_000_000.0
+
+
+def lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7, dim: int | None = None):
     """Sign-bit bucket id (0 .. 2^n_planes-1) for a vector column.
 
     dot(v, plane_p) = sum_i v[i] * u(p, i); all JVM higher-order functions.
+    The plane components are data-independent; pass ``dim`` (the embedding
+    width, when known) to precompute them ONCE as literals instead of
+    evaluating n_planes x dim md5+conv expressions per corpus row — at 10^9
+    vectors that removes ~10^12 redundant hashes with bit-identical output.
     """
     v = _as_double(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
+        if dim is not None:
+            plane = F.array(
+                *[F.lit(_plane_component_py(p, i, seed)) for i in range(dim)]
+            )
+        else:
+            plane = F.transform(v, lambda _x, i: _plane_component(p, i, seed))
         dot_p = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(v, lambda _x, i: _plane_component(p, i, seed)),
-                lambda x, u: x * u,
-            ),
+            F.zip_with(v, plane, lambda x, u: x * u),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
@@ -139,17 +210,23 @@ def ivf_assignments(
     return assigned, centroids
 
 
+def _sq_dist(v, centroid: list[float]):
+    """Squared L2 distance of a (double-array) column to a literal centroid
+    — the ONE distance expression nearest_centroid and the IVF probe share."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def nearest_centroid(vec_col, centroids: list[list[float]]):
     """Index of the closest centroid (squared L2) — pure JVM expression."""
     v = _as_double(vec_col)
     best_idx, best_dist = F.lit(0), None
     for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
+        d = _sq_dist(v, c)
         if best_dist is None:
             best_dist = d
         else:
@@ -215,12 +292,7 @@ def ivf_topk(
         v = _as_double(vcol)
         dists = []
         for i, cent in enumerate(centroids):
-            carr = F.array(*[F.lit(float(x)) for x in cent])
-            d = F.aggregate(
-                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
+            d = _sq_dist(v, cent)
             dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
         arr = F.array_sort(F.array(*dists))
         return F.transform(F.slice(arr, 1, n_probe), lambda s: s["i"])
@@ -232,17 +304,10 @@ def ivf_topk(
     )
     scored = (
         c.join(F.broadcast(q), "_list")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .where(_not_self("neighbor_id", query_id_col))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "score", "rank")
-    )
+    return _rank_topk(scored, k, query_id_col)
 
 
 def embedding_near_dup_pairs(
@@ -252,6 +317,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -262,7 +328,7 @@ def embedding_near_dup_pairs(
     """
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     if n_planes > 0:
-        c = c.withColumn("_bucket", lsh_bucket(F.col("_v"), n_planes, seed))
+        c = c.withColumn("_bucket", lsh_bucket(F.col("_v"), n_planes, seed, dim))
         a, b = c.alias("a"), c.alias("b")
         pairs = a.join(
             b,
@@ -289,6 +355,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH bucket.
 
@@ -299,23 +366,16 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
-        lsh_bucket(F.col(vec_col), n_planes, seed).alias("_bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, seed, dim).alias("_bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         _as_double(F.col(vec_col)).alias("_qv"),
-        lsh_bucket(F.col(vec_col), n_planes, seed).alias("_bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, seed, dim).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .where(_not_self("neighbor_id", query_id_col))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "score", "rank")
-    )
+    return _rank_topk(scored, k, query_id_col)

@@ -423,13 +423,23 @@ class IngestPipeline:
             return stats
         return self._apply_batch([segment], mode="incremental")
 
-    def _backfill_log(self, epoch: int) -> None:
+    def _backfill_log(self, epoch: int, provenance_offset: int = 0) -> None:
         """Rebuild lineage for a committed epoch from the table's own rows
         (row-level epoch provenance makes the log fully derivable). An epoch
         whose rows were ALL superseded yields zero rows — write the zero-row
         marker partition anyway, or every later replay would re-run this
-        full-table scan trying to heal the same epoch forever."""
-        applied = self.table.read().where(F.col("epoch") == epoch)
+        full-table scan trying to heal the same epoch forever.
+
+        ``provenance_offset`` heals streaming commits: their rows carry
+        provenance ``offset + batch_id`` while the stream log stays keyed by
+        the raw batch id (same contract as ``_log_lineage``)."""
+        applied = self.table.read().where(
+            F.col("epoch") == epoch + provenance_offset
+        )
+        if provenance_offset:
+            applied = applied.withColumn(
+                "epoch", F.col("epoch") - F.lit(provenance_offset)
+            )
         lineage = self.log.lineage_rows_multi(applied, self.table._bucket_expr())
         pdf = lineage.toPandas()
         if pdf.empty:

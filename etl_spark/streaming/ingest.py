@@ -64,6 +64,56 @@ def _retry_on_layout_drift(run, reattach):
         return run()
 
 
+def _apply_stream_batch(
+    pipe: IngestPipeline, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch through the shared core (module-level so the
+    crash-window heal is directly testable).
+
+    Same core as IngestPipeline._apply_batch, keyed by streaming batch
+    id: the sink's applied-epoch set makes re-delivered batches no-ops.
+    """
+    from etl_spark.lake.table import STREAM_EPOCH_BASE
+
+    # row provenance lives in a disjoint id range (base + batch id) so a
+    # mixed batch+stream table's change feed and lineage filters can
+    # attribute every row unambiguously; the manifest's stream space
+    # still tracks raw batch ids for the exactly-once check.
+    # size the staging exchange to THIS micro-batch: a trigger's file
+    # set is bounded (maxFilesPerTrigger), so statting it is O(batch)
+    try:
+        pipe._batch_bytes = sum(
+            os.path.getsize(
+                urlparse(f).path if f.startswith("file:") else f
+            )
+            for f in batch_df.inputFiles()
+        )
+    except OSError:
+        pipe._batch_bytes = None
+    _, winners = pipe.dedupe_plan(clean_events(batch_df))
+    deduped = derive_content_columns(winners).withColumn(
+        "epoch", F.lit(int(STREAM_EPOCH_BASE + batch_id)).cast("int")
+    )
+    # row provenance = streaming batch id (the commit key), replacing the
+    # source segment id — keeps lineage derivable from the table rows.
+    commit = pipe.table.merge_epochs(
+        deduped,
+        [int(batch_id)],
+        extra_summary={"mode": "streaming", "batch_id": int(batch_id)},
+        assume_deduped=True,
+        epoch_space="stream",
+        size_hint=getattr(pipe, "_batch_bytes", None),
+    )
+    if not commit.get("skipped"):
+        pipe._log_lineage(commit, provenance_offset=STREAM_EPOCH_BASE)
+    elif int(batch_id) not in pipe.log.logged_epochs():
+        # heal a crash between the manifest commit and the lineage write
+        # (mirror of the batch path's apply_epoch heal): the re-delivered
+        # batch is a merge no-op, but its lineage must still be rebuilt
+        # from the rows' stream provenance
+        pipe._backfill_log(int(batch_id), provenance_offset=STREAM_EPOCH_BASE)
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_root: str,
@@ -111,45 +161,9 @@ def stream_ingest(
         # guard; re-attach once under the new layout and retry the batch —
         # the exactly-once commit makes the retry safe
         _retry_on_layout_drift(
-            lambda: _apply(state["pipe"], batch_df, batch_id),
+            lambda: _apply_stream_batch(state["pipe"], batch_df, batch_id),
             lambda: state.__setitem__("pipe", _mk_pipe()),
         )
-
-    def _apply(pipe: IngestPipeline, batch_df: DataFrame, batch_id: int) -> None:
-        # Same core as IngestPipeline._apply_batch, keyed by streaming batch
-        # id: the sink's applied-epoch set makes re-delivered batches no-ops.
-        from etl_spark.lake.table import STREAM_EPOCH_BASE
-
-        # row provenance lives in a disjoint id range (base + batch id) so a
-        # mixed batch+stream table's change feed and lineage filters can
-        # attribute every row unambiguously; the manifest's stream space
-        # still tracks raw batch ids for the exactly-once check.
-        # size the staging exchange to THIS micro-batch: a trigger's file
-        # set is bounded (maxFilesPerTrigger), so statting it is O(batch)
-        try:
-            pipe._batch_bytes = sum(
-                os.path.getsize(
-                    urlparse(f).path if f.startswith("file:") else f
-                )
-                for f in batch_df.inputFiles()
-            )
-        except OSError:
-            pipe._batch_bytes = None
-        _, winners = pipe.dedupe_plan(clean_events(batch_df))
-        deduped = derive_content_columns(winners).withColumn(
-            "epoch", F.lit(int(STREAM_EPOCH_BASE + batch_id)).cast("int")
-        )
-        # row provenance = streaming batch id (the commit key), replacing the
-        # source segment id — keeps lineage derivable from the table rows.
-        commit = pipe.table.merge_epochs(
-            deduped,
-            [int(batch_id)],
-            extra_summary={"mode": "streaming", "batch_id": int(batch_id)},
-            assume_deduped=True,
-            epoch_space="stream",
-        )
-        if not commit.get("skipped"):
-            pipe._log_lineage(commit, provenance_offset=STREAM_EPOCH_BASE)
 
     writer = (
         source.writeStream.foreachBatch(apply_batch)

@@ -100,8 +100,10 @@ def sessionize_stream(
         F.col("ts").cast("long").alias("es"),
         F.col("event_id").cast("long").alias("event_id"),
     # a null ts would reach the state fn as NaN and int(NaN) would kill the
-    # whole streaming query — drop it here (per-row error isolation)
-    ).where(F.col("es").isNotNull())
+    # whole streaming query; a null user_id would key a (None,) group whose
+    # emitted row violates SESSION_SCHEMA's non-null long — drop both here
+    # (per-row error isolation)
+    ).where(F.col("es").isNotNull() & F.col("user_id").isNotNull())
     return keyed.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_s),
         outputStructType=SESSION_SCHEMA,

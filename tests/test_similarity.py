@@ -169,3 +169,44 @@ def test_driver_ann_ivf_recall_floor(spark):
     recall = out[0]["recall_at_10"]
     assert all(abs(r["recall_at_10"] - recall) < 1e-12 for r in out)
     assert recall >= 0.8, f"IVF recall@10 regressed to {recall}"
+
+
+def test_cosine_null_propagates_zero_norm_scores_zero(spark):
+    """Corrupt vectors (null element / length mismatch / whole-null) score
+    NULL — absence, not a confident 0.0; a genuine zero vector scores 0.0."""
+    from etl_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [
+            ("null_elem", [1.0, None], [1.0, 2.0]),
+            ("mismatch", [1.0], [1.0, 2.0]),
+            ("whole_null", None, [1.0, 2.0]),
+            ("zero_vec", [0.0, 0.0], [1.0, 2.0]),
+            ("ok", [1.0, 0.0], [1.0, 0.0]),
+        ],
+        "case string, a array<double>, b array<double>",
+    )
+    got = {r["case"]: r["s"] for r in
+           df.select("case", cosine_similarity("a", "b").alias("s")).collect()}
+    assert got["null_elem"] is None
+    assert got["mismatch"] is None
+    assert got["whole_null"] is None
+    assert got["zero_vec"] == 0.0
+    assert abs(got["ok"] - 1.0) < 1e-12
+
+
+def test_topk_string_query_ids_against_long_corpus_ids(spark):
+    """Disjoint id DOMAINS with different TYPES must not silently return
+    empty (a raw != coerces the string id to NULL and drops every row)."""
+    from etl_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, embedding array<float>"
+    )
+    out = brute_force_topk(corpus, queries, k=2).collect()
+    assert len(out) == 2
+    assert out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1

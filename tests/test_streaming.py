@@ -248,3 +248,45 @@ def test_stream_resumes_exactly_once_after_rebucket(spark, tmpdir_path):
     assert fresh.n_buckets == 16
     assert fresh.read().count() > n1
     assert fresh.fsck()["ok"]
+
+
+def test_stream_lineage_heals_crash_between_commit_and_log(
+    spark, stream, tmpdir_path
+):
+    """Crash window: manifest commit lands, the lineage write does not.
+    On re-delivery the merge is a no-op (exactly-once) and the heal must
+    rebuild that batch's lineage from the rows' stream provenance — the
+    streaming mirror of apply_epoch's batch-path heal."""
+    import shutil
+
+    from etl_spark.checkpoint import CheckpointLog
+    from etl_spark.pipeline import IngestPipeline
+    from etl_spark.streaming.ingest import STREAM_DDL, _apply_stream_batch
+
+    pipe = IngestPipeline(
+        spark, f"{tmpdir_path}/t", n_buckets=4, count_input=False
+    )
+    pipe.log = CheckpointLog(spark, f"{tmpdir_path}/t/_checkpoint_stream")
+    batch = spark.read.schema(f"{STREAM_DDL}, epoch int").option(
+        "basePath", stream
+    ).parquet(f"{stream}/epoch=*")
+
+    _apply_stream_batch(pipe, batch, 0)
+    assert 0 in pipe.log.logged_epochs()
+    before = pipe.log.read().where("epoch = 0").count()
+    assert before > 0
+
+    # simulate the crash window: commit persisted, lineage lost
+    shutil.rmtree(f"{tmpdir_path}/t/_checkpoint_stream")
+    pipe.log = CheckpointLog(spark, f"{tmpdir_path}/t/_checkpoint_stream")
+    assert 0 not in pipe.log.logged_epochs()
+
+    # re-delivery: merge is a no-op, heal rebuilds the lineage
+    _apply_stream_batch(pipe, batch, 0)
+    assert 0 in pipe.log.logged_epochs()
+    healed = pipe.log.read().where("epoch = 0")
+    assert healed.count() > 0
+    # healed rows aggregate the same event counts per bucket as the rows
+    got = healed.agg({"row_count": "sum"}).collect()[0][0]
+    live = pipe.table.read().count()
+    assert got == live  # every current row's lineage restored

@@ -185,3 +185,19 @@ def test_open_sessions_reads_live_state_from_checkpoint(spark, tmpdir_path):
     assert live == {(1, 12000, 12000 + GAP, 2), (2, 50, 60, 2)}
     # and nothing was spuriously emitted for the stitched session
     assert (1, 12000, 12000, 1) not in _sessions(spark, out)
+
+
+def test_null_user_id_event_is_isolated_not_fatal(spark, tmpdir_path):
+    """A null user_id would key a (None,) group whose emitted row violates
+    SESSION_SCHEMA's non-null long and kill the whole query — it must be
+    dropped like a null ts (per-row error isolation)."""
+    src = f"{tmpdir_path}/src"
+    spark.createDataFrame(
+        [(1, 0, 0), (None, 50, 1), (1, 100, 2), (1, 5000, 3)],
+        "user_id long, es long, event_id long",
+    ).selectExpr(
+        "user_id", "CAST(es AS timestamp) AS ts", "event_id"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt")
+    got = _sessions(spark, f"{tmpdir_path}/out")
+    assert got == {(1, 0, 100, 2)}  # null-keyed row ignored, query survived
