@@ -31,18 +31,20 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _not_self(neighbor_col: str, query_col: str):
+def _not_self(neighbor_col: str, query_col: str, same_type: bool):
     """Self-match exclusion that survives mixed id types and NULLs.
 
-    A raw ``!=`` between a string query id and a long corpus id coerces the
-    string to NULL and silently drops EVERY candidate; comparing canonical
-    string forms keeps same-type semantics (two longs are equal iff their
-    strings are) and null-safe equality keeps null-id rows instead of
-    nulling the predicate.
+    Self-matches only exist when the two id domains coincide, which implies
+    the same type: with ``same_type`` the ids compare null-safely (a raw
+    ``!=`` nulls out for null ids). With DIFFERENT types the domains are
+    disjoint by construction, so NOTHING is excluded — a raw ``!=`` would
+    coerce (string vs long -> NULL) and silently drop EVERY candidate, and
+    a canonical-string compare would falsely drop long 5 against query id
+    \"5\".
     """
-    return ~F.col(neighbor_col).cast("string").eqNullSafe(
-        F.col(query_col).cast("string")
-    )
+    if not same_type:
+        return F.lit(True)
+    return ~F.col(neighbor_col).eqNullSafe(F.col(query_col))
 
 
 def _rank_topk(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
@@ -50,13 +52,26 @@ def _rank_topk(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
 
     A naive ``row_number() OVER (PARTITION BY query)`` funnels every scored
     row of a query through ONE reducer — 10^9 rows per task for brute-force
-    scoring. Instead each scan partition pre-reduces to its local top-k
-    (sorted ascending on (-score, id) = the global (score desc, id asc)
-    order, so negation round-trips never touch the emitted score), and the
-    final rank window sees only k x partitions candidates per query. The
-    result is bit-identical to the single-window form: every global top-k
-    row is necessarily in its partition's top-k.
+    scoring. Instead rows group by (query, scan partition) — the exchange
+    ships the same row volume as any grouping, but spread over ~partitions
+    reducers instead of one per query, and each group's list (one
+    partition's candidates for one query, bounded by the scan split size;
+    the aggregate falls back to sort-based under memory pressure) is cut to
+    its local top-k (sorted ascending on (-score, id) = the global
+    (score desc, id asc) order, so negation round-trips never touch the
+    emitted score). The final rank window then sees only k x partitions
+    candidates per query. For non-corrupt inputs the result is identical
+    to the single-window form: every global top-k row is necessarily in
+    its partition's top-k.
+
+    NULL scores (corrupt vectors — see ``cosine_similarity``) and NULL
+    neighbor ids are EXCLUDED from rankings: corruption surfaces as
+    absence, never as a ranked row displacing a real neighbor (struct
+    sorting is nulls-first, the exact inversion of the desc window order).
     """
+    scored = scored.where(
+        F.col("score").isNotNull() & F.col("neighbor_id").isNotNull()
+    )
     pre = (
         scored.groupBy(query_id_col, F.spark_partition_id().alias("_p"))
         .agg(
@@ -112,9 +127,10 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
+    same_type = dict(corpus.dtypes)[id_col] == dict(queries.dtypes)[query_id_col]
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(_not_self("neighbor_id", query_id_col))
+        .where(_not_self("neighbor_id", query_id_col, same_type))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
     return _rank_topk(scored, k, query_id_col)
@@ -163,22 +179,40 @@ def lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7, dim: int | None = None
     The plane components are data-independent; pass ``dim`` (the embedding
     width, when known) to precompute them ONCE as literals instead of
     evaluating n_planes x dim md5+conv expressions per corpus row — at 10^9
-    vectors that removes ~10^12 redundant hashes with bit-identical output.
+    vectors that removes ~10^12 redundant hashes with bit-identical output
+    for EVERY row length: the literal plane is sliced to the row's real
+    width, and rows longer than ``dim`` (ragged data) fall back per-row to
+    the computed components, so the fast path never silently reroutes a
+    corrupt vector to bucket 0.
     """
     v = _as_double(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
+        slow = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(v, lambda _x, i: _plane_component(p, i, seed)),
+                lambda x, u: x * u,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         if dim is not None:
             plane = F.array(
                 *[F.lit(_plane_component_py(p, i, seed)) for i in range(dim)]
             )
+            fast = F.aggregate(
+                F.zip_with(
+                    v, F.slice(plane, 1, F.size(v)), lambda x, u: x * u
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            # CaseWhen evaluates lazily per row: the md5 branch only runs
+            # for over-long rows
+            dot_p = F.when(F.size(v) <= dim, fast).otherwise(slow)
         else:
-            plane = F.transform(v, lambda _x, i: _plane_component(p, i, seed))
-        dot_p = F.aggregate(
-            F.zip_with(v, plane, lambda x, u: x * u),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
+            dot_p = slow
         bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -302,9 +336,10 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("_qv"),
         F.explode(probe_lists(F.col(vec_col))).alias("_list"),
     )
+    same_type = dict(corpus.dtypes)[id_col] == dict(queries.dtypes)[query_id_col]
     scored = (
         c.join(F.broadcast(q), "_list")
-        .where(_not_self("neighbor_id", query_id_col))
+        .where(_not_self("neighbor_id", query_id_col, same_type))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
     return _rank_topk(scored, k, query_id_col)
@@ -373,9 +408,10 @@ def lsh_topk(
         _as_double(F.col(vec_col)).alias("_qv"),
         lsh_bucket(F.col(vec_col), n_planes, seed, dim).alias("_bucket"),
     )
+    same_type = dict(corpus.dtypes)[id_col] == dict(queries.dtypes)[query_id_col]
     scored = (
         c.join(F.broadcast(q), "_bucket")
-        .where(_not_self("neighbor_id", query_id_col))
+        .where(_not_self("neighbor_id", query_id_col, same_type))
         .withColumn("score", F.round(cosine_similarity("_qv", "_cv"), 6))
     )
     return _rank_topk(scored, k, query_id_col)

@@ -210,3 +210,67 @@ def test_topk_string_query_ids_against_long_corpus_ids(spark):
     out = brute_force_topk(corpus, queries, k=2).collect()
     assert len(out) == 2
     assert out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_corrupt_vectors_and_null_ids_are_absent_from_rankings(spark):
+    """A NULL-scored candidate (corrupt vector) or NULL-id corpus row must
+    never occupy a top-k slot — corruption surfaces as absence (the struct
+    pre-sort is nulls-FIRST, the inversion of the desc window order)."""
+    from etl_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [1.0, None]),        # corrupt: null element -> NULL score
+            (None, [0.95, 0.05]),    # null id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = brute_force_topk(corpus, queries, k=4).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert ids == [1, 2]             # real neighbors only, best first
+    assert all(r["score"] is not None for r in out)
+
+
+def test_same_string_form_cross_type_ids_are_not_excluded(spark):
+    """long 5 in the corpus vs string query id \"5\": different domains,
+    different types — the corpus row must stay a candidate (a canonical-
+    string compare would falsely self-exclude it)."""
+    from etl_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("5", [1.0, 0.0])], "query_id string, embedding array<double>"
+    )
+    out = brute_force_topk(corpus, queries, k=1).collect()
+    assert out[0]["neighbor_id"] == 5 and out[0]["rank"] == 1
+
+
+def test_lsh_bucket_dim_fast_path_matches_slow_path_on_ragged_rows(spark):
+    """The precomputed-plane fast path must bucket EVERY row length exactly
+    like the per-row computed path: shorter, equal, and longer than dim."""
+    from etl_spark.operators.similarity import lsh_bucket
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.2, 0.9, 0.1]),        # == dim
+            (2, [0.5, -0.2]),                  # shorter
+            (3, [0.5, -0.2, 0.9, 0.1, -0.7]),  # longer (ragged)
+            (4, []),                           # empty
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = df.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), n_planes=4, seed=7).alias("slow"),
+        lsh_bucket(F.col("embedding"), n_planes=4, seed=7, dim=4).alias("fast"),
+    ).collect()
+    for r in got:
+        assert r["slow"] == r["fast"], r["vec_id"]
