@@ -1,0 +1,318 @@
+"""Spatial math + grid encoding (SURVEY §2.7 spatial / grid rows, literal).
+
+The reference keeps a compact spatial layer under its sessionization and
+cover operators: haversine distance / speed / MBR area
+(/root/reference/src/core/utils.py:15-57), lon/lat -> fractional slippy
+tile at a zoom (cellstring_utils.py:28-43, "adapted from Carto's quadbin
+``point_to_tile_fraction``"), xyz -> quadkey cell ids
+(cellstring_utils.py:24-25, via the external ``ukc_core`` package — not in
+the reference repo, so this module fixes the standard Bing convention: the
+z-digit base-4 quadkey string, digit = 2*ybit + xbit MSB-first, read as an
+integer), and a deprecated offset cell encoding (cellstring_utils.py:282-334).
+
+Spark-first shape: everything here that is closed-form math is a BUILT-IN
+column expression (JVM-side, inside whole-stage codegen — radians/sin/cos/
+asin/ln/floor and a single higher-order ``aggregate`` for the quadkey bit
+interleave). No Python touches the hot path. The numpy twins (``np_*``)
+exist for the cover operators' Arrow-batched UDF internals
+(operators/geocover.py) and for tests; they use the exact same formulas so
+both paths produce bit-identical doubles.
+
+The WKB PointM codec is the one genuinely non-SQL piece (IEEE-754 byte
+packing): vectorized numpy over Arrow batches, never per-row Python. The
+reference likewise shuttles geometries as WKB bytes across process
+boundaries (core/points_to_ls_poly.py:35-40); SURVEY §1's type mapping
+keeps geometry as ``BinaryType`` WKB for the same reason.
+
+Scale notes: all functions are per-row and shuffle-free; a 100 TB scan maps
+through them without any exchange. Quadkey cell ids at z<=21 fit in 42 bits
+(LongType, SURVEY §1's UINT64 remap).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_RADIUS_M = 6_371_000.0  # mean Earth radius (reference utils.py:9)
+KNOT_AS_MPS = 0.514444  # 1 knot = 0.514444 m/s (reference utils.py:6)
+DEFAULT_ZOOM = 21  # reference cellstring_utils.py:19
+
+# ISO WKB: little-endian byte-order marker + geometry type PointM (2001).
+_WKB_NDR = 1
+_WKB_POINT_M = 2001
+_WKB_POINT_M_LEN = 1 + 4 + 3 * 8  # order byte + uint32 type + x, y, m
+
+
+# ---------------------------------------------------------------------------
+# Tile / quadkey encoding (built-in column expressions)
+# ---------------------------------------------------------------------------
+
+
+def tile_frac(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Fractional slippy-tile coordinates at ``zoom`` (Web Mercator).
+
+    Mirrors the reference's ``_point_to_tile_fraction``
+    (cellstring_utils.py:28-43): x wraps into [0, 2^z), y is clamped to
+    [0, 2^z - 1]. Pure built-ins — stays inside codegen.
+    """
+    z2 = float(1 << zoom)
+    sinlat = F.sin(F.radians(lat))
+    x = F.lit(z2) * (lon / F.lit(360.0) + F.lit(0.5))
+    # wrap x into [0, z2) — ((x % z2) + z2) % z2 handles negatives
+    x = ((x % F.lit(z2)) + F.lit(z2)) % F.lit(z2)
+    yfrac = F.lit(0.5) - F.lit(0.25) * F.log(
+        (F.lit(1.0) + sinlat) / (F.lit(1.0) - sinlat)
+    ) / F.lit(math.pi)
+    y = F.greatest(F.lit(0.0), F.least(F.lit(z2 - 1.0), F.lit(z2) * yfrac))
+    return x, y
+
+
+def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Integer tile coordinates at ``zoom`` (floor of the fractional pair)."""
+    xf, yf = tile_frac(lon, lat, zoom)
+    return F.floor(xf).cast("long"), F.floor(yf).cast("long")
+
+
+def quadkey_expr(x_name: str, y_name: str, zoom: int) -> Column:
+    """Quadkey integer of tile columns ``x_name``/``y_name`` at ``zoom``.
+
+    Standard Bing convention: the zoom-digit base-4 string (digit at level
+    l = 2*ybit + xbit of bit zoom-1-l), read as an integer — i.e.
+    sum_i (2*ybit_i + xbit_i) * 4^i. Expressed as a single higher-order
+    ``aggregate`` over ``sequence(zoom-1, 0)`` (MSB-first Horner), which
+    Spark evaluates JVM-side per row with no UDF. Needs NAMED columns
+    because ``shiftright``'s bit-count must be an expression (the sequence
+    variable), which the Python ``F.shiftright`` wrapper can't take.
+    """
+    return F.expr(
+        f"aggregate(sequence({zoom - 1}, 0, -1), 0L, (acc, i) -> "
+        f"acc * 4 + (shiftright({y_name}, i) % 2) * 2 "
+        f"+ shiftright({x_name}, i) % 2)"
+    )
+
+
+def quadkey_parent(qk: Column, levels_up: int) -> Column:
+    """Ancestor quadkey ``levels_up`` zoom levels coarser (drop 2 bits/level)."""
+    return F.shiftright(qk, 2 * levels_up)
+
+
+def offset_cell_encode(x: Column, y: Column, zoom: int) -> Column:
+    """The reference's deprecated offset cell encoding
+    (cellstring_utils.py:282-308): ``OFFSET_z + x * MULT_z + y`` for
+    z in {13, 17, 21}. Kept for parity; quadkeys are the real ids."""
+    offset, mult = _OFFSET_PARAMS[zoom]
+    return (F.lit(offset) + x * F.lit(mult) + y).cast("long")
+
+
+_OFFSET_PARAMS = {
+    13: (100_000_000, 10_000),
+    17: (1_000_000_000_000, 1_000_000),
+    21: (100_000_000_000_000, 10_000_000),
+}
+
+
+# ---------------------------------------------------------------------------
+# Spatial math (built-in column expressions; reference utils.py:15-57)
+# ---------------------------------------------------------------------------
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Haversine distance in meters (reference ``haversine_distance_m``)."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = F.pow(F.sin(dlat / F.lit(2.0)), F.lit(2.0)) + F.cos(rlat1) * F.cos(
+        rlat2
+    ) * F.pow(F.sin(dlon / F.lit(2.0)), F.lit(2.0))
+    return F.lit(EARTH_RADIUS_M * 2.0) * F.asin(F.sqrt(a))
+
+
+def speed_knots(dist_m: Column, dt_s: Column) -> Column:
+    """Average speed in knots (reference ``compute_motion``, utils.py:44-49).
+
+    Deviation: the reference returns ``inf`` when dt <= 0; here NULL —
+    NULL survives Parquet round-trips and cross-engine comparison where a
+    double infinity is fragile, and downstream filters treat both as
+    "no valid speed"."""
+    return F.when(dt_s > 0, dist_m / dt_s / F.lit(KNOT_AS_MPS))
+
+
+def mbr_area_m2(
+    min_lon: Column, min_lat: Column, max_lon: Column, max_lat: Column
+) -> Column:
+    """Minimum-bounding-rectangle area in m² (reference ``compute_mbr_area``,
+    utils.py:52-57): width along the south edge × height along the west
+    edge, both haversine."""
+    w = haversine_m(min_lon, min_lat, max_lon, min_lat)
+    h = haversine_m(min_lon, min_lat, min_lon, max_lat)
+    return w * h
+
+
+# ---------------------------------------------------------------------------
+# numpy twins (UDF internals + tests; identical formulas)
+# ---------------------------------------------------------------------------
+
+
+def np_tile_frac(
+    lon: np.ndarray, lat: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    z2 = float(1 << zoom)
+    sinlat = np.sin(np.radians(lat))
+    x = z2 * (lon / 360.0 + 0.5)
+    x = np.mod(np.mod(x, z2) + z2, z2)
+    yfrac = 0.5 - 0.25 * np.log((1.0 + sinlat) / (1.0 - sinlat)) / math.pi
+    y = np.maximum(0.0, np.minimum(z2 - 1.0, z2 * yfrac))
+    return x, y
+
+
+def np_quadkey(x: np.ndarray, y: np.ndarray, zoom: int) -> np.ndarray:
+    """Vectorized bit-interleave: one pass over the zoom levels, whole
+    arrays per level (never per-row Python)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    qk = np.zeros_like(x)
+    for i in range(zoom):
+        qk |= ((x >> i) & 1) << (2 * i)
+        qk |= ((y >> i) & 1) << (2 * i + 1)
+    return qk
+
+
+def np_tile_lat_deg(y: np.ndarray, zoom: int) -> np.ndarray:
+    """Latitude (degrees) of the TOP edge of tile row ``y`` — the inverse
+    Mercator. sinh spelled as (e^a - e^-a)/2 so the oracle SQL (DuckDB has
+    no sinh) and this path share the exact expression tree."""
+    a = math.pi * (1.0 - 2.0 * np.asarray(y, dtype=np.float64) / float(1 << zoom))
+    return np.degrees(np.arctan((np.exp(a) - np.exp(-a)) / 2.0))
+
+
+def np_haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    rlon1, rlat1 = np.radians(lon1), np.radians(lat1)
+    rlon2, rlat2 = np.radians(lon2), np.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2.0) ** 2
+    )
+    return EARTH_RADIUS_M * 2.0 * np.arcsin(np.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# WKB PointM codec (vectorized numpy over Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+def _encode_point_m_np(lon: np.ndarray, lat: np.ndarray, m: np.ndarray) -> list[bytes]:
+    n = len(lon)
+    buf = np.empty((n, _WKB_POINT_M_LEN), dtype=np.uint8)
+    buf[:, 0] = _WKB_NDR
+    buf[:, 1:5] = np.frombuffer(
+        np.array([_WKB_POINT_M], dtype="<u4").tobytes(), dtype=np.uint8
+    )
+    coords = buf[:, 5:].view("<f8")
+    coords[:, 0] = lon
+    coords[:, 1] = lat
+    coords[:, 2] = m
+    return [row.tobytes() for row in buf]
+
+
+@F.pandas_udf(T.BinaryType())
+def wkb_point_m(lon: pd.Series, lat: pd.Series, m: pd.Series) -> pd.Series:
+    """ST_PointM equivalent: (lon, lat, m) -> ISO WKB bytes (type 2001,
+    little-endian). Reference parity: ``ST_PointM`` in
+    pg_construct_trajs_stops.py:170-173 / mat_points_view.py:59."""
+    out = _encode_point_m_np(
+        lon.to_numpy(dtype=np.float64),
+        lat.to_numpy(dtype=np.float64),
+        m.to_numpy(dtype=np.float64),
+    )
+    return pd.Series(out)
+
+
+_POINT_M_STRUCT = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_POINT_M_STRUCT)
+def wkb_point_m_decode(wkb: pd.Series) -> pd.DataFrame:
+    """ST_X / ST_Y / ST_M equivalent: ISO WKB PointM bytes -> (x, y, m).
+    Malformed input (wrong length / type tag) decodes to NULLs instead of
+    failing the batch — the reference's per-row error-isolation stance
+    (SURVEY U5). One vectorized pass: stack the fixed-length rows, view the
+    coordinate block as little-endian f8."""
+    vals = wkb.to_numpy(dtype=object)
+    n = len(vals)
+    ok = np.zeros(n, dtype=bool)
+    raw = np.zeros((n, _WKB_POINT_M_LEN), dtype=np.uint8)
+    for i, b in enumerate(vals):  # bounded by batch size; bytes len-check only
+        if isinstance(b, (bytes, bytearray)) and len(b) == _WKB_POINT_M_LEN:
+            raw[i] = np.frombuffer(b, dtype=np.uint8)
+            ok[i] = True
+    if ok.any():
+        hdr_ok = (raw[:, 0] == _WKB_NDR) & (
+            raw[:, 1:5].view("<u4")[:, 0] == _WKB_POINT_M
+        )
+        ok &= hdr_ok
+    coords = raw[:, 5:].view("<f8")
+    out = pd.DataFrame(
+        {"x": coords[:, 0], "y": coords[:, 1], "m": coords[:, 2]}
+    )
+    if not ok.all():
+        out = out.astype("Float64")
+        out[~ok] = pd.NA
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic track points (tests / oracles / bench)
+# ---------------------------------------------------------------------------
+
+# Exact-integer-arithmetic-then-one-divide so Spark and DuckDB produce
+# bit-identical doubles. Box ~0.03° x 0.03° off Skagen (the reference's AIS
+# test fixtures sit in the same waters — tests/test_transform_ls_to_cs.py).
+SYNTH_LON0 = 10.5
+SYNTH_LAT0 = 57.2
+SYNTH_MOD = 9001
+SYNTH_DIV = 300_000.0
+SYNTH_VESSELS = 16
+
+SYNTH_POINTS_SQL = f"""
+    SELECT user_id % {SYNTH_VESSELS} AS vessel_id,
+           event_id,
+           floor(epoch(ts))::BIGINT AS ts_s,
+           {SYNTH_LON0} + ((event_id * 37 + 11) % {SYNTH_MOD}) / {SYNTH_DIV} AS lon,
+           {SYNTH_LAT0} + ((event_id * 61 + 7) % {SYNTH_MOD}) / {SYNTH_DIV} AS lat
+    FROM events
+"""
+
+
+def synth_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (vessel_id, event_id, ts_s, lon, lat) derived from the
+    events table — the geo queries' input; ``SYNTH_POINTS_SQL`` is the
+    DuckDB-side twin (identical integer arithmetic, one divide)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("user_id") % SYNTH_VESSELS).alias("vessel_id"),
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        (
+            F.lit(SYNTH_LON0)
+            + ((F.col("event_id") * 37 + 11) % SYNTH_MOD) / F.lit(SYNTH_DIV)
+        ).alias("lon"),
+        (
+            F.lit(SYNTH_LAT0)
+            + ((F.col("event_id") * 61 + 7) % SYNTH_MOD) / F.lit(SYNTH_DIV)
+        ).alias("lat"),
+    )
