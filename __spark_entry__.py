@@ -39,11 +39,26 @@ from etl_spark.functions.content import (
     split_assign,
     token_count,
 )
+from etl_spark.functions.geo import (
+    EARTH_RADIUS_M,
+    KNOT_AS_MPS,
+    SYNTH_POINTS_SQL,
+    haversine_m,
+    mbr_area_m2,
+    quadkey_expr,
+    quadkey_parent,
+    speed_knots,
+    synth_track_points,
+    tile_xy,
+    wkb_point_m,
+    wkb_point_m_decode,
+)
 from etl_spark.operators.dedupe import (
     latest_by_key,
     latest_by_key_salted,
     latest_by_key_window,
 )
+from etl_spark.operators.geocover import linecover, polygon_cover
 from etl_spark.operators.multimodal import extract_media_features, synthesize_media
 from etl_spark.operators.sessionize import (
     session_stats,
@@ -74,6 +89,148 @@ def _minhash_sig_terms(num_hashes: int) -> str:
         f"list_min(list_transform(hv, x -> ({a}*x + {b}) % {MINHASH_PRIME}))"
         for a, b in minhash_affine_consts(num_hashes)
     )
+
+
+def _duck_xf(lon: str, z: int) -> str:
+    """DuckDB twin of functions/geo.tile_frac's x (no wrap: the synthetic
+    box never leaves [0, 2^z), and an unconditional mod chain would cost a
+    mantissa bit — see tile_frac)."""
+    return f"(1 << {z}) * ({lon}/360.0 + 0.5)"
+
+
+def _duck_yf(lat: str, z: int) -> str:
+    """DuckDB twin of tile_frac's y (clamped mercator fraction)."""
+    return (
+        f"greatest(0.0, least((1 << {z}) - 1.0, (1 << {z}) * (0.5 - 0.25 * "
+        f"ln((1.0 + sin(radians({lat}))) / (1.0 - sin(radians({lat})))) / pi())))"
+    )
+
+
+def _duck_quadkey(x: str, y: str, z: int) -> str:
+    """DuckDB twin of quadkey_expr / np_quadkey: sum of base-4 digits
+    (2*ybit + xbit) * 4^i — exact integer arithmetic, engine-independent."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {z - 1}), i -> "
+        f"((({y} >> i) & 1) * 2 + (({x} >> i) & 1)) * (1::BIGINT << (2*i))))::BIGINT"
+    )
+
+
+def _duck_haversine(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB twin of haversine_m — the same expression tree (plain
+    multiplications, not pow) so doubles match bit-for-bit."""
+    sdlat = f"sin((radians({lat2}) - radians({lat1})) / 2.0)"
+    sdlon = f"sin((radians({lon2}) - radians({lon1})) / 2.0)"
+    return (
+        f"{EARTH_RADIUS_M * 2.0!r} * asin(sqrt({sdlat} * {sdlat} + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * {sdlon} * {sdlon}))"
+    )
+
+
+def _geo_polycover_sql() -> str:
+    """Interval-arithmetic oracle for q_geo_polycover: for an axis-aligned
+    MBR ring, the cover at each zoom is EXACTLY the bbox tile range (every
+    such tile has positive-area overlap) — no polygon classifier needed."""
+    branches = []
+    for z in GEO_COVER_ZOOMS:
+        branches.append(f"""
+            SELECT vessel_id, {z} AS zoom, {_duck_quadkey('cx.x', 'cy.y', z)} AS cell
+            FROM mbr,
+                 unnest(generate_series(floor({_duck_xf('milon', z)})::BIGINT,
+                                        floor({_duck_xf('malon', z)})::BIGINT)) AS cx(x),
+                 unnest(generate_series(floor({_duck_yf('malat', z)})::BIGINT,
+                                        floor({_duck_yf('milat', z)})::BIGINT)) AS cy(y)
+        """)
+    union = "\n            UNION ALL\n".join(branches)
+    return f"""
+        WITH p AS ({SYNTH_POINTS_SQL}),
+        mbr AS (
+            SELECT vessel_id, min(lon) AS milon, min(lat) AS milat,
+                   max(lon) AS malon, max(lat) AS malat
+            FROM p GROUP BY vessel_id
+        )
+        {union}
+    """
+
+
+def _geo_linecover_sql(z: int) -> str:
+    """Liang–Barsky oracle for q_geo_linecover: per segment, slab-clip every
+    bbox-candidate cell against the segment in tile-fraction space; a cell
+    is visited iff its clipped interval is non-empty; entry order = entry
+    parameter; timestamps interpolate by cell index; consecutive duplicates
+    suppressed across the whole per-vessel track — the reference's
+    linecover semantics derived WITHOUT grid traversal."""
+    return f"""
+        WITH p AS ({SYNTH_POINTS_SQL}),
+        dedup AS (
+            SELECT * FROM (
+                SELECT vessel_id, event_id, ts_s, lon, lat,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+                FROM p WINDOW w AS (PARTITION BY vessel_id ORDER BY ts_s, event_id)
+            ) WHERE plon IS NULL OR NOT (lon = plon AND lat = plat)
+        ),
+        segs AS (
+            SELECT * FROM (
+                SELECT vessel_id,
+                       row_number() OVER w AS seg_idx,
+                       ts_s AS ts0, lead(ts_s) OVER w AS ts1,
+                       {_duck_xf('lon', z)} AS x0, {_duck_yf('lat', z)} AS y0,
+                       lead({_duck_xf('lon', z)}) OVER w AS x1,
+                       lead({_duck_yf('lat', z)}) OVER w AS y1
+                FROM dedup WINDOW w AS (PARTITION BY vessel_id ORDER BY ts_s, event_id)
+            ) WHERE x1 IS NOT NULL
+        ),
+        cand AS (
+            SELECT s.*, cx.cx, cy.cy
+            FROM segs s,
+                 unnest(generate_series(least(floor(s.x0), floor(s.x1))::BIGINT,
+                                        greatest(floor(s.x0), floor(s.x1))::BIGINT)) AS cx(cx),
+                 unnest(generate_series(least(floor(s.y0), floor(s.y1))::BIGINT,
+                                        greatest(floor(s.y0), floor(s.y1))::BIGINT)) AS cy(cy)
+        ),
+        slab AS (
+            SELECT *,
+                greatest(
+                    CASE WHEN x1 = x0
+                         THEN CASE WHEN cx = floor(x0)::BIGINT THEN -2.0 ELSE 2.0 END
+                         ELSE least((cx - x0) / (x1 - x0), (cx + 1 - x0) / (x1 - x0)) END,
+                    CASE WHEN y1 = y0
+                         THEN CASE WHEN cy = floor(y0)::BIGINT THEN -2.0 ELSE 2.0 END
+                         ELSE least((cy - y0) / (y1 - y0), (cy + 1 - y0) / (y1 - y0)) END,
+                    0.0) AS tlo,
+                least(
+                    CASE WHEN x1 = x0
+                         THEN CASE WHEN cx = floor(x0)::BIGINT THEN 2.0 ELSE -2.0 END
+                         ELSE greatest((cx - x0) / (x1 - x0), (cx + 1 - x0) / (x1 - x0)) END,
+                    CASE WHEN y1 = y0
+                         THEN CASE WHEN cy = floor(y0)::BIGINT THEN 2.0 ELSE -2.0 END
+                         ELSE greatest((cy - y0) / (y1 - y0), (cy + 1 - y0) / (y1 - y0)) END,
+                    1.0) AS thi
+            FROM cand
+        ),
+        vis AS (
+            SELECT vessel_id, seg_idx, ts0, ts1, cx, cy, tlo,
+                   row_number() OVER (PARTITION BY vessel_id, seg_idx ORDER BY tlo) - 1 AS idx,
+                   count(*) OVER (PARTITION BY vessel_id, seg_idx) AS n
+            FROM slab WHERE tlo < thi
+        ),
+        cells AS (
+            SELECT vessel_id, seg_idx, tlo,
+                   {_duck_quadkey('cx', 'cy', z)} AS cell,
+                   CASE WHEN n = 1 THEN ts0
+                        ELSE floor(ts0 + (idx::DOUBLE / (n - 1)) * (ts1 - ts0) + 0.5)::BIGINT
+                   END AS ts_s
+            FROM vis
+        ),
+        supp AS (
+            SELECT vessel_id, seg_idx, tlo, cell, ts_s,
+                   lag(cell) OVER (PARTITION BY vessel_id ORDER BY seg_idx, tlo) AS prev
+            FROM cells
+        )
+        SELECT vessel_id,
+               row_number() OVER (PARTITION BY vessel_id ORDER BY seg_idx, tlo) - 1 AS seq,
+               cell, ts_s
+        FROM (SELECT * FROM supp WHERE prev IS NULL OR cell != prev)
+    """
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1161,6 +1318,182 @@ def q_cdc_change_feed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# geo queries (SURVEY §2.7 spatial/grid rows + §2.8 U2/U3, literal)
+# ---------------------------------------------------------------------------
+
+GEO_QK_ZOOM = 21
+GEO_LINE_ZOOM = 17
+GEO_COVER_ZOOMS = (13, 15, 17)
+
+
+def q_geo_quadkey(spark, sf_dir):
+    """Grid encoding (§2.7 grid row): lon/lat -> z21 tile -> quadkey int,
+    rolled up by z13 ancestor (a 16-bit shift — quadkeys nest by prefix).
+    The whole plan is built-ins: the bit interleave is one higher-order
+    aggregate, so a 100 TB scan stays inside whole-stage codegen with a
+    single exchange for the final groupBy."""
+    pts = synth_track_points(spark, sf_dir)
+    tx, ty = tile_xy(F.col("lon"), F.col("lat"), GEO_QK_ZOOM)
+    cells = pts.select(tx.alias("tx"), ty.alias("ty")).withColumn(
+        "qk", quadkey_expr("tx", "ty", GEO_QK_ZOOM)
+    )
+    return cells.groupBy(
+        quadkey_parent(F.col("qk"), GEO_QK_ZOOM - 13).alias("qk13")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("qk").alias("n_cells"),
+        F.min("qk").alias("min_qk"),
+        F.max("qk").alias("max_qk"),
+    )
+
+
+def q_geo_traj_stats(spark, sf_dir):
+    """Spatial math (§2.7 math row, reference utils.py:15-57): per-vessel
+    legs via lag(), haversine distance, compute_motion speed in knots, and
+    the MBR area — aggregated per vessel. Distances integerized per leg
+    (round-to-meters then BIGINT sum) so reduction order can't matter."""
+    pts = synth_track_points(spark, sf_dir)
+    w = Window.partitionBy("vessel_id").orderBy("ts_s", "event_id")
+    legs = pts.select(
+        "vessel_id",
+        "ts_s",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("ts_s").over(w).alias("pts_s"),
+    ).where(F.col("plon").isNotNull())
+    dist = haversine_m(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+    kn = speed_knots(dist, (F.col("ts_s") - F.col("pts_s")).cast("double"))
+    stats = (
+        legs.select(
+            "vessel_id",
+            F.round(dist, 0).cast("long").alias("dist_m"),
+            kn.alias("kn"),
+        )
+        .groupBy("vessel_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.sum("dist_m").alias("total_dist_m"),
+            F.round(F.max("kn"), 3).alias("max_kn"),
+        )
+    )
+    mbr = (
+        pts.groupBy("vessel_id")
+        .agg(
+            F.min("lon").alias("milon"),
+            F.min("lat").alias("milat"),
+            F.max("lon").alias("malon"),
+            F.max("lat").alias("malat"),
+        )
+        .select(
+            "vessel_id",
+            F.round(
+                mbr_area_m2(
+                    F.col("milon"), F.col("milat"), F.col("malon"), F.col("malat")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("mbr_m2"),
+        )
+    )
+    return stats.join(mbr, "vessel_id")
+
+
+def q_geo_wkb_points(spark, sf_dir):
+    """Spatial SQL functions (§2.7 spatial-SQL row): ST_PointM -> WKB ->
+    ST_X/ST_Y/ST_M round-trip through the vectorized codec. The oracle
+    computes the coordinates directly from the synthesis formula, so a
+    value match proves the 29-byte ISO WKB encode/decode is lossless."""
+    pts = synth_track_points(spark, sf_dir)
+    enc = pts.select(
+        "vessel_id",
+        wkb_point_m(F.col("lon"), F.col("lat"), F.col("ts_s").cast("double")).alias(
+            "wkb"
+        ),
+    )
+    dec = enc.select(
+        "vessel_id",
+        F.length("wkb").alias("wkb_len"),
+        wkb_point_m_decode(F.col("wkb")).alias("p"),
+    )
+    return dec.groupBy("vessel_id", "wkb_len").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("p.x") * 1000000, 0).cast("long")).alias("sum_x_micro"),
+        F.sum(F.round(F.col("p.y") * 1000000, 0).cast("long")).alias("sum_y_micro"),
+        F.sum(F.col("p.m").cast("long")).alias("sum_m"),
+    )
+
+
+def q_geo_polycover(spark, sf_dir):
+    """Hierarchical polygon cover (§2.8 U3 + P9): each vessel's MBR as a
+    CCW ring, covered at three zooms with the fully-contained-subtree
+    prune. The rings are axis-aligned rectangles ON PURPOSE: the oracle can
+    then derive the expected cover from interval arithmetic alone —
+    independent of the ray-cast/slab classifier the operator uses (pytest
+    covers slanted/concave rings via the hierarchical==naive and
+    cross-classifier differentials)."""
+    pts = synth_track_points(spark, sf_dir)
+    rect = (
+        pts.groupBy("vessel_id")
+        .agg(
+            F.min("lon").alias("milon"),
+            F.min("lat").alias("milat"),
+            F.max("lon").alias("malon"),
+            F.max("lat").alias("malat"),
+        )
+        .select(
+            "vessel_id",
+            F.array(
+                F.struct(F.col("milon").alias("lon"), F.col("milat").alias("lat")),
+                F.struct(F.col("malon").alias("lon"), F.col("milat").alias("lat")),
+                F.struct(F.col("malon").alias("lon"), F.col("malat").alias("lat")),
+                F.struct(F.col("milon").alias("lon"), F.col("malat").alias("lat")),
+            ).alias("ring"),
+        )
+    )
+    cov = polygon_cover(rect, "ring", GEO_COVER_ZOOMS)
+    return cov.select("vessel_id", F.explode("cover").alias("e")).select(
+        "vessel_id", F.col("e.zoom").alias("zoom"), F.col("e.cell").alias("cell")
+    )
+
+
+def q_geo_linecover(spark, sf_dir):
+    """Amanatides–Woo linecover (§2.8 U2): per-vessel ordered track ->
+    visited z17 cells with index-interpolated entry timestamps and
+    cross-segment duplicate suppression. The oracle re-derives the same
+    cover with a DIFFERENT algorithm (Liang–Barsky slab clip per candidate
+    cell, ordered by entry parameter) — a cross-engine, cross-algorithm
+    differential. Consecutive duplicate points are dropped on both sides
+    (input prep; the operator itself handles them per the reference)."""
+    pts = synth_track_points(spark, sf_dir)
+    traj = (
+        pts.withColumn("pt", F.struct("ts_s", "event_id", "lon", "lat"))
+        .groupBy("vessel_id")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
+        .withColumn(
+            "pts",
+            F.expr(
+                "filter(pts, (p, i) -> CASE WHEN i = 0 THEN true ELSE "
+                "NOT (p.lon = element_at(pts, i).lon AND "
+                "p.lat = element_at(pts, i).lat) END)"
+            ),
+        )
+        .select(
+            "vessel_id",
+            F.expr("transform(pts, p -> p.lon)").alias("lons"),
+            F.expr("transform(pts, p -> p.lat)").alias("lats"),
+            F.expr("transform(pts, p -> p.ts_s)").alias("tss"),
+        )
+    )
+    cov = linecover(traj, "lons", "lats", "tss", zoom=GEO_LINE_ZOOM)
+    return cov.select(
+        "vessel_id", F.posexplode("cells").alias("seq", "e")
+    ).select("vessel_id", "seq", F.col("e.cell").alias("cell"), F.col("e.ts_s").alias("ts_s"))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1184,14 +1517,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variant) in for ``simhash_fps`` (displaced; subsumed by the driver-green
     ``simhash_pairs``, which recomputes the fingerprints).
     ``ann_ivf`` stays LAST (rows-only by design, carries a driver-visible
-    recall column)."""
+    recall column).
+    Round-5 continuation swap: the literal spatial/grid rows (SURVEY §2.7,
+    previously remapped by design) are now implemented, so ``geo_quadkey``
+    (grid encoding over built-in exprs) takes ``ann_lsh``'s slot (third of
+    four ANN strategies; ``ann_topk``/``ann_ivf_md5`` stay driver-green and
+    ``ann_lsh`` stays oracle-backed in extras) and ``geo_traj_stats``
+    (haversine/speed/MBR math) takes ``w1_latest_salted``'s (second of four
+    W1 strategies; skew evidence remains via ``a5_skew_hist`` + the salted
+    entry in extras + pytest differentials)."""
     return {
         "cdc_current_state": q_cdc_current_state,
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "cdc_replay_mor": q_cdc_replay_mor,
         "cdc_change_feed": q_cdc_change_feed,
         "w1_latest": q_w1_latest,
-        "w1_latest_salted": q_w1_latest_salted,
+        "geo_traj_stats": q_geo_traj_stats,
         "f_clean_project": q_f_clean_project,
         "j1_semi_active": q_j1_semi_active,
         "j2_anti_unseen": q_j2_anti_unseen,
@@ -1232,7 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "hier_cover": q_hier_cover,
         "simhash_pairs": q_simhash_pairs,
-        "ann_lsh": q_ann_lsh,
+        "geo_quadkey": q_geo_quadkey,
         "ann_ivf_md5": q_ann_ivf_md5,
         "media_features": q_media_features,
         # rows-only: KMeans quantizer is not SQL-expressible; the query
@@ -1299,6 +1640,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 addition: per-stratum top-k token counts (tokenizer
         # vocab stats) — corpus-wide count shuffle, vocabulary-sized rank
         "vocab_topk": q_vocab_topk,
+        # round-5 continuation swap: displaced by the literal geo rows
+        # (each is a redundant strategy of a driver-green sibling)
+        "ann_lsh": q_ann_lsh,                        # sibling: ann_topk/ann_ivf_md5
+        "w1_latest_salted": q_w1_latest_salted,      # sibling: w1_latest
+        # round-5 continuation additions: literal spatial layer beyond the
+        # two registry slots — all fully oracle-backed
+        "geo_wkb_points": q_geo_wkb_points,          # ST_PointM/ST_X/Y/M WKB codec
+        "geo_polycover": q_geo_polycover,            # U3 hierarchical cover
+        "geo_linecover": q_geo_linecover,            # U2 Amanatides–Woo traversal
     }
 
 
@@ -2354,4 +2704,64 @@ def oracle_sql() -> dict[str, str]:
             FROM cleaned
         ) WHERE rn = 1 AND NOT is_del
     """
+    _hav = _duck_haversine("plon", "plat", "lon", "lat")
+    out["geo_quadkey"] = f"""
+        WITH p AS ({SYNTH_POINTS_SQL}),
+        t AS (
+            SELECT floor({_duck_xf('lon', GEO_QK_ZOOM)})::BIGINT AS tx,
+                   floor({_duck_yf('lat', GEO_QK_ZOOM)})::BIGINT AS ty
+            FROM p
+        ),
+        q AS (SELECT {_duck_quadkey('tx', 'ty', GEO_QK_ZOOM)} AS qk FROM t)
+        SELECT qk >> {2 * (GEO_QK_ZOOM - 13)} AS qk13,
+               count(*) AS n_points,
+               count(DISTINCT qk) AS n_cells,
+               min(qk) AS min_qk,
+               max(qk) AS max_qk
+        FROM q GROUP BY qk13
+    """
+    out["geo_traj_stats"] = f"""
+        WITH p AS ({SYNTH_POINTS_SQL}),
+        l AS (
+            SELECT * FROM (
+                SELECT vessel_id, ts_s, lon, lat,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                       lag(ts_s) OVER w AS pts_s
+                FROM p WINDOW w AS (PARTITION BY vessel_id ORDER BY ts_s, event_id)
+            ) WHERE plon IS NOT NULL
+        ),
+        legs AS (
+            SELECT vessel_id,
+                   round({_hav}, 0)::BIGINT AS dist_m,
+                   CASE WHEN ts_s - pts_s > 0
+                        THEN {_hav} / (ts_s - pts_s)::DOUBLE / {KNOT_AS_MPS!r}
+                   END AS kn
+            FROM l
+        ),
+        stats AS (
+            SELECT vessel_id, count(*) AS n_legs,
+                   sum(dist_m)::BIGINT AS total_dist_m,
+                   round(max(kn), 3) AS max_kn
+            FROM legs GROUP BY vessel_id
+        ),
+        mbr AS (
+            SELECT vessel_id,
+                   round(({_duck_haversine('min(lon)', 'min(lat)', 'max(lon)', 'min(lat)')})
+                       * ({_duck_haversine('min(lon)', 'min(lat)', 'min(lon)', 'max(lat)')}),
+                       0)::BIGINT AS mbr_m2
+            FROM p GROUP BY vessel_id
+        )
+        SELECT s.vessel_id, s.n_legs, s.total_dist_m, s.max_kn, m.mbr_m2
+        FROM stats s JOIN mbr m USING (vessel_id)
+    """
+    out["geo_wkb_points"] = f"""
+        WITH p AS ({SYNTH_POINTS_SQL})
+        SELECT vessel_id, 29 AS wkb_len, count(*) AS n,
+               sum(round(lon * 1000000, 0)::BIGINT)::BIGINT AS sum_x_micro,
+               sum(round(lat * 1000000, 0)::BIGINT)::BIGINT AS sum_y_micro,
+               sum(ts_s)::BIGINT AS sum_m
+        FROM p GROUP BY vessel_id
+    """
+    out["geo_polycover"] = _geo_polycover_sql()
+    out["geo_linecover"] = _geo_linecover_sql(GEO_LINE_ZOOM)
     return out

@@ -64,8 +64,10 @@ def tile_frac(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     z2 = float(1 << zoom)
     sinlat = F.sin(F.radians(lat))
     x = F.lit(z2) * (lon / F.lit(360.0) + F.lit(0.5))
-    # wrap x into [0, z2) — ((x % z2) + z2) % z2 handles negatives
-    x = ((x % F.lit(z2)) + F.lit(z2)) % F.lit(z2)
+    # wrap x into [0, z2) ONLY when out of range: an unconditional
+    # ((x % z2) + z2) % z2 loses the low mantissa bit (x + z2 rounds at
+    # the doubled exponent), which can flip floor() at tile boundaries
+    x = F.when((x < 0) | (x >= z2), ((x % F.lit(z2)) + F.lit(z2)) % F.lit(z2)).otherwise(x)
     yfrac = F.lit(0.5) - F.lit(0.25) * F.log(
         (F.lit(1.0) + sinlat) / (F.lit(1.0) - sinlat)
     ) / F.lit(math.pi)
@@ -126,11 +128,11 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     """Haversine distance in meters (reference ``haversine_distance_m``)."""
     rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
     rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
-    dlat = rlat2 - rlat1
-    dlon = rlon2 - rlon1
-    a = F.pow(F.sin(dlat / F.lit(2.0)), F.lit(2.0)) + F.cos(rlat1) * F.cos(
-        rlat2
-    ) * F.pow(F.sin(dlon / F.lit(2.0)), F.lit(2.0))
+    sdlat = F.sin((rlat2 - rlat1) / F.lit(2.0))
+    sdlon = F.sin((rlon2 - rlon1) / F.lit(2.0))
+    # plain multiplication, not pow(x, 2): IEEE multiply is bit-identical
+    # across engines; libm pow need not be
+    a = sdlat * sdlat + F.cos(rlat1) * F.cos(rlat2) * sdlon * sdlon
     return F.lit(EARTH_RADIUS_M * 2.0) * F.asin(F.sqrt(a))
 
 
@@ -166,7 +168,11 @@ def np_tile_frac(
     z2 = float(1 << zoom)
     sinlat = np.sin(np.radians(lat))
     x = z2 * (lon / 360.0 + 0.5)
-    x = np.mod(np.mod(x, z2) + z2, z2)
+    # wrap only out-of-range values (see tile_frac: the mod chain costs a
+    # mantissa bit, so in-range x must pass through untouched)
+    need = (x < 0) | (x >= z2)
+    if need.any():
+        x = np.where(need, np.mod(np.mod(x, z2) + z2, z2), x)
     yfrac = 0.5 - 0.25 * np.log((1.0 + sinlat) / (1.0 - sinlat)) / math.pi
     y = np.maximum(0.0, np.minimum(z2 - 1.0, z2 * yfrac))
     return x, y
@@ -195,12 +201,9 @@ def np_tile_lat_deg(y: np.ndarray, zoom: int) -> np.ndarray:
 def np_haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     rlon1, rlat1 = np.radians(lon1), np.radians(lat1)
     rlon2, rlat2 = np.radians(lon2), np.radians(lat2)
-    dlat = rlat2 - rlat1
-    dlon = rlon2 - rlon1
-    a = (
-        np.sin(dlat / 2.0) ** 2
-        + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2.0) ** 2
-    )
+    sdlat = np.sin((rlat2 - rlat1) / 2.0)
+    sdlon = np.sin((rlon2 - rlon1) / 2.0)
+    a = sdlat * sdlat + np.cos(rlat1) * np.cos(rlat2) * sdlon * sdlon
     return EARTH_RADIUS_M * 2.0 * np.arcsin(np.sqrt(a))
 
 
