@@ -1486,6 +1486,9 @@ def q_geo_linecover(spark, sf_dir):
             F.expr("transform(pts, p -> p.lat)").alias("lats"),
             F.expr("transform(pts, p -> p.ts_s)").alias("tss"),
         )
+        # explicit partition count: AQE would coalesce 16 tiny rows into
+        # ONE task and serialize the (CPU-heavy) traversal UDF behind it
+        .repartition(16, "vessel_id")
     )
     cov = linecover(traj, "lons", "lats", "tss", zoom=GEO_LINE_ZOOM)
     return cov.select(

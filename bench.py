@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "simhash_pairs",
     "hier_cover",
+    # round-5 continuation: literal spatial layer — one pure-codegen leg
+    # (tile+quadkey agg, zero UDF) and one Arrow-UDF traversal leg
+    "geo_quadkey",
+    "geo_linecover",
 ]
 
 # Replay-leg sizing: events per unit scale factor (sf0.1 -> 1M events).

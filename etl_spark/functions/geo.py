@@ -86,17 +86,29 @@ def quadkey_expr(x_name: str, y_name: str, zoom: int) -> Column:
 
     Standard Bing convention: the zoom-digit base-4 string (digit at level
     l = 2*ybit + xbit of bit zoom-1-l), read as an integer — i.e.
-    sum_i (2*ybit_i + xbit_i) * 4^i. Expressed as a single higher-order
-    ``aggregate`` over ``sequence(zoom-1, 0)`` (MSB-first Horner), which
-    Spark evaluates JVM-side per row with no UDF. Needs NAMED columns
-    because ``shiftright``'s bit-count must be an expression (the sequence
-    variable), which the Python ``F.shiftright`` wrapper can't take.
+    sum_i (2*ybit_i + xbit_i) * 4^i = morton(x, y). Computed with the
+    classic Morton spread-bits ladder (5 shift-or-mask steps per
+    coordinate): plain long arithmetic that whole-stage codegen compiles
+    and CSE-dedupes, measured at scan speed — whereas a higher-order
+    ``aggregate`` over ``sequence(zoom-1, 0)`` computes the same value
+    interpreted per element (~300 us/row; lambda bodies don't codegen).
+    Valid for tile coords < 2^32 (any zoom <= 21 is far inside).
+    ``zoom`` only documents intent; the spread is zoom-independent.
     """
-    return F.expr(
-        f"aggregate(sequence({zoom - 1}, 0, -1), 0L, (acc, i) -> "
-        f"acc * 4 + (shiftright({y_name}, i) % 2) * 2 "
-        f"+ shiftright({x_name}, i) % 2)"
-    )
+    del zoom
+
+    def _spread(c: Column) -> Column:
+        for s, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, s)).bitwiseAND(F.lit(mask))
+        return c
+
+    return _spread(F.col(x_name)) + _spread(F.col(y_name)) * F.lit(2)
 
 
 def quadkey_parent(qk: Column, levels_up: int) -> Column:

@@ -435,6 +435,119 @@ def linecover_points(
     return out
 
 
+def linecover_track(
+    lons: np.ndarray, lats: np.ndarray, tss: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-trajectory linecover in ONE numpy pass — the hot-path twin of
+    :func:`linecover_points` (which walks segment-by-segment like the
+    reference and is kept as the differential oracle; tests assert the two
+    are identical on random tracks including degenerate segments).
+
+    Vectorization: every boundary crossing of every segment becomes one
+    row of a global crossing table (segment id, entry t, axis, step);
+    a single lexsort orders crossings within segments (ties step y first,
+    matching the reference's strict ``t_max_x < t_max_y``); per-segment
+    cumulative sums of the steps reconstruct the visited tile sequence;
+    timestamps interpolate by intra-segment cell index; suppression is a
+    shifted-compare. Cost is ~25 array ops per TRAJECTORY instead of ~15
+    per SEGMENT — ~100x less Python/numpy call overhead on long tracks.
+    """
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    tss = np.asarray(tss, dtype=np.int64)
+    if len(lons) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    xf, yf = np_tile_frac(lons, lats, zoom)
+    x0, x1 = xf[:-1], xf[1:]
+    y0, y1 = yf[:-1], yf[1:]
+    ts0, ts1 = tss[:-1], tss[1:]
+    fx0 = np.floor(x0).astype(np.int64)
+    fy0 = np.floor(y0).astype(np.int64)
+    fx1 = np.floor(x1).astype(np.int64)
+    fy1 = np.floor(y1).astype(np.int64)
+    dx = x1 - x0
+    dy = y1 - y0
+    # zero-length segments emit nothing once any cell was emitted
+    # (reference :85-86); only segment 0 can run with prev_cell unset
+    live = (dx != 0) | (dy != 0)
+    if len(live):
+        live[0] = True
+    (seg_ids,) = np.nonzero(live)
+    S = len(seg_ids)
+    kx = np.where(dx[seg_ids] != 0, np.abs(fx1 - fx0)[seg_ids], 0)
+    ky = np.where(dy[seg_ids] != 0, np.abs(fy1 - fy0)[seg_ids], 0)
+
+    def _crossings(k: np.ndarray, f0: np.ndarray, d: np.ndarray, p0: np.ndarray):
+        """Per-crossing (local segment index, boundary t, step sign)."""
+        tot = int(k.sum())
+        loc = np.repeat(np.arange(S), k)
+        off = np.arange(tot) - np.repeat(np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+        g = seg_ids[loc]
+        pos = d[g] > 0
+        # dx>0: boundaries f0+1+j ; dx<0: boundaries f0-j  (reference t_max
+        # seeds abs(((1 if d>0 else 0) + tile - p0) / d) then steps by 1/|d|)
+        b = np.where(pos, f0[g] + 1 + off, f0[g] - off).astype(np.float64)
+        t = (b - p0[g]) / d[g]
+        return loc, t, np.where(pos, 1, -1).astype(np.int64)
+
+    locx, tx, sx = _crossings(kx, fx0, dx, x0)
+    locy, ty, sy = _crossings(ky, fy0, dy, y0)
+    loc = np.concatenate([locy, locx])
+    t = np.concatenate([ty, tx])
+    is_x = np.concatenate([np.zeros(len(ty), np.int8), np.ones(len(tx), np.int8)])
+    stepx = np.concatenate([np.zeros(len(ty), np.int64), sx])
+    stepy = np.concatenate([sy, np.zeros(len(tx), np.int64)])
+    keep = t < 1.0
+    loc, t, is_x, stepx, stepy = (a[keep] for a in (loc, t, is_x, stepx, stepy))
+    order = np.lexsort((is_x, t, loc))  # per segment, by t, y first on ties
+    loc, stepx, stepy = loc[order], stepx[order], stepy[order]
+    k_seg = np.bincount(loc, minlength=S)  # kept crossings per live segment
+    # per-segment-reset cumulative sums via global cumsum minus group base
+    first = np.concatenate([[0], np.cumsum(k_seg)[:-1]])
+    csx = np.cumsum(stepx)
+    csy = np.cumsum(stepy)
+    if len(csx):
+        # empty trailing groups point past the end; clamp — repeat() drops
+        # their (unused) base values anyway
+        sf = np.minimum(first, len(csx) - 1)
+        basex = np.repeat(csx[sf] - stepx[sf], k_seg)
+        basey = np.repeat(csy[sf] - stepy[sf], k_seg)
+    else:
+        basex = np.zeros(0, np.int64)
+        basey = np.zeros(0, np.int64)
+    cellx_cross = fx0[seg_ids[loc]] + (csx - basex)
+    celly_cross = fy0[seg_ids[loc]] + (csy - basey)
+    # interleave: each live segment emits its start tile then its crossings
+    n_cells = 1 + k_seg
+    starts = np.concatenate([[0], np.cumsum(n_cells)[:-1]])
+    N = int(n_cells.sum())
+    cx = np.empty(N, np.int64)
+    cy = np.empty(N, np.int64)
+    cx[starts] = fx0[seg_ids]
+    cy[starts] = fy0[seg_ids]
+    cross_pos = starts[loc] + 1 + (np.arange(len(loc)) - first[loc])
+    cx[cross_pos] = cellx_cross
+    cy[cross_pos] = celly_cross
+    # timestamp interpolation by intra-segment cell index
+    seg_of_cell = np.repeat(np.arange(S), n_cells)
+    idx = np.arange(N) - starts[seg_of_cell]
+    g = seg_ids[seg_of_cell]
+    n = n_cells[seg_of_cell]
+    with np.errstate(invalid="ignore"):
+        prog = idx / np.maximum(n - 1, 1)
+    ts = np.where(
+        n == 1,
+        ts0[g],
+        np.floor(ts0[g] + prog * (ts1[g] - ts0[g]) + 0.5).astype(np.int64),
+    )
+    cells = np_quadkey(cx, cy, zoom)
+    dedup = np.empty(N, dtype=bool)
+    if N:
+        dedup[0] = True
+        dedup[1:] = cells[1:] != cells[:-1]
+    return cells[dedup], ts[dedup]
+
+
 _LINECOVER_ENTRY = T.ArrayType(
     T.StructType(
         [
@@ -459,9 +572,11 @@ def linecover(
     def _cover(lon: pd.Series, lat: pd.Series, ts: pd.Series) -> pd.Series:
         out = []
         for lo, la, t in zip(lon, lat, ts):
-            pts = list(zip(np.asarray(lo), np.asarray(la), np.asarray(t)))
+            cells, tss_out = linecover_track(
+                np.asarray(lo), np.asarray(la), np.asarray(t), z
+            )
             out.append(
-                [{"cell": c, "ts_s": s} for c, s in linecover_points(pts, z)]
+                [{"cell": int(c), "ts_s": int(s)} for c, s in zip(cells, tss_out)]
             )
         return pd.Series(out)
 

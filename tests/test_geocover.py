@@ -155,6 +155,34 @@ def test_linecover_reference_edge_semantics():
 def test_linecover_single_point_and_empty():
     assert gc.linecover_points([], 17) == []
     assert gc.linecover_points([(10.5, 57.2, 5)], 17) == []
+    c, t = gc.linecover_track(np.array([10.5]), np.array([57.2]), np.array([5]), 17)
+    assert len(c) == 0 and len(t) == 0
+
+
+def test_linecover_track_matches_sequential():
+    # the vectorized hot path must be bit-identical to the
+    # reference-shaped segment-by-segment walk, including degenerate
+    # zero-length segments (duplicate consecutive points) and leading dups
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        n = int(rng.integers(2, 40))
+        lons = 10.5 + rng.integers(0, 9001, n) / 300000.0
+        lats = 57.2 + rng.integers(0, 9001, n) / 300000.0
+        for j in rng.integers(1, n, size=3):
+            lons[j] = lons[j - 1]
+            lats[j] = lats[j - 1]
+        tss = np.sort(rng.integers(1_700_000_000, 1_700_100_000, n))
+        seq = gc.linecover_points(list(zip(lons, lats, tss)), 17)
+        vc, vt = gc.linecover_track(lons, lats, tss, 17)
+        assert seq == list(zip(vc.tolist(), vt.tolist())), trial
+    pts = [(10.5, 57.2, 1), (10.5, 57.2, 5), (10.5, 57.2, 9), (10.51, 57.21, 100)]
+    vc, vt = gc.linecover_track(
+        np.array([p[0] for p in pts]),
+        np.array([p[1] for p in pts]),
+        np.array([p[2] for p in pts], dtype=np.int64),
+        17,
+    )
+    assert gc.linecover_points(pts, 17) == list(zip(vc.tolist(), vt.tolist()))
 
 
 def test_polygon_cover_operator(spark):
