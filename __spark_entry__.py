@@ -43,6 +43,8 @@ from etl_spark.functions.geo import (
     EARTH_RADIUS_M,
     KNOT_AS_MPS,
     SYNTH_POINTS_SQL,
+    SYNTH_WALK_SQL,
+    synth_walk_points,
     haversine_m,
     mbr_area_m2,
     quadkey_expr,
@@ -59,6 +61,7 @@ from etl_spark.operators.dedupe import (
     latest_by_key_window,
 )
 from etl_spark.operators.geocover import linecover, polygon_cover
+from etl_spark.operators.geosession import geo_sessionize
 from etl_spark.operators.multimodal import extract_media_features, synthesize_media
 from etl_spark.operators.sessionize import (
     session_stats,
@@ -1496,6 +1499,98 @@ def q_geo_linecover(spark, sf_dir):
     ).select("vessel_id", "seq", F.col("e.cell").alias("cell"), F.col("e.ts_s").alias("ts_s"))
 
 
+def q_geo_sessionize(spark, sf_dir):
+    """Literal U1 (§2.8): the reference's 5-phase stop/trajectory
+    sessionization over a deterministic random-walk track (alternating
+    slow/fast 40-point blocks at a 300 s cadence). The oracle re-derives
+    the same output as SQL ISLANDS: label each leg stop/traj by the exact
+    reference predicate, group runs, validate stops (points, duration,
+    MBR area), dissolve invalid stops into neighboring trajectories
+    (re-islanding — the reference's bridge/extend fallback), and count the
+    junction-point duplication the reference's list concatenation
+    produces. wkb_len pins the LineStringM/Polygon codec output sizes."""
+    walk = synth_walk_points(spark, sf_dir)
+    out = geo_sessionize(walk, key="vessel_id", lon="lon", lat="lat", ts="ts_s")
+    return out.select(
+        "vessel_id",
+        "kind",
+        "ts_start",
+        "ts_end",
+        "n_points",
+        F.length("geom").alias("wkb_len"),
+    )
+
+
+def _geo_sessionize_sql() -> str:
+    hav_leg = _duck_haversine("plon", "plat", "lon", "lat")
+    hav_w = _duck_haversine("minx", "miny", "maxx", "miny")
+    hav_h = _duck_haversine("minx", "miny", "minx", "maxy")
+    return f"""
+        WITH walk AS ({SYNTH_WALK_SQL}),
+        p AS (
+            SELECT vessel_id, rk, ts_s, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                   lag(ts_s) OVER w AS pts
+            FROM walk WINDOW w AS (PARTITION BY vessel_id ORDER BY rk)
+        ),
+        legs AS (
+            SELECT *, {hav_leg} AS dist FROM p WHERE plon IS NOT NULL
+        ),
+        lab AS (
+            SELECT *,
+                   (dist / (ts_s - pts)::DOUBLE / {KNOT_AS_MPS!r} < 1.0
+                    AND (ts_s - pts) < 5400 AND dist < 250.0) AS is_stop
+            FROM legs
+        ),
+        r0 AS (
+            SELECT *, CASE WHEN is_stop IS DISTINCT FROM lag(is_stop) OVER w2
+                           THEN 1 ELSE 0 END AS chg
+            FROM lab WINDOW w2 AS (PARTITION BY vessel_id ORDER BY rk)
+        ),
+        r AS (
+            SELECT *, sum(chg) OVER (PARTITION BY vessel_id ORDER BY rk) AS run_id
+            FROM r0
+        ),
+        runs AS (
+            SELECT vessel_id, run_id, bool_and(is_stop) AS is_stop,
+                   count(*) AS n_pairs, min(pts) AS ts_start, max(ts_s) AS ts_end,
+                   min(least(lon, plon)) AS minx, max(greatest(lon, plon)) AS maxx,
+                   min(least(lat, plat)) AS miny, max(greatest(lat, plat)) AS maxy
+            FROM r GROUP BY vessel_id, run_id
+        ),
+        v AS (
+            SELECT *,
+                   (is_stop AND n_pairs + 1 >= 10 AND ts_end - ts_start >= 600
+                    AND minx < maxx AND miny < maxy  -- degenerate envelope -> dissolve
+                    AND ({hav_w}) * ({hav_h}) <= 5000000.0) AS valid_stop
+            FROM runs
+        ),
+        f AS (
+            SELECT *, CASE WHEN valid_stop THEN 'stop' ELSE 'traj' END AS kind
+            FROM v
+        ),
+        g0 AS (
+            SELECT *, CASE WHEN kind IS DISTINCT FROM lag(kind) OVER w3
+                           THEN 1 ELSE 0 END AS kchg
+            FROM f WINDOW w3 AS (PARTITION BY vessel_id ORDER BY run_id)
+        ),
+        g AS (
+            SELECT *, sum(kchg) OVER (PARTITION BY vessel_id ORDER BY run_id) AS grp
+            FROM g0
+        ),
+        agg AS (
+            SELECT vessel_id, grp, min(kind) AS kind,
+                   (sum(n_pairs) + count(*))::BIGINT AS n_points,
+                   min(ts_start) AS ts_start, max(ts_end) AS ts_end
+            FROM g GROUP BY vessel_id, grp
+        )
+        SELECT vessel_id, kind, ts_start, ts_end, n_points::INT AS n_points,
+               (CASE WHEN kind = 'stop' THEN 93 ELSE 9 + 24 * n_points END)::INT AS wkb_len
+        FROM agg
+        WHERE kind = 'stop' OR (n_points >= 10 AND ts_end > ts_start)
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1574,7 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "token_bpe": q_token_bpe,
         "winnow_fps": q_winnow_fps,
-        "hier_cover": q_hier_cover,
+        "geo_sessionize": q_geo_sessionize,
         "simhash_pairs": q_simhash_pairs,
         "geo_quadkey": q_geo_quadkey,
         "ann_ivf_md5": q_ann_ivf_md5,
@@ -1652,6 +1747,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_wkb_points": q_geo_wkb_points,          # ST_PointM/ST_X/Y/M WKB codec
         "geo_polycover": q_geo_polycover,            # U3 hierarchical cover
         "geo_linecover": q_geo_linecover,            # U2 Amanatides–Woo traversal
+        # round-5 continuation swap: geo_sessionize (literal U1) took the
+        # registry slot; the text-domain cover variant stays oracle-backed
+        # here (its U2/U3 evidence now also carried by the literal
+        # geo_polycover/geo_linecover) and stays in the bench
+        "hier_cover": q_hier_cover,                  # sibling: geo_polycover
     }
 
 
@@ -2767,4 +2867,5 @@ def oracle_sql() -> dict[str, str]:
     """
     out["geo_polycover"] = _geo_polycover_sql()
     out["geo_linecover"] = _geo_linecover_sql(GEO_LINE_ZOOM)
+    out["geo_sessionize"] = _geo_sessionize_sql()
     return out

@@ -49,9 +49,11 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "hier_cover",
     # round-5 continuation: literal spatial layer — one pure-codegen leg
-    # (tile+quadkey agg, zero UDF) and one Arrow-UDF traversal leg
+    # (tile+quadkey agg, zero UDF), one Arrow-UDF traversal leg, and the
+    # literal 5-phase sessionization (grouped-map state machine)
     "geo_quadkey",
     "geo_linecover",
+    "geo_sessionize",
 ]
 
 # Replay-leg sizing: events per unit scale factor (sf0.1 -> 1M events).

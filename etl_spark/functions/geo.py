@@ -32,6 +32,7 @@ through them without any exchange. Quadkey cell ids at z<=21 fit in 42 bits
 from __future__ import annotations
 
 import math
+from typing import Iterable
 
 import numpy as np
 import pandas as pd
@@ -290,6 +291,48 @@ def wkb_point_m_decode(wkb: pd.Series) -> pd.DataFrame:
     return out
 
 
+_WKB_LINESTRING_M = 2002  # ISO WKB LineStringM
+_WKB_POLYGON = 3  # ISO WKB Polygon (2D)
+
+
+def wkb_linestring_m_bytes(coords: Iterable[tuple[float, float, float]]) -> bytes:
+    """LineStringM -> ISO WKB (little-endian, type 2002). The reference
+    builds the same geometry via WKT->shapely->wkb
+    (core/utils.py:198-202 ``coords_to_linestringm_as_wkb``); here it's a
+    direct numpy pack: header + point count + n*(x, y, m) doubles."""
+    pts = np.asarray(list(coords), dtype=np.float64)
+    n = len(pts)
+    buf = np.empty(9 + 24 * n, dtype=np.uint8)
+    buf[0] = _WKB_NDR
+    buf[1:5] = np.frombuffer(
+        np.array([_WKB_LINESTRING_M], dtype="<u4").tobytes(), dtype=np.uint8
+    )
+    buf[5:9] = np.frombuffer(np.array([n], dtype="<u4").tobytes(), dtype=np.uint8)
+    if n:
+        buf[9:] = np.frombuffer(pts.astype("<f8").tobytes(), dtype=np.uint8)
+    return buf.tobytes()
+
+
+def wkb_polygon_bytes(ring: Iterable[tuple[float, float]]) -> bytes:
+    """Single-ring 2D Polygon -> ISO WKB (little-endian, type 3). The ring
+    is closed automatically if open (shapely emits closed rings)."""
+    pts = [tuple(p) for p in ring]
+    if pts and pts[0] != pts[-1]:
+        pts.append(pts[0])
+    arr = np.asarray(pts, dtype=np.float64)
+    n = len(arr)
+    buf = np.empty(13 + 16 * n, dtype=np.uint8)
+    buf[0] = _WKB_NDR
+    buf[1:5] = np.frombuffer(
+        np.array([_WKB_POLYGON], dtype="<u4").tobytes(), dtype=np.uint8
+    )
+    buf[5:9] = np.frombuffer(np.array([1], dtype="<u4").tobytes(), dtype=np.uint8)
+    buf[9:13] = np.frombuffer(np.array([n], dtype="<u4").tobytes(), dtype=np.uint8)
+    if n:
+        buf[13:] = np.frombuffer(arr.astype("<f8").tobytes(), dtype=np.uint8)
+    return buf.tobytes()
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic track points (tests / oracles / bench)
 # ---------------------------------------------------------------------------
@@ -311,6 +354,85 @@ SYNTH_POINTS_SQL = f"""
            {SYNTH_LAT0} + ((event_id * 61 + 7) % {SYNTH_MOD}) / {SYNTH_DIV} AS lat
     FROM events
 """
+
+
+# Random-walk track for the sessionization query: alternating 40-point
+# blocks of small (10-80 m) and large (250-1500 m) steps at a fixed 300 s
+# cadence — real stop/trajectory alternation with wide margins around every
+# reference threshold (stop needs < 154.33 m at 300 s; gaps < 1 h; speeds
+# < 50 kn). Steps are quantized to INTEGER nanodegrees before the running
+# sum so the cumulative position is exact integer arithmetic — engines may
+# sum windows in different orders (segment trees vs sequential), which
+# would diverge doubles but not integers.
+SYNTH_WALK_SQL = f"""
+    SELECT vessel_id, rk, ts2 AS ts_s,
+           10.5 + sum(dlon_n) OVER wcum / 1000000000.0 AS lon,
+           57.2 + sum(dlat_n) OVER wcum / 1000000000.0 AS lat
+    FROM (
+        SELECT vessel_id, rk, ts2,
+               round(step_m * cos(theta) / 60340.0 * 1000000000.0, 0)::BIGINT AS dlon_n,
+               round(step_m * sin(theta) / 111360.0 * 1000000000.0, 0)::BIGINT AS dlat_n
+        FROM (
+            SELECT vessel_id, rk, 1700000000 + rk * 300 AS ts2,
+                   CASE WHEN (rk // 40) % 2 = 1
+                        THEN 10.0 + 70.0 * (((event_id * 37 + 11) % {SYNTH_MOD}) / {SYNTH_MOD}.0)
+                        ELSE 250.0 + 1250.0 * (((event_id * 37 + 11) % {SYNTH_MOD}) / {SYNTH_MOD}.0)
+                   END AS step_m,
+                   2 * pi() * (((event_id * 61 + 7) % {SYNTH_MOD}) / {SYNTH_MOD}.0) AS theta
+            FROM (
+                SELECT user_id % {SYNTH_VESSELS} AS vessel_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id % {SYNTH_VESSELS}
+                                          ORDER BY ts, event_id) - 1 AS rk
+                FROM events
+            )
+        )
+    ) WINDOW wcum AS (PARTITION BY vessel_id ORDER BY rk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def synth_walk_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-vessel random-walk track (vessel_id, rk, ts_s,
+    lon, lat) — ``SYNTH_WALK_SQL`` is the DuckDB twin. See the SQL's
+    comment for why steps go through integer nanodegrees."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        (F.col("user_id") % SYNTH_VESSELS).alias("vessel_id"), "event_id", "ts"
+    )
+    w = Window.partitionBy("vessel_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rk", F.row_number().over(w) - 1)
+    base = ((F.col("event_id") * 37 + 11) % SYNTH_MOD) / F.lit(float(SYNTH_MOD))
+    theta = F.lit(2.0 * math.pi) * (
+        ((F.col("event_id") * 61 + 7) % SYNTH_MOD) / F.lit(float(SYNTH_MOD))
+    )
+    step_m = F.when(
+        F.expr("rk div 40") % 2 == 1, F.lit(10.0) + F.lit(70.0) * base
+    ).otherwise(F.lit(250.0) + F.lit(1250.0) * base)
+    ev = ev.select(
+        "vessel_id",
+        "rk",
+        (F.lit(1700000000) + F.col("rk") * 300).alias("ts_s"),
+        F.round(step_m * F.cos(theta) / F.lit(60340.0) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("dlon_n"),
+        F.round(step_m * F.sin(theta) / F.lit(111360.0) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("dlat_n"),
+    )
+    wcum = (
+        Window.partitionBy("vessel_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "vessel_id",
+        "rk",
+        "ts_s",
+        (F.lit(10.5) + F.sum("dlon_n").over(wcum) / F.lit(1e9)).alias("lon"),
+        (F.lit(57.2) + F.sum("dlat_n").over(wcum) / F.lit(1e9)).alias("lat"),
+    )
 
 
 def synth_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,6 +44,10 @@ AUDITS = {
     "domain_mixture": (2, 0, "one n_strata-row aggregate + the normalizing window's single-partition exchange over those few rows — the corpus sees only the partial-agg shuffle"),
     "dedup_keep_best": (6, 0, "dedup_components' bounded closure joins + ONE extra component-keyed shuffle for the map-side-combinable min_by keep-rule"),
     "vocab_topk": (2, 0, "one (stratum, token) count shuffle with partial agg over the corpus; the per-stratum rank's exchange sees only the min_count-filtered distinct-token frame"),
+    "geo_quadkey": (2, 0, "tile+Morton-quadkey math is ALL built-in long arithmetic inside the scan stage (zero UDF); two bounded exchanges = exact countDistinct's partial-distinct on (qk13, qk) then the z13 rollup"),
+    "geo_traj_stats": (3, 0, "legs window + per-vessel agg + MBR agg: bounded key-partitioned shuffles, haversine/speed entirely JVM-side"),
+    "geo_linecover": (2, 0, "one shuffle assembles per-vessel ordered arrays, explicit repartition parallelizes the Arrow traversal UDF; explode is narrow"),
+    "geo_sessionize": (1, 0, "single grouped-map shuffle on the key; the 5-phase state machine runs per key in parallel (the reference's process-pool map)"),
 }
 
 
