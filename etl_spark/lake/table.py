@@ -299,6 +299,7 @@ class SnapshotTable:
         merge_mode: str | None = None,
         fold_broadcast_rows: int | None = None,
         compact_after_commit: str | None = None,
+        rewrite_probe: str | None = None,
     ) -> None:
         """``target_file_rows`` caps rows per data file (maxRecordsPerFile on
         the bucketed, key-sorted write), so each bucket holds several files
@@ -383,6 +384,20 @@ class SnapshotTable:
             raise ValueError(
                 f"unknown compact_after_commit {compact_after_commit!r}"
             )
+        if rewrite_probe not in (None, "off", "auto"):
+            raise ValueError(f"unknown rewrite_probe {rewrite_probe!r}")
+        # "auto": before a COW rewrite (or MOR fold) large enough to matter,
+        # refine the stats-based rewrite set with ONE exact probe job — a
+        # key-column-only scan of the candidate files semi-joined against
+        # the delta's distinct keys. Per-file [min, max] envelopes have two
+        # systematic false-positive sources this removes: gaps (a key inside
+        # the range but absent from the file) and per-column tuple
+        # decomposition (repo matches one row, path a different one). False
+        # positives cost full-width rewrites; the probe trades them for a
+        # columnar key scan. Sound by construction: it reads the files'
+        # ACTUAL keys, so it can only ever drop true non-matches. Pure
+        # write-policy knob (persisted, mutable), never a layout invariant.
+        self.rewrite_probe = rewrite_probe
         # opt-in post-commit maintenance policy ("auto"): after a commit,
         # when the snapshot's live MOR delta rows exceed HALF the fold
         # broadcast guard (the same level `cli status` flags), fold them
@@ -425,8 +440,14 @@ class SnapshotTable:
                 self.fold_broadcast_rows = m.get("fold_broadcast_rows")
             if self.compact_after_commit is None:
                 self.compact_after_commit = m.get("compact_after_commit")
+            if self.rewrite_probe is None:
+                self.rewrite_probe = m.get("rewrite_probe")
         self.merge_mode = self.merge_mode or "auto"
         self.compact_after_commit = self.compact_after_commit or "off"
+        # default ON: the probe only fires past rewrite_probe_min_files
+        # candidates, so steady-state sparse commits keep zero extra jobs;
+        # legacy tables adopt it safely (optimization, not layout)
+        self.rewrite_probe = self.rewrite_probe or "auto"
         self.target_file_rows = self.target_file_rows or 1_000_000
         self.max_files_per_bucket = self.max_files_per_bucket or 16
         self.fold_broadcast_rows = self.fold_broadcast_rows or 1_000_000
@@ -1462,6 +1483,12 @@ class SnapshotTable:
     # columns); larger deltas use range-envelope overlap
     key_probe_limit = 1024
 
+    # rewrite_probe="auto" fires only when the stats-based rewrite set holds
+    # at least this many candidate files: below it the probe job's fixed
+    # scheduling cost (~one tiny Spark job) outweighs the rewrites it could
+    # save, so steady-state sparse commits stay zero-extra-jobs
+    rewrite_probe_min_files = 64
+
     def _probe_staged_keys(self, sfiles: list[dict]) -> list[tuple] | None:
         """Key tuples of a SPARSE staged delta (None if too large to probe).
 
@@ -1481,6 +1508,64 @@ class SnapshotTable:
             cols = [tbl.column(c).to_pylist() for c in self.key_cols]
             keys.extend(zip(*cols))
         return keys
+
+    def _probe_hit_names(
+        self,
+        candidates: list[dict],
+        keysrc: list[dict],
+        schema: T.StructType,
+    ) -> set[str] | None:
+        """Exact rewrite-set refinement: basenames of candidate files that
+        REALLY contain at least one delta key.
+
+        One Spark job: a key-column-only scan of the candidate files (tagged
+        with input_file_name) left-semi-joined — null-safely, on the full
+        key tuple — against the delta's distinct keys. Per-file [min, max]
+        stats over-approximate twice (range gaps; per-column decomposition
+        of tuple keys), and every false positive costs a full-width file
+        rewrite; the probe trades those for a columnar read of just the key
+        columns, which parquet serves without touching payload pages. Sound
+        by construction: actual keys are read, so only true non-matches are
+        dropped. Returns None on failure — the caller keeps the
+        conservative stats-based set.
+        """
+        if not candidates:
+            return set()
+        if not keysrc:
+            return set()
+        by_name = {f.name: f for f in schema.fields}
+        kschema = T.StructType([by_name[c] for c in self.key_cols])
+        try:
+            cand = self._read_files(candidates, kschema).withColumn(
+                "_f", F.input_file_name()
+            )
+            keys = self._read_files(keysrc, kschema).dropDuplicates(
+                list(self.key_cols)
+            )
+            # same broadcast guard as the MOR fold: rows are exact from the
+            # staged/delta footers, so a backfill-sized delta degrades to a
+            # shuffle instead of OOMing the executors
+            if sum(f["rows"] for f in keysrc) <= self.fold_broadcast_rows:
+                keys = F.broadcast(keys)
+            cond = None
+            for k in self.key_cols:
+                c = cand[k].eqNullSafe(keys[k])
+                cond = c if cond is None else cond & c
+            rows = (
+                cand.join(keys, cond, "left_semi")
+                .select("_f").distinct().collect()
+            )
+        except Exception:
+            return None
+        from urllib.parse import unquote, urlparse
+
+        # input_file_name yields a (possibly percent-encoded) file: URI;
+        # our data files are uuid-hex named, so basenames identify them.
+        # A (vanishing) basename collision only ever ADDS a file to the
+        # hit set — the refinement stays sound.
+        return {
+            os.path.basename(unquote(urlparse(r["_f"]).path)) for r in rows
+        }
 
     def _footer_stats(self, meta) -> tuple[dict | None, list | None]:
         """(key_stats, order_stats) from a parquet footer's row-group stats.
@@ -2051,6 +2136,9 @@ class SnapshotTable:
             stale_check: list[dict] = []     # live files defining existing orders
             folded_buckets: list[int] = []
             auto_modes: dict[str, int] = {"cow": 0, "mor": 0}
+            # deferred per-bucket rewrite decisions (probe-refined post-loop)
+            pending: list[dict] = []
+            files_probe_pruned = 0
             for b, sfiles in sorted(staged_by_bucket.items()):
                 olds = old_by_bucket.get(b, [])
                 base_olds, live_deltas = self._split_kinds(olds)
@@ -2120,22 +2208,30 @@ class SnapshotTable:
                         stale_check += inter + live_deltas
                         mor_delta_raw += sfiles
                     continue
+                # Each arm below splits its rewrite set into `base_inter`
+                # (stats-matched base files — droppable if an exact key
+                # probe proves no delta key lives in them) and `forced`
+                # (files that must rewrite regardless: live deltas being
+                # folded, or everything under a frag compaction). Decisions
+                # are DEFERRED into `pending` so one post-loop probe job can
+                # refine every bucket at once.
                 if eff == "mor":
                     # FOLD: the bucket hit its delta cap (or is fragmented) —
                     # merge its intersecting base files + live deltas + the
                     # staged delta back into clean base files
                     folded_buckets.append(b)
                     if frag:
-                        inter = base_olds
+                        base_inter: list[dict] = []
+                        forced = base_olds + live_deltas
                     else:
                         probe_all = self._probe_staged_keys(
                             sfiles + live_deltas
                         )
-                        inter = _hit(base_olds, probe_all,
-                                     sfiles + live_deltas)
-                    inter = inter + live_deltas
+                        base_inter = _hit(base_olds, probe_all,
+                                          sfiles + live_deltas)
+                        forced = list(live_deltas)
                 elif frag:
-                    inter = olds
+                    base_inter, forced = [], list(olds)
                 elif live_deltas:
                     # COW commit on a bucket that carries MOR deltas from
                     # earlier commits: folding a delta into the rewrite
@@ -2154,22 +2250,61 @@ class SnapshotTable:
                         )
                     else:
                         probe_all = None
-                    inter = _hit(
+                    base_inter = _hit(
                         base_olds, probe_all, sfiles + live_deltas
-                    ) + live_deltas
+                    )
+                    forced = list(live_deltas)
                 else:
-                    inter = _hit(olds, delta_keys, sfiles)
+                    base_inter = _hit(olds, delta_keys, sfiles)
+                    forced = []
+                pending.append({
+                    "olds": olds,
+                    "sfiles": sfiles,
+                    "base_inter": base_inter,
+                    "forced": forced,
+                    # keys that define "file must rewrite": the staged delta
+                    # plus any live deltas folding into this rewrite
+                    "keysrc": sfiles + live_deltas,
+                })
+
+            # key tuples are bucket-pure (same key -> same bucket), so one
+            # global probe refines every bucket safely — a bucket's keys
+            # cannot name another bucket's files — and only buckets that
+            # actually hold droppable candidates need their keys scanned
+            probe_pending = [p for p in pending if p["base_inter"]]
+            probe_cand = sum(len(p["base_inter"]) for p in probe_pending)
+            if (
+                self.rewrite_probe == "auto"
+                and probe_cand >= self.rewrite_probe_min_files
+            ):
+                hits = self._probe_hit_names(
+                    [f for p in probe_pending for f in p["base_inter"]],
+                    [f for p in probe_pending for f in p["keysrc"]],
+                    merged_schema,
+                )
+                if hits is not None:
+                    for p in probe_pending:
+                        kept = [
+                            f for f in p["base_inter"]
+                            if os.path.basename(f["path"]) in hits
+                        ]
+                        files_probe_pruned += len(p["base_inter"]) - len(kept)
+                        p["base_inter"] = kept
+            for p in pending:
+                inter = p["base_inter"] + p["forced"]
                 inter_paths = {f["path"] for f in inter}
-                disjoint = [f for f in olds if f["path"] not in inter_paths]
+                disjoint = [
+                    f for f in p["olds"] if f["path"] not in inter_paths
+                ]
                 carried += disjoint
                 files_pruned += len(disjoint)
                 if inter:
                     rewrite_old += inter
-                    rewrite_staged += sfiles
+                    rewrite_staged += p["sfiles"]
                 else:
                     # no existing file can share a key: staged output IS
                     # final — rename, no rewrite
-                    promote_staged += sfiles
+                    promote_staged += p["sfiles"]
 
             staged_lineage = [
                 {
@@ -2297,6 +2432,7 @@ class SnapshotTable:
             "merge_mode": self.merge_mode,
             "fold_broadcast_rows": self.fold_broadcast_rows,
             "compact_after_commit": self.compact_after_commit,
+            "rewrite_probe": self.rewrite_probe,
             "summary": extra_summary or {},
             # per-commit write-amplification record (tiny, fixed-size): lets
             # ops tooling (cli status) see a sustained scattered-delta
@@ -2309,6 +2445,7 @@ class SnapshotTable:
                     f.get("rows") or 0 for f in rewrite_old
                 ),
                 "files_rewritten": len(rewrite_old),
+                "files_probe_pruned": files_probe_pruned,
                 "delta_files": sum(
                     1 for f in new_files if f.get("kind") == "delta"
                 ),
@@ -2343,6 +2480,7 @@ class SnapshotTable:
                if carried_group_refs else 0),
             "files_rewritten": len(rewrite_old),
             "files_pruned": files_pruned,
+            "files_probe_pruned": files_probe_pruned,
             "rows_written": sum(f["rows"] for f in new_files),
             "new_files": new_files,
             "staged_rows": sum(f["rows"] for f in staged),

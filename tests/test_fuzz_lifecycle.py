@@ -78,7 +78,14 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
                       target_file_rows=8, manifest_groups=3,
                       manifest_inline_files=6,
                       compact_after_commit=None if seed == 7 else "auto",
-                      fold_broadcast_rows=None if seed == 7 else 6)
+                      fold_broadcast_rows=None if seed == 7 else 6,
+                      rewrite_probe="off" if seed == 7 else "auto")
+    if seed != 7:
+        # fire the exact rewrite probe on virtually every COW/fold commit
+        # (default threshold would never trip at this toy scale), so the
+        # fuzz interleaves probe-refined rewrites with deletes, rollbacks,
+        # streams and compactions; seed 7 stays the probe-off baseline
+        t.rewrite_probe_min_files = 2
     model: dict = {}
     history: dict[int, dict] = {}
     lsn = 0
