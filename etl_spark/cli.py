@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
                         "MOR delta debt back into base files whenever it "
                         "exceeds half the broadcast-fold guard. Default: "
                         "table's persisted policy (off)")
+    r.add_argument("--rewrite-probe", choices=["off", "auto"],
+                   default=None, dest="rewrite_probe",
+                   help="COW rewrite-set refinement: auto replaces the "
+                        "per-file [min,max]-stats answer with an exact "
+                        "key-column probe scan when a commit would rewrite "
+                        "many files, dropping stats-false-positive rewrites. "
+                        "Default: table's persisted policy (auto)")
     r.add_argument("--rollup", action="store_true",
                    help="maintain the per-repo rollup derived table (stage 2)")
     r.add_argument("--clean-corpus", action="store_true",
@@ -179,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             maintain_clean_corpus=args.clean_corpus,
             merge_mode=args.merge_mode,
             compact_after_commit=args.compact_after_commit,
+            rewrite_probe=args.rewrite_probe,
         )
         stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
         for st in stats:
@@ -424,6 +432,10 @@ def main(argv: list[str] | None = None) -> int:
                     "compact_after_commit": m.get(
                         "compact_after_commit", "off"
                     ),
+                    "rewrite_probe": m.get("rewrite_probe", "auto"),
+                    "last_commit_probe_pruned": (
+                        m.get("commit_stats") or {}
+                    ).get("files_probe_pruned"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
                 }

@@ -156,6 +156,7 @@ class IngestPipeline:
         maintain_clean_corpus: bool = False,
         merge_mode: str | None = None,
         compact_after_commit: str | None = None,
+        rewrite_probe: str | None = None,
     ) -> None:
         """``dedupe_strategy``: ``fused`` (default; dedupe + bucket
         arrangement in ONE payload shuffle — the window over the write
@@ -172,6 +173,7 @@ class IngestPipeline:
             n_buckets=n_buckets, target_file_rows=target_file_rows,
             max_files_per_bucket=max_files_per_bucket, merge_mode=merge_mode,
             compact_after_commit=compact_after_commit,
+            rewrite_probe=rewrite_probe,
         )
         self.log = CheckpointLog(spark, f"{table_root}/_checkpoint")
         self.metrics = MetricsSink(table_root)
