@@ -1489,6 +1489,17 @@ class SnapshotTable:
     # save, so steady-state sparse commits stay zero-extra-jobs
     rewrite_probe_min_files = 64
 
+    # ... and only when the delta is SPARSE relative to the candidates:
+    # with k = delta keys per candidate file, the fraction of candidates a
+    # probe can drop is ~e^-k (a file misses only if none of the k keys
+    # expected to land in it actually do). Dense commits (bulk replay
+    # epochs: thousands of keys per file) have ~zero droppable files, so
+    # probing them is a pure key-scan tax on the ingest hot path. At the
+    # cap of 2 keys/file the expected savings floor is ~14% of candidate
+    # rewrites — comfortably above the probe's cost. Both inputs are known
+    # pre-probe from footers (staged rows) and the manifest (file count).
+    rewrite_probe_keys_per_file = 2.0
+
     def _probe_staged_keys(self, sfiles: list[dict]) -> list[tuple] | None:
         """Key tuples of a SPARSE staged delta (None if too large to probe).
 
@@ -2273,9 +2284,14 @@ class SnapshotTable:
             # actually hold droppable candidates need their keys scanned
             probe_pending = [p for p in pending if p["base_inter"]]
             probe_cand = sum(len(p["base_inter"]) for p in probe_pending)
+            probe_keys = sum(
+                f["rows"] for p in probe_pending for f in p["keysrc"]
+            )
             if (
                 self.rewrite_probe == "auto"
                 and probe_cand >= self.rewrite_probe_min_files
+                and probe_keys
+                <= self.rewrite_probe_keys_per_file * probe_cand
             ):
                 hits = self._probe_hit_names(
                     [f for p in probe_pending for f in p["base_inter"]],

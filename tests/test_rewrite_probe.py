@@ -91,6 +91,29 @@ def test_probe_below_threshold_never_fires(spark, tmpdir_path):
     assert res["files_probe_pruned"] == 0
 
 
+def test_probe_skips_dense_deltas(spark, tmpdir_path, monkeypatch):
+    # a bulk-replay-shaped commit (delta keys >> candidate files) has ~zero
+    # droppable candidates (every file really holds delta keys) — the
+    # keys-per-file gate must skip the probe so ingest pays no key-scan tax
+    t = _mk(spark, tmpdir_path, "auto", target_file_rows=4)
+    calls = []
+    orig = SnapshotTable._probe_hit_names
+    monkeypatch.setattr(
+        SnapshotTable, "_probe_hit_names",
+        lambda self, *a, **k: calls.append(1) or orig(self, *a, **k),
+    )
+    t.merge_epoch(_df(spark, [("r", f"p{i:03d}", 1, "v") for i in range(16)]), 0)
+    # dense: 16 keys over 4 candidate files -> 16 > 2.0 * 4 -> gate skips
+    res = t.merge_epoch(
+        _df(spark, [("r", f"p{i:03d}", 2, "w") for i in range(16)]), 1
+    )
+    assert calls == []
+    assert res["files_probe_pruned"] == 0
+    # sparse: 1 key over >=1 candidate -> gate admits, probe runs
+    t.merge_epoch(_df(spark, [("r", "p000x", 3, "x")]), 2)
+    assert calls == [1]
+
+
 def test_probe_policy_persisted_and_adopted(spark, tmpdir_path):
     t = _mk(spark, tmpdir_path, "off")
     t.merge_epoch(_df(spark, [("r", "a", 1, "v")]), 0)
