@@ -1286,6 +1286,60 @@ def q_cdc_stream_ingest(spark, sf_dir):
     )
 
 
+def q_cdc_dedup_index(spark, sf_dir):
+    """Dedup-at-ingest: the incremental MinHash-LSH near-dup index
+    (derived.DedupIndex) maintained commit-by-commit while the engine
+    replays the same 4-epoch change stream as ``cdc_replay_e2e`` — band
+    rows live in a prefix-bucketed SnapshotTable (bucket_cols=("band",)),
+    updates/deletes retire a doc's OLD band rows via the sigs reverse map,
+    all at O(commit footprint). Output is the maintained index STATE
+    (band key, doc id): the oracle recomputes it from scratch over the
+    replayed corpus with the bit-exact md5 Carter-Wegman family the batch
+    operator and its driver-green ``minhash_lsh`` oracle already share —
+    incremental maintenance == batch recompute, checked by the driver."""
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = _scratch_dir("etl_spark_dedupidx_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(
+        spark, f"{root}/table", n_buckets=16, count_input=False,
+        maintain_dedup_index=True,
+    )
+    pipe.replay(f"{root}/stream")
+    return pipe.dedup_index.bands.read().select(
+        "band", F.concat_ws(":", "repo", "path").alias("doc_id")
+    )
+
+
+def q_cdc_dedup_pairs(spark, sf_dir):
+    """Near-dup pairs of the CURRENT corpus, answered from the maintained
+    index alone (DedupIndex.pairs_full: band self-join + signature
+    agreement) — same replay as ``cdc_dedup_index``; the oracle recomputes
+    the pairs batch-style over the replayed corpus."""
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = _scratch_dir("etl_spark_deduppairs_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(
+        spark, f"{root}/table", n_buckets=16, count_input=False,
+        maintain_dedup_index=True,
+    )
+    pipe.replay(f"{root}/stream")
+    return pipe.dedup_index.pairs_full()
+
+
 def q_cdc_change_feed(spark, sf_dir):
     """CDC-out: the engine's change feed between snapshots. Replays 4 epochs
     incrementally into a temp table, then reads changes_between(v2, v4) —
@@ -1623,7 +1677,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``ann_lsh`` stays oracle-backed in extras) and ``geo_traj_stats``
     (haversine/speed/MBR math) takes ``w1_latest_salted``'s (second of four
     W1 strategies; skew evidence remains via ``a5_skew_hist`` + the salted
-    entry in extras + pytest differentials)."""
+    entry in extras + pytest differentials).
+    Round-5 continuation swap: ``cdc_dedup_index`` (incremental near-dup
+    LSH index maintained by CDC commits — a NEW operator plus the
+    prefix-bucketing layout under it) takes ``content_sha``'s slot (the
+    row-local sha projection is subsumed by ``cdc_replay_e2e``'s per-row
+    content_sha256 equality and stays oracle-backed in extras)."""
     return {
         "cdc_current_state": q_cdc_current_state,
         "cdc_replay_e2e": q_cdc_replay_e2e,
@@ -1658,7 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_deletes_stream": q_cdc_deletes_stream,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "content_sha": q_content_sha,
+        "cdc_dedup_index": q_cdc_dedup_index,
         "cdc_stream_ingest": q_cdc_stream_ingest,
         "minhash_lsh": q_minhash_lsh,
         "dedup_components": q_dedup_components,
@@ -1709,6 +1768,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed here, subsumed by the driver-green simhash_pairs
         # (which recomputes the fingerprints through the same pandas UDF)
         "simhash_fps": q_simhash_fps,                # sibling: simhash_pairs
+        # round-5 continuation swap: cdc_dedup_index (incremental LSH index
+        # maintenance, a NEW operator) took the registry slot; the row-local
+        # sha projection remains oracle-backed here, subsumed by the
+        # driver-green cdc_replay_e2e (per-row content_sha256 equality) and
+        # corpus_prep (which recomputes the sha through the same expr)
+        "content_sha": q_content_sha,                # sibling: cdc_replay_e2e
+        # companion to the driver-green cdc_dedup_index: near-dup PAIRS of
+        # the current corpus answered from the maintained index alone
+        "cdc_dedup_pairs": q_cdc_dedup_pairs,        # sibling: cdc_dedup_index
         # round-5 addition (not a displaced variant): deterministic seeded
         # train/val/test corpus splitting — a training-data-pipeline op with
         # no registry slot free; oracle-checked here + pytest distribution test
@@ -2769,6 +2837,38 @@ def oracle_sql() -> dict[str, str]:
     # oracle, two physical write paths (MOR == COW == SQL differential)
     out["cdc_replay_mor"] = out["cdc_replay_e2e"]
     out["cdc_rebucket"] = out["cdc_replay_e2e"]
+    # incremental near-dup index: the maintained band-table state must equal
+    # a from-scratch recompute over the replayed corpus — same md5
+    # Carter-Wegman family as the (driver-green) minhash_lsh oracle, with
+    # docsrc = the replay's latest-wins winners instead of `documents`.
+    # Band key format mirrors derived.DedupIndex: '<band_idx>:<md5 bucket>'.
+    _dedup_corpus_ctes = f"""
+        WITH src AS ({_CHANGE_STREAM_SQL}),
+        cleaned AS (
+            SELECT repo, path, "commit", content
+            FROM src
+            WHERE repo IS NOT NULL AND repo <> '' AND path IS NOT NULL
+              AND path <> '' AND content IS NOT NULL
+              AND regexp_matches("commit", '^c\\d{{12}}$')
+        ),
+        docsrc AS (
+            SELECT repo || ':' || path AS doc_id, content AS text FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY "commit" DESC) rn
+                FROM cleaned
+            ) WHERE rn = 1
+        ),
+        {minhash_pairs_ctes.replace("FROM documents", "FROM docsrc").lstrip()}
+    """
+    out["cdc_dedup_index"] = f"""
+        {_dedup_corpus_ctes}
+        SELECT b.band::VARCHAR || ':' || b.bucket AS band, b.doc_id
+        FROM bands b
+    """
+    out["cdc_dedup_pairs"] = f"""
+        {_dedup_corpus_ctes}
+        SELECT id_a, id_b, est_jaccard FROM pairs
+    """
     # Structured-Streaming ingest: same question again — readStream +
     # foreachBatch micro-batches must land the identical final state as
     # batch replay (one core, two drivers)

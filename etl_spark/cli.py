@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintain the clean-corpus derived table (stage 2: "
                         "repetition gate + lang norm + PII redaction, "
                         "recomputed only for commit-touched keys)")
+    r.add_argument("--dedup-index", action="store_true",
+                   help="maintain the near-dup MinHash-LSH index (stage 2: "
+                        "band rows prefix-bucketed by band; per-epoch "
+                        "new-pair report; O(commit footprint) per epoch)")
     _add_spark_args(r)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
@@ -184,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table, n_buckets=args.buckets,
             dedupe_strategy=args.dedupe, maintain_rollup=args.rollup,
             maintain_clean_corpus=args.clean_corpus,
+            maintain_dedup_index=args.dedup_index,
             merge_mode=args.merge_mode,
             compact_after_commit=args.compact_after_commit,
             rewrite_probe=args.rewrite_probe,

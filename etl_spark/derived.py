@@ -354,3 +354,251 @@ class CleanCorpus(IncrementalDerived):
                 ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
             )
         return clean_corpus_expr(new_rows)
+
+
+class DedupIndex:
+    """Incrementally maintained MinHash-LSH near-duplicate index —
+    dedup-at-ingest for the CDC corpus at O(commit footprint) cost.
+
+    Batch near-dup detection (operators/textdedup.minhash_lsh_pairs) is
+    O(corpus) per run; a 100-TB ingest pipeline wants the INDEX maintained
+    by the CDC stream itself, so each commit (a) finds which existing docs
+    its new content near-duplicates and (b) leaves the index current for
+    the next commit — without ever rescanning the corpus. Two self-hosted
+    SnapshotTables under ``root``:
+
+    - ``bands``: one row per (band, repo, path) with the doc's full
+      signature; keyed on that triple but **prefix-bucketed on ``band``**
+      (bucket_cols), so probing an epoch's band keys reads only the probed
+      buckets (scan_prefixes) — the inverted-index access path.
+    - ``sigs``: one row per (repo, path) holding the doc's current band
+      array — the reverse map that makes UPDATES O(1) per doc: a changed
+      doc's OLD band rows are found here (bucket-pruned point reads), not
+      by scanning the band table.
+
+    Maintenance per fact commit (same epoch ids -> idempotent on replay;
+    band merge FIRST so a crash between the two merges replays
+    deterministically — the sig table still holds the old bands):
+
+    1. touched docs = keys in the commit's new files (post-merge current
+       rows, per the CleanCorpus contract); live docs exclude tombstones.
+    2. new sigs/bands from live content (md5-derived Carter-Wegman family,
+       bit-identical to the batch operator and its DuckDB oracle).
+    3. old bands of touched docs from ``sigs``; band rows no longer
+       produced are tombstoned in the SAME band-table commit.
+    4. new-pair detection (opt-in): probe ``bands`` with the epoch's band
+       keys BEFORE merging (existing members only), plus new-vs-new within
+       the epoch; est_jaccard = agreeing signature fraction >= threshold.
+
+    ``pairs_full()`` (near-dup pairs of the CURRENT corpus from the index
+    state) is differential-tested equal to the batch operator over the
+    fact snapshot — the invariant that proves the index is maintained
+    correctly under updates and CDC deletes.
+
+    Every live doc is indexed — short docs shingle to their whole token
+    string exactly as in the batch path (operators/textdedup.shingles), so
+    the index/batch differential covers them too.
+    """
+
+    NUM_HASHES = 16
+    BAND_SIZE = 4
+    SHINGLE_K = 3
+
+    def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
+                 n_buckets: int = 16, threshold: float = 0.5,
+                 detect_pairs: bool = False) -> None:
+        self.spark = spark
+        self.source = table
+        self.root = str(root)
+        self.threshold = threshold
+        self.detect_pairs = detect_pairs
+        self.bands = SnapshotTable(
+            spark, f"{root}/bands", key_cols=("band", "repo", "path"),
+            bucket_cols=("band",), order_col="as_of_version",
+            n_buckets=n_buckets,
+        )
+        self.sigs = SnapshotTable(
+            spark, f"{root}/sigs", key_cols=("repo", "path"),
+            order_col="as_of_version", n_buckets=n_buckets,
+        )
+
+    # -- signature / banding (bit-identical to the batch operator) --------
+    def _sig_bands(self, rows: DataFrame) -> DataFrame:
+        """(repo, path, sig, bands array<string>) for current live rows.
+        Band value = '<band_idx>:<md5 bucket>' — one string column so the
+        band table's placement key is a single column."""
+        from etl_spark.operators.textdedup import minhash_signature_table
+
+        docs = rows.select(
+            F.struct("repo", "path").alias("_k"),
+            F.col("content").alias("_text"),
+        )
+        sig = minhash_signature_table(
+            docs, text_col="_text", id_col="_k",
+            num_hashes=self.NUM_HASHES, k=self.SHINGLE_K,
+        )
+        n_bands = self.NUM_HASHES // self.BAND_SIZE
+        bands = F.array(*[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.md5(F.concat_ws(",", F.slice(
+                    F.col("_sig"), b * self.BAND_SIZE + 1, self.BAND_SIZE
+                ).cast("array<string>"))),
+            )
+            for b in range(n_bands)
+        ])
+        return sig.select(
+            F.col("_id.repo").alias("repo"),
+            F.col("_id.path").alias("path"),
+            F.col("_sig").alias("sig"),
+            bands.alias("bands"),
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def update_for_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
+        if commit.get("skipped") or not commit.get("new_files"):
+            return {"skipped": True}
+        as_of = int(commit["version"])
+        epochs = [int(e) for e in commit["epochs"]]
+        new_rows = self.source._read_files(
+            commit["new_files"], self.source.schema()
+        )
+        touched = new_rows.select("repo", "path").distinct()
+        live = new_rows
+        if TOMBSTONE_COL in live.columns:
+            live = live.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        new_sb = self._sig_bands(live).localCheckpoint(eager=True)
+
+        # old band rows of every touched doc, via the sigs reverse map
+        # (bucket-pruned bulk point read; empty on the bootstrap commit)
+        doc_keys = [(r["repo"], r["path"]) for r in touched.collect()]
+        if self.sigs.exists():
+            old = self.sigs.scan_prefixes(doc_keys).select(
+                "repo", "path", F.explode("bands").alias("band")
+            )
+        else:
+            old = self.spark.createDataFrame(
+                [], "repo string, path string, band string"
+            )
+
+        new_band_rows = new_sb.select(
+            F.explode("bands").alias("band"), "repo", "path", "sig"
+        )
+        pairs_found = None
+        if self.detect_pairs:
+            pairs_found = self._detect_pairs(new_band_rows, as_of)
+
+        stamp = F.lit(as_of).cast("long")
+        gone_bands = (
+            old.join(new_band_rows.select("band", "repo", "path"),
+                     ["band", "repo", "path"], "left_anti")
+            .withColumn("as_of_version", stamp)
+            .withColumn(TOMBSTONE_COL, F.lit(True))
+        )
+        band_updates = new_band_rows.withColumn("as_of_version", stamp)
+        r1 = self.bands.merge_epochs(
+            band_updates.unionByName(gone_bands, allowMissingColumns=True),
+            epochs, extra_summary={"derived_from_version": as_of},
+            assume_deduped=True,
+        )
+        sig_updates = new_sb.select("repo", "path", "bands").withColumn(
+            "as_of_version", stamp
+        )
+        gone_sigs = (
+            touched.join(new_sb.select("repo", "path"),
+                         ["repo", "path"], "left_anti")
+            .withColumn("as_of_version", stamp)
+            .withColumn(TOMBSTONE_COL, F.lit(True))
+        )
+        r2 = self.sigs.merge_epochs(
+            sig_updates.unionByName(gone_sigs, allowMissingColumns=True),
+            epochs, extra_summary={"derived_from_version": as_of},
+            assume_deduped=True,
+        )
+        _release_checkpoint(new_sb)
+        return {
+            "bands": r1, "sigs": r2,
+            **({"new_pairs": pairs_found} if pairs_found is not None else {}),
+        }
+
+    def _detect_pairs(self, new_band_rows: DataFrame, as_of: int) -> int:
+        """Near-dups the commit introduces: new docs vs the EXISTING index
+        (probed by band key — O(probed buckets)) plus new-vs-new within the
+        commit. Written to ``root/pairs/asof=<version>`` (overwrite ->
+        replay-idempotent); returns the pair count."""
+        probe = new_band_rows.select("band", "repo", "path", "sig")
+        band_keys = [
+            (r["band"],) for r in probe.select("band").distinct().collect()
+        ]
+        if self.bands.exists() and band_keys:
+            existing = self.bands.scan_prefixes(band_keys).select(
+                "band", "repo", "path", "sig"
+            )
+            both = probe.unionByName(existing).dropDuplicates(
+                ["band", "repo", "path"]
+            )
+        else:
+            both = probe
+        a, b = both.alias("a"), probe.alias("b")
+        ida = F.concat_ws(":", F.col("a.repo"), F.col("a.path"))
+        idb = F.concat_ws(":", F.col("b.repo"), F.col("b.path"))
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (ida < idb))
+            .select(
+                ida.alias("id_a"), idb.alias("id_b"),
+                F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"),
+            )
+            .distinct()
+        )
+        pairs = cand.withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(
+                    F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )) / F.lit(float(self.NUM_HASHES)),
+                6,
+            ),
+        ).where(F.col("est_jaccard") >= self.threshold).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+        out = f"{self.root}/pairs/asof={as_of}"
+        pairs.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out).count()
+
+    # -- reads ---------------------------------------------------------------
+    def pairs_full(self) -> DataFrame:
+        """Near-dup pairs of the CURRENT corpus, from the index state alone
+        (band-key self-join + signature-agreement estimate) — must equal
+        the batch operator over the fact snapshot."""
+        idx = self.bands.read().select("band", "repo", "path", "sig")
+        a, b = idx.alias("a"), idx.alias("b")
+        ida = F.concat_ws(":", F.col("a.repo"), F.col("a.path"))
+        idb = F.concat_ws(":", F.col("b.repo"), F.col("b.path"))
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (ida < idb))
+            .select(
+                ida.alias("id_a"), idb.alias("id_b"),
+                F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"),
+            )
+            .distinct()
+        )
+        return cand.withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(
+                    F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )) / F.lit(float(self.NUM_HASHES)),
+                6,
+            ),
+        ).where(F.col("est_jaccard") >= self.threshold).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    from etl_spark.operators.textdedup import _release_local_checkpoint
+
+    _release_local_checkpoint(df)

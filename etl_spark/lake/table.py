@@ -290,6 +290,7 @@ class SnapshotTable:
         root: str,
         *,
         key_cols: tuple[str, ...] = ("repo", "path"),
+        bucket_cols: tuple[str, ...] | None = None,
         order_col: str = "commit",
         n_buckets: int = 32,
         target_file_rows: int | None = None,
@@ -364,6 +365,27 @@ class SnapshotTable:
         self.auto_mor_factor = 4.0
         self.root = Path(root)
         self.key_cols = tuple(key_cols)
+        # PREFIX bucketing (Iceberg's bucket(N, col) transform on a column
+        # subset): rows are placed by hash of the first len(bucket_cols)
+        # key columns while uniqueness/latest-wins stays on the FULL key.
+        # The point is inverted-index-shaped tables — e.g. a near-dup band
+        # index keyed (band, repo, path) but bucketed by band alone, so a
+        # probe for one band's members reads ONE bucket (and, because the
+        # within-bucket sort leads with the bucket cols, usually one file)
+        # instead of scattering across all of them. Must be a PREFIX of
+        # key_cols: the cluster-order sort leads with the key columns in
+        # order, so only a prefix gets tight per-file [min,max] ranges —
+        # an arbitrary subset would bucket correctly but prune poorly.
+        # Layout INVARIANT like key_cols/n_buckets (manifest wins on attach).
+        self.bucket_cols = tuple(bucket_cols) if bucket_cols is not None else None
+        if self.bucket_cols is not None and (
+            not self.bucket_cols
+            or self.bucket_cols != self.key_cols[: len(self.bucket_cols)]
+        ):
+            raise ValueError(
+                f"bucket_cols {self.bucket_cols!r} must be a non-empty "
+                f"prefix of key_cols {self.key_cols!r}"
+            )
         self.order_col = order_col
         self.n_buckets = n_buckets
         self.target_file_rows = target_file_rows
@@ -421,6 +443,10 @@ class SnapshotTable:
         if m is not None:
             self.n_buckets = m.get("n_buckets", self.n_buckets)
             self.key_cols = tuple(m.get("key_cols", self.key_cols))
+            # layout invariant: the persisted value wins (None in legacy
+            # manifests = full-key bucketing, the pre-feature behavior)
+            mb = m.get("bucket_cols")
+            self.bucket_cols = tuple(mb) if mb else None
             self.order_col = m.get("order_col", self.order_col)
             # file-sizing knobs are MUTABLE write policy like merge_mode
             # (Iceberg: write.target-file-size-bytes), not layout: None
@@ -823,17 +849,22 @@ class SnapshotTable:
             return []
         schema = T.StructType.fromJson(m["schema"])
         types = {f.name: f.dataType for f in schema.fields}
+        # placement hash covers only the bucket columns (the full key when
+        # prefix bucketing is off) — a prefix-bucketed table places every
+        # (band, *) key in band's bucket, and the lookup must follow suit
+        pcols = self.placement_cols
+        pkey = key[: len(pcols)]
         lits = [
             F.lit(v).cast(types[c]) if c in types else F.lit(v)
-            for c, v in zip(self.key_cols, key)
+            for c, v in zip(pcols, pkey)
         ]
         # bucket count from the MANIFEST, not the handle: a long-lived
         # reader attached before a rebucket() must probe under the layout
         # the files were actually written with, or lookups silently miss
         n_buckets = m.get("n_buckets", self.n_buckets)
         memo_key = (
-            key, n_buckets,
-            tuple(str(types.get(c)) for c in self.key_cols),
+            pkey, n_buckets,
+            tuple(str(types.get(c)) for c in pcols),
         )
         b = self._bucket_memo.get(memo_key)
         if b is None:
@@ -892,6 +923,91 @@ class SnapshotTable:
             # a candidate delta row supersedes a stale base row for the key;
             # all candidate rows read the same few files, so folding here is
             # a trivial aggregate over <= a handful of rows
+            cols = df.columns
+            df = self._latest_delta_rows(df).select(*cols)
+        if TOMBSTONE_COL in df.columns:
+            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df
+
+    def prefix_candidates(self, prefixes: list[tuple]) -> list[dict]:
+        """Live files that can hold rows whose placement columns equal ANY
+        of the probed prefix tuples — the bulk face of
+        :meth:`candidate_files` for prefix-bucketed tables (an inverted
+        index probing hundreds of band keys per epoch wants one bucket
+        computation and one read, not hundreds of point lookups).
+
+        ONE 1-job Spark computation hashes every distinct prefix to its
+        bucket (same xxhash64+cast discipline as candidate_files); files of
+        the hit buckets are then stats-pruned per prefix on the placement
+        columns. Cost: O(probed buckets' file entries), never O(table).
+        """
+        m = self.manifest()
+        if m is None or not prefixes:
+            return []
+        pcols = self.placement_cols
+        n_buckets = m.get("n_buckets", self.n_buckets)
+        schema = T.StructType.fromJson(m["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        pschema = T.StructType([by_name[c] for c in pcols])
+        uniq = sorted(set(tuple(p[: len(pcols)]) for p in prefixes))
+        rows = (
+            self.spark.createDataFrame(uniq, pschema)
+            .withColumn(
+                "_b",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in pcols]),
+                    F.lit(n_buckets),
+                ).cast("int"),
+            )
+            .collect()
+        )
+        by_bucket: dict[int, list[tuple]] = {}
+        for r in rows:
+            by_bucket.setdefault(r["_b"], []).append(
+                tuple(r[c] for c in pcols)
+            )
+        out: list[dict] = []
+        seen: set[str] = set()
+        for b, pfx in sorted(by_bucket.items()):
+            for f in self._bucket_entries(b, m):
+                if f["path"] in seen:
+                    continue
+                if _keys_hit_file(pfx, f.get("key_stats"), pcols):
+                    seen.add(f["path"])
+                    out.append(f)
+        return out
+
+    def scan_prefixes(self, prefixes: list[tuple]) -> DataFrame:
+        """Bulk point-read on the placement columns: all live rows whose
+        placement-column values equal any probed prefix tuple. Candidate
+        files come from :meth:`prefix_candidates`; the exact filter is a
+        broadcast null-safe semi-join (an IN-list of tuples does not push
+        down as one); MOR deltas fold and tombstones drop exactly as in
+        :meth:`lookup`."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        schema = self.schema()
+        if not prefixes:
+            return self.spark.createDataFrame([], schema)
+        pcols = self.placement_cols
+        files = self.prefix_candidates(prefixes)
+        base, deltas = self._split_kinds(files)
+        df = self._read_files(files, schema)
+        by_name = {f.name: f for f in schema.fields}
+        pschema = T.StructType([by_name[c] for c in pcols])
+        uniq = sorted(set(tuple(p[: len(pcols)]) for p in prefixes))
+        probe = F.broadcast(
+            self.spark.createDataFrame(uniq, pschema).dropDuplicates(
+                list(pcols)
+            )
+        )
+        cond = None
+        for c in pcols:
+            eq = df[c].eqNullSafe(probe[c])
+            cond = eq if cond is None else cond & eq
+        df = df.join(probe, cond, "left_semi")
+        if deltas:
             cols = df.columns
             df = self._latest_delta_rows(df).select(*cols)
         if TOMBSTONE_COL in df.columns:
@@ -1473,9 +1589,16 @@ class SnapshotTable:
 
     # ---- write / merge ---------------------------------------------------------
 
+    @property
+    def placement_cols(self) -> tuple[str, ...]:
+        """Columns whose hash places a row in a bucket (bucket_cols when
+        prefix bucketing is configured, the full key otherwise)."""
+        return self.bucket_cols or self.key_cols
+
     def _bucket_expr(self):
         return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+            F.xxhash64(*[F.col(c) for c in self.placement_cols]),
+            F.lit(self.n_buckets),
         ).cast("int")
 
     # deltas with at most this many rows in a bucket get exact per-key
@@ -2441,6 +2564,7 @@ class SnapshotTable:
             "schema": merged_schema.jsonValue(),
             **spaces,
             "key_cols": list(self.key_cols),
+            "bucket_cols": list(self.bucket_cols) if self.bucket_cols else None,
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
             "max_files_per_bucket": self.max_files_per_bucket,

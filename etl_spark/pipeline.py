@@ -125,6 +125,7 @@ class EpochStats:
     seconds: float = 0.0
     skipped: bool = False
     commit: dict[str, Any] = field(default_factory=dict)
+    extra: dict[str, Any] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -136,6 +137,7 @@ class EpochStats:
             if self.seconds > 0
             else None,
             "skipped": self.skipped,
+            **self.extra,
         }
 
 
@@ -154,6 +156,7 @@ class IngestPipeline:
         dedupe_strategy: str = "fused",
         maintain_rollup: bool = False,
         maintain_clean_corpus: bool = False,
+        maintain_dedup_index: bool = False,
         merge_mode: str | None = None,
         compact_after_commit: str | None = None,
         rewrite_probe: str | None = None,
@@ -193,6 +196,14 @@ class IngestPipeline:
             self.clean_corpus = CleanCorpus(
                 spark, self.table, f"{table_root}/_clean",
                 n_buckets=max(4, n_buckets // 4),
+            )
+        self.dedup_index = None
+        if maintain_dedup_index:
+            from etl_spark.derived import DedupIndex
+
+            self.dedup_index = DedupIndex(
+                spark, self.table, f"{table_root}/_dedup",
+                n_buckets=max(4, n_buckets // 4), detect_pairs=True,
             )
         if dedupe_strategy not in ("fused", "maxby", "window", "salted", "auto"):
             raise ValueError(f"unknown dedupe_strategy {dedupe_strategy!r}")
@@ -315,6 +326,13 @@ class IngestPipeline:
                 # stage-2 derived table: per-repo rollup maintained for
                 # exactly the repos this commit touched (SURVEY §3.3 / P2)
                 self.rollup.update_for_commit(commit)
+            if self.dedup_index is not None:
+                # stage-2 derived table: near-dup LSH index maintained for
+                # exactly the commit's docs; per-epoch new-pair report under
+                # _dedup/pairs/asof=<version>
+                idx_stats = self.dedup_index.update_for_commit(commit)
+                if "new_pairs" in idx_stats:
+                    stats.extra["near_dup_pairs"] = idx_stats["new_pairs"]
             # applied count falls out of the merge's staged-file footers —
             # no extra Spark job
             stats.events_applied = commit.get("staged_rows") or 0

@@ -1,0 +1,123 @@
+"""Incremental MinHash-LSH near-dup index (derived.DedupIndex): maintained
+per CDC commit at O(commit footprint), differential-tested equal to the
+batch operator (operators/textdedup.minhash_lsh_pairs) over the fact
+snapshot — through inserts, updates, CDC deletes, and replays."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_spark.derived import DedupIndex
+from etl_spark.lake.table import TOMBSTONE_COL, SnapshotTable
+from etl_spark.operators.textdedup import minhash_lsh_pairs
+
+SCHEMA = "repo string, path string, lsn long, content string"
+BASE = "the quick brown fox jumps over the lazy dog again and again ok"
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _mk(spark, root, **kw):
+    fact = SnapshotTable(spark, f"{root}/fact", n_buckets=4, order_col="lsn")
+    idx = DedupIndex(spark, fact, f"{root}/idx", n_buckets=4, **kw)
+    return fact, idx
+
+
+def _batch_pairs(fact):
+    final = fact.read().withColumn("doc_id", F.concat_ws(":", "repo", "path"))
+    return sorted(tuple(r) for r in minhash_lsh_pairs(
+        final, text_col="content", id_col="doc_id",
+        num_hashes=DedupIndex.NUM_HASHES, band_size=DedupIndex.BAND_SIZE,
+        k=DedupIndex.SHINGLE_K, verify_threshold=0.5,
+    ).collect())
+
+
+def _inc_pairs(idx):
+    return sorted(tuple(r) for r in idx.pairs_full().collect())
+
+
+def test_index_equals_batch_through_update_and_delete(spark, tmpdir_path):
+    fact, idx = _mk(spark, tmpdir_path, detect_pairs=True)
+    c0 = fact.merge_epochs(spark.createDataFrame([
+        ("r1", "a.py", 1, BASE + " v1"),
+        ("r1", "b.py", 2, BASE + " v2"),
+        ("r2", "c.py", 3, "completely different content with unique words"),
+    ], SCHEMA), [0])
+    r0 = idx.update_for_commit(c0)
+    assert r0["new_pairs"] == 1  # (a, b)
+    c1 = fact.merge_epochs(spark.createDataFrame(
+        [("r3", "d.py", 4, BASE + " v3")], SCHEMA), [1])
+    r1 = idx.update_for_commit(c1)
+    assert r1["new_pairs"] == 2  # d vs a, d vs b — found against the INDEX
+    # c changes INTO the family; a is CDC-deleted
+    c2 = fact.merge_epochs(spark.createDataFrame(
+        [("r2", "c.py", 5, BASE + " v4", False),
+         ("r1", "a.py", 6, None, True)],
+        SCHEMA + f", {TOMBSTONE_COL} boolean"), [2])
+    idx.update_for_commit(c2)
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    assert len(_inc_pairs(idx)) == 3  # b-c, b-d, c-d
+
+
+def test_maintenance_replay_is_idempotent(spark, tmpdir_path):
+    fact, idx = _mk(spark, tmpdir_path)
+    c0 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "a.py", 1, BASE), ("r1", "b.py", 2, BASE + " x")], SCHEMA), [0])
+    first = idx.update_for_commit(c0)
+    assert not first["bands"].get("skipped")
+    again = idx.update_for_commit(c0)
+    assert again["bands"].get("skipped") and again["sigs"].get("skipped")
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+
+
+def test_index_differential_randomized_lifecycle(spark, tmpdir_path):
+    # randomized epochs of inserts/updates/deletes over a small doc pool —
+    # after every epoch the index must equal the batch recompute
+    rng = random.Random(41)
+    fact, idx = _mk(spark, tmpdir_path)
+    pool = [(f"r{i % 3}", f"f{i}.py") for i in range(10)]
+    alive: set = set()
+    lsn = 0
+    for epoch in range(1, 6):
+        rows = []
+        for _ in range(rng.randint(2, 5)):
+            repo, path = rng.choice(pool)
+            lsn += 1
+            if (repo, path) in alive and rng.random() < 0.3:
+                rows.append((repo, path, lsn, None, True))
+                alive.discard((repo, path))
+            else:
+                # near-dup families: half the docs share the BASE text
+                if rng.random() < 0.5:
+                    text = BASE + f" variant {rng.randint(1, 3)}"
+                else:
+                    text = " ".join(rng.choice(WORDS) for _ in range(12))
+                rows.append((repo, path, lsn, text, False))
+                alive.add((repo, path))
+        dedup: dict = {}
+        for row in rows:
+            dedup[(row[0], row[1])] = row
+        c = fact.merge_epochs(
+            spark.createDataFrame(list(dedup.values()),
+                                  SCHEMA + f", {TOMBSTONE_COL} boolean"),
+            [epoch],
+        )
+        idx.update_for_commit(c)
+        assert _inc_pairs(idx) == _batch_pairs(fact), f"drift at epoch {epoch}"
+
+
+def test_short_docs_index_like_the_batch_path(spark, tmpdir_path):
+    # a sub-shingle-width doc shingles to its whole token string (same rule
+    # as the batch operator), so it IS indexed and the differential holds
+    fact, idx = _mk(spark, tmpdir_path)
+    c0 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "tiny.py", 1, "ab"), ("r1", "b.py", 2, BASE)], SCHEMA), [0])
+    idx.update_for_commit(c0)
+    n_bands = DedupIndex.NUM_HASHES // DedupIndex.BAND_SIZE
+    assert idx.bands.read().where(
+        F.col("path") == "tiny.py"
+    ).count() == n_bands
+    assert _inc_pairs(idx) == _batch_pairs(fact) == []
