@@ -258,6 +258,50 @@ def bench_sparse_epoch(spark, n_events: int) -> dict:
     }
 
 
+def bench_dedup_index(spark, n_events: int) -> dict:
+    """Dedup-at-ingest steady state: bootstrap a corpus WITH the
+    incremental LSH index (untimed), then time ONE sparse delta commit
+    including index maintenance + new-pair detection. The delta-only cost
+    is the O(commit footprint) claim; the bootstrap second records the
+    bulk shape (per-epoch cost ~ batch LSH over the epoch, by design)."""
+    root = tempfile.mkdtemp(prefix="etl_spark_dedupidx_")
+    try:
+        n = max(10_000, n_events // 10)
+        base = change_stream(spark, n, n_repos=max(100, n // 10_000),
+                             events_per_epoch=n, dup_pct=0)
+        write_segments(base, f"{root}/stream")
+        pipe = IngestPipeline(
+            spark, f"{root}/table", n_buckets=64, count_input=False,
+            maintain_dedup_index=True,
+        )
+        t0 = time.time()
+        pipe.replay(f"{root}/stream", mode="catchup")
+        boot_s = round(time.time() - t0, 2)
+        delta = change_stream(spark, 300, n_repos=max(100, n // 10_000),
+                              events_per_epoch=n, dup_pct=0)
+        delta = (
+            delta.withColumn("lsn", F.col("lsn") + n)
+            .withColumn("commit", F.format_string("c%012d", F.col("lsn")))
+        )
+        (delta.drop("epoch").repartition(2).write.mode("overwrite")
+              .parquet(f"{root}/stream/epoch=1"))
+        t0 = time.time()
+        stats = pipe.replay(f"{root}/stream")
+        sparse_s = round(time.time() - t0, 2)
+        return {
+            "bootstrap_events": n,
+            "bootstrap_sec": boot_s,
+            "sparse_delta_events": 300,
+            "sparse_sec": sparse_s,
+            "new_pairs": stats[0].extra.get("near_dup_pairs"),
+            "band_rows": sum(
+                f["rows"] for f in pipe.dedup_index.bands.files()
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_soak_10x(spark, n_events: int) -> dict:
     """The two-point sublinearity soak (VERDICT r3 #8): the SAME scattered
     sparse-epoch shape at 10x the events — ~10x the table files (~123k at
@@ -366,6 +410,8 @@ def main() -> int:
     timings["cdc_sparse_epoch"] = sparse["clustered"]["seconds"]
     timings["cdc_sparse_epoch_scattered"] = sparse["scattered"]["seconds"]
     timings["cdc_sparse_epoch_scattered_mor"] = sparse["scattered_mor"]["seconds"]
+    didx = bench_dedup_index(spark, int(REPLAY_EVENTS_PER_SF * sf))
+    timings["dedup_index_sparse"] = didx["sparse_sec"]
     # 10x-files soak point (pruning counters at ~123k files); detail row
     # only — kept OUT of the headline total so round-over-round totals
     # stay comparable (set SPARK_GRAFT_NO_SOAK=1 to skip, e.g. sf>=1 runs)
@@ -385,6 +431,7 @@ def main() -> int:
         "queries": timings,
         "replay": replay,
         "sparse_epoch": {**sparse, **soak},
+        "dedup_index": didx,
     }
     detail_line = json.dumps(detail, separators=(",", ":"))
     print(detail_line)

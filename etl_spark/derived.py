@@ -404,6 +404,12 @@ class DedupIndex:
     BAND_SIZE = 4
     SHINGLE_K = 3
 
+    # epochs with at most this many staged rows take the collected-key
+    # scan_prefixes probe paths (O(probed buckets)); bulk epochs switch to
+    # distributed semi-joins — same rows touched, no 10^5-key driver
+    # round-trip, no per-bucket probe of every bucket
+    probe_collect_limit = 4096
+
     def __init__(self, spark: SparkSession, table: SnapshotTable, root: str,
                  n_buckets: int = 16, threshold: float = 0.5,
                  detect_pairs: bool = False) -> None:
@@ -470,16 +476,28 @@ class DedupIndex:
             live = live.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         new_sb = self._sig_bands(live).localCheckpoint(eager=True)
 
-        # old band rows of every touched doc, via the sigs reverse map
-        # (bucket-pruned bulk point read; empty on the bootstrap commit)
-        doc_keys = [(r["repo"], r["path"]) for r in touched.collect()]
-        if self.sigs.exists():
+        # old band rows of every touched doc, via the sigs reverse map.
+        # SPARSE epochs (steady-state CDC: few docs) collect the keys and
+        # take the bucket-pruned scan_prefixes path — O(probed buckets).
+        # BULK epochs (backfill/catchup: most of the corpus) would pay a
+        # driver round-trip of 10^5 keys AND probe every bucket anyway, so
+        # they read the sigs table once and semi-join distributed — same
+        # rows touched, zero driver materialization.
+        sparse = (commit.get("staged_rows") or 0) <= self.probe_collect_limit
+        if not self.sigs.exists():
+            old = self.spark.createDataFrame(
+                [], "repo string, path string, band string"
+            )
+        elif sparse:
+            doc_keys = [(r["repo"], r["path"]) for r in touched.collect()]
             old = self.sigs.scan_prefixes(doc_keys).select(
                 "repo", "path", F.explode("bands").alias("band")
             )
         else:
-            old = self.spark.createDataFrame(
-                [], "repo string, path string, band string"
+            old = (
+                self.sigs.read()
+                .join(touched, ["repo", "path"], "left_semi")
+                .select("repo", "path", F.explode("bands").alias("band"))
             )
 
         new_band_rows = new_sb.select(
@@ -487,7 +505,7 @@ class DedupIndex:
         )
         pairs_found = None
         if self.detect_pairs:
-            pairs_found = self._detect_pairs(new_band_rows, as_of)
+            pairs_found = self._detect_pairs(new_band_rows, as_of, sparse)
 
         stamp = F.lit(as_of).cast("long")
         gone_bands = (
@@ -497,10 +515,16 @@ class DedupIndex:
             .withColumn(TOMBSTONE_COL, F.lit(True))
         )
         band_updates = new_band_rows.withColumn("as_of_version", stamp)
+        # size hints keep a sparse epoch's staging exchange narrow (the
+        # fact commit's row count is exact from its staged footers); a bulk
+        # epoch's estimate exceeds the wide cap and changes nothing
+        n_bands = self.NUM_HASHES // self.BAND_SIZE
+        staged_rows = int(commit.get("staged_rows") or 0)
         r1 = self.bands.merge_epochs(
             band_updates.unionByName(gone_bands, allowMissingColumns=True),
             epochs, extra_summary={"derived_from_version": as_of},
             assume_deduped=True,
+            size_hint=max(1, staged_rows * n_bands * 256),
         )
         sig_updates = new_sb.select("repo", "path", "bands").withColumn(
             "as_of_version", stamp
@@ -515,6 +539,7 @@ class DedupIndex:
             sig_updates.unionByName(gone_sigs, allowMissingColumns=True),
             epochs, extra_summary={"derived_from_version": as_of},
             assume_deduped=True,
+            size_hint=max(1, staged_rows * 512),
         )
         _release_checkpoint(new_sb)
         return {
@@ -522,19 +547,31 @@ class DedupIndex:
             **({"new_pairs": pairs_found} if pairs_found is not None else {}),
         }
 
-    def _detect_pairs(self, new_band_rows: DataFrame, as_of: int) -> int:
+    def _detect_pairs(
+        self, new_band_rows: DataFrame, as_of: int, sparse: bool
+    ) -> int:
         """Near-dups the commit introduces: new docs vs the EXISTING index
-        (probed by band key — O(probed buckets)) plus new-vs-new within the
-        commit. Written to ``root/pairs/asof=<version>`` (overwrite ->
-        replay-idempotent); returns the pair count."""
+        plus new-vs-new within the commit. A SPARSE commit probes only its
+        band keys' buckets (scan_prefixes — O(probed buckets)); a BULK
+        commit collides with most bands anyway, so it joins against the
+        index read distributed (the band equi-join restricts to colliding
+        bands; no driver key round-trip). Written to
+        ``root/pairs/asof=<version>`` (overwrite -> replay-idempotent);
+        returns the pair count."""
         probe = new_band_rows.select("band", "repo", "path", "sig")
-        band_keys = [
-            (r["band"],) for r in probe.select("band").distinct().collect()
-        ]
-        if self.bands.exists() and band_keys:
-            existing = self.bands.scan_prefixes(band_keys).select(
-                "band", "repo", "path", "sig"
-            )
+        if self.bands.exists():
+            if sparse:
+                band_keys = [
+                    (r["band"],)
+                    for r in probe.select("band").distinct().collect()
+                ]
+                existing = self.bands.scan_prefixes(band_keys).select(
+                    "band", "repo", "path", "sig"
+                )
+            else:
+                existing = self.bands.read().select(
+                    "band", "repo", "path", "sig"
+                )
             both = probe.unionByName(existing).dropDuplicates(
                 ["band", "repo", "path"]
             )
