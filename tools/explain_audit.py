@@ -48,6 +48,7 @@ AUDITS = {
     "geo_traj_stats": (3, 0, "legs window + per-vessel agg + MBR agg: bounded key-partitioned shuffles, haversine/speed entirely JVM-side"),
     "geo_linecover": (2, 0, "one shuffle assembles per-vessel ordered arrays, explicit repartition parallelizes the Arrow traversal UDF; explode is narrow"),
     "geo_sessionize": (1, 0, "single grouped-map shuffle on the key; the 5-phase state machine runs per key in parallel (the reference's process-pool map)"),
+    "cdc_dedup_pairs": (5, 0, "pairs answered from the MAINTAINED index: band-key equi-self-join (shuffles keyed on band) + distinct + signature-agreement filter; no all-pairs stage, no re-fingerprinting of the corpus"),
 }
 
 
