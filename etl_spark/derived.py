@@ -604,6 +604,57 @@ class DedupIndex:
         pairs.write.mode("overwrite").parquet(out)
         return self.spark.read.parquet(out).count()
 
+    def refresh_full(self, epoch_id: int) -> dict[str, Any]:
+        """Build/repair the whole index from the CURRENT fact snapshot —
+        bootstrap for tables that predate the index, or recovery after a
+        divergence. Same contract as the other derived tables: stale rows
+        (docs gone from the corpus, band rows the recompute no longer
+        produces) are tombstoned in the SAME commit, so refresh_full ≡ the
+        incremental path."""
+        as_of = int(self.source.current_version())
+        stamp = F.lit(as_of).cast("long")
+        sb = self._sig_bands(self.source.read()).localCheckpoint(eager=True)
+        new_band_rows = sb.select(
+            F.explode("bands").alias("band"), "repo", "path", "sig"
+        )
+        band_updates = new_band_rows.withColumn("as_of_version", stamp)
+        gone_bands = None
+        if self.bands.exists():
+            gone_bands = (
+                self.bands.read().select("band", "repo", "path")
+                .join(new_band_rows.select("band", "repo", "path"),
+                      ["band", "repo", "path"], "left_anti")
+                .withColumn("as_of_version", stamp)
+                .withColumn(TOMBSTONE_COL, F.lit(True))
+            )
+            band_updates = band_updates.unionByName(
+                gone_bands, allowMissingColumns=True
+            )
+        r1 = self.bands.merge_epochs(
+            band_updates, [epoch_id],
+            extra_summary={"full_refresh": True}, assume_deduped=True,
+        )
+        sig_updates = sb.select("repo", "path", "bands").withColumn(
+            "as_of_version", stamp
+        )
+        if self.sigs.exists():
+            gone_sigs = (
+                self.sigs.read().select("repo", "path")
+                .join(sb.select("repo", "path"), ["repo", "path"],
+                      "left_anti")
+                .withColumn("as_of_version", stamp)
+                .withColumn(TOMBSTONE_COL, F.lit(True))
+            )
+            sig_updates = sig_updates.unionByName(
+                gone_sigs, allowMissingColumns=True
+            )
+        r2 = self.sigs.merge_epochs(
+            sig_updates, [epoch_id],
+            extra_summary={"full_refresh": True}, assume_deduped=True,
+        )
+        _release_checkpoint(sb)
+        return {"bands": r1, "sigs": r2}
+
     # -- reads ---------------------------------------------------------------
     def pairs_full(self) -> DataFrame:
         """Near-dup pairs of the CURRENT corpus, from the index state alone

@@ -109,6 +109,30 @@ def test_index_differential_randomized_lifecycle(spark, tmpdir_path):
         assert _inc_pairs(idx) == _batch_pairs(fact), f"drift at epoch {epoch}"
 
 
+def test_refresh_full_equals_incremental(spark, tmpdir_path):
+    # bootstrap an index LATE (table predates it), refresh_full, then keep
+    # maintaining incrementally — and separately repair a diverged index
+    fact, idx = _mk(spark, tmpdir_path)
+    fact.merge_epochs(spark.createDataFrame([
+        ("r1", "a.py", 1, BASE + " v1"),
+        ("r1", "b.py", 2, BASE + " v2"),
+    ], SCHEMA), [0])
+    c1 = fact.merge_epochs(spark.createDataFrame(
+        [("r3", "d.py", 3, BASE + " v3")], SCHEMA), [1])
+    idx.refresh_full(100)  # catches up epochs 0+1 in one shot
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    # incremental continues from the refreshed state: delete b
+    c2 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "b.py", 4, None, True)],
+        SCHEMA + f", {TOMBSTONE_COL} boolean"), [2])
+    idx.update_for_commit(c2)
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    # a second refresh on the SAME state is a no-op for the visible pairs
+    idx.refresh_full(101)
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    assert idx.bands.fsck()["ok"] and idx.sigs.fsck()["ok"]
+
+
 def test_short_docs_index_like_the_batch_path(spark, tmpdir_path):
     # a sub-shingle-width doc shingles to its whole token string (same rule
     # as the batch operator), so it IS indexed and the differential holds
