@@ -1286,6 +1286,28 @@ def q_cdc_stream_ingest(spark, sf_dir):
     )
 
 
+def _replayed_dedup_pipe(spark, sf_dir, prefix):
+    """Shared setup for the two dedup-index entries: replay the 4-epoch
+    change stream into a scratch table with the incremental LSH index
+    maintained per commit. One definition so the two driver checks cannot
+    silently diverge on the replay shape."""
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = _scratch_dir(prefix)
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(
+        spark, f"{root}/table", n_buckets=16, count_input=False,
+        maintain_dedup_index=True,
+    )
+    pipe.replay(f"{root}/stream")
+    return pipe
+
+
 def q_cdc_dedup_index(spark, sf_dir):
     """Dedup-at-ingest: the incremental MinHash-LSH near-dup index
     (derived.DedupIndex) maintained commit-by-commit while the engine
@@ -1297,21 +1319,7 @@ def q_cdc_dedup_index(spark, sf_dir):
     replayed corpus with the bit-exact md5 Carter-Wegman family the batch
     operator and its driver-green ``minhash_lsh`` oracle already share —
     incremental maintenance == batch recompute, checked by the driver."""
-
-    from etl_spark.datagen import write_segments
-    from etl_spark.pipeline import IngestPipeline
-
-    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
-        "epoch",
-        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
-    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = _scratch_dir("etl_spark_dedupidx_")
-    write_segments(stream, f"{root}/stream")
-    pipe = IngestPipeline(
-        spark, f"{root}/table", n_buckets=16, count_input=False,
-        maintain_dedup_index=True,
-    )
-    pipe.replay(f"{root}/stream")
+    pipe = _replayed_dedup_pipe(spark, sf_dir, "etl_spark_dedupidx_")
     return pipe.dedup_index.bands.read().select(
         "band", F.concat_ws(":", "repo", "path").alias("doc_id")
     )
@@ -1322,21 +1330,7 @@ def q_cdc_dedup_pairs(spark, sf_dir):
     index alone (DedupIndex.pairs_full: band self-join + signature
     agreement) — same replay as ``cdc_dedup_index``; the oracle recomputes
     the pairs batch-style over the replayed corpus."""
-
-    from etl_spark.datagen import write_segments
-    from etl_spark.pipeline import IngestPipeline
-
-    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
-        "epoch",
-        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
-    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
-    root = _scratch_dir("etl_spark_deduppairs_")
-    write_segments(stream, f"{root}/stream")
-    pipe = IngestPipeline(
-        spark, f"{root}/table", n_buckets=16, count_input=False,
-        maintain_dedup_index=True,
-    )
-    pipe.replay(f"{root}/stream")
+    pipe = _replayed_dedup_pipe(spark, sf_dir, "etl_spark_deduppairs_")
     return pipe.dedup_index.pairs_full()
 
 

@@ -66,6 +66,54 @@ def rollup_expr(snapshot_rows: DataFrame) -> DataFrame:
     return base.join(top_lang, "repo")
 
 
+def _as_epoch_list(epoch_id: int | list[int]) -> list[int]:
+    if isinstance(epoch_id, (list, tuple, set)):
+        return sorted(int(e) for e in epoch_id)
+    return [int(epoch_id)]
+
+
+def _synced_to_version(table: SnapshotTable) -> int | None:
+    """Newest ``derived_from_version`` marker across retained snapshots."""
+    for v in reversed(table.versions()):
+        s = (table.manifest(v) or {}).get("summary") or {}
+        if "derived_from_version" in s:
+            return s["derived_from_version"]
+    return None
+
+
+def _missed_epochs(
+    source: SnapshotTable, derived: SnapshotTable
+) -> tuple[list[int] | None, int | None]:
+    """Fact epochs a derived maintainer missed: applied to the FACT after
+    the derived watermark but absent from the derived table — the signature
+    of a crash between the fact commit and the derived update (or of the
+    maintainer being enabled on a fact table with history). Returns
+    ``(None, _)`` when synced, else ``(missing_epochs, watermark)`` with
+    ``watermark=None`` meaning the gap is not change-feed-recoverable
+    (expired or absent marker) and the caller must refresh_full."""
+    from etl_spark.lake.table import _all_applied_epochs
+
+    m_now = source.manifest() if source.exists() else None
+    if m_now is None:
+        return None, None
+    mine: set[int] = set()
+    if derived.exists():
+        mine = _all_applied_epochs(derived.manifest())
+    sv = _synced_to_version(derived) if derived.exists() else None
+    new_epochs = _all_applied_epochs(m_now)
+    if sv is not None:
+        try:
+            new_epochs = new_epochs - _all_applied_epochs(
+                source.manifest(sv)
+            )
+        except FileNotFoundError:
+            sv = None  # watermark snapshot expired: O(table) repair
+    missing = sorted(new_epochs - mine)
+    if not missing:
+        return None, None
+    return missing, sv
+
+
 class IncrementalDerived:
     """Shared scaffolding for incrementally maintained derived tables.
 
@@ -152,7 +200,7 @@ class IncrementalDerived:
             assume_deduped=True,  # one row per key across both branches
         )
 
-    def refresh_full(self, epoch_id: int) -> dict[str, Any]:
+    def refresh_full(self, epoch_id: int | list[int]) -> dict[str, Any]:
         """Recompute every key from scratch (bootstrap / repair)."""
         keys = list(self.KEY_COLS)
         as_of = int(self.source.current_version())
@@ -169,8 +217,59 @@ class IncrementalDerived:
             )
             updates = updates.unionByName(gone, allowMissingColumns=True)
         return self.table.merge_epochs(
-            updates, [epoch_id], extra_summary={"full_refresh": True},
+            updates, _as_epoch_list(epoch_id),
+            extra_summary={"full_refresh": True,
+                           "derived_from_version": as_of},
             assume_deduped=True,  # one row per key across both branches
+        )
+
+    def synced_to_version(self) -> int | None:
+        """SOURCE snapshot version this table last derived from (the stage
+        watermark). Walks retained snapshots newest-first so an interleaved
+        maintenance commit (compaction, rollback) whose summary lacks the
+        marker doesn't hide it."""
+        return _synced_to_version(self.table)
+
+    def catch_up(self) -> dict[str, Any] | None:
+        """Heal the crash window between a fact-table commit and this
+        maintainer's :meth:`update_for_commit`. ``replay()`` discovers
+        pending work from the FACT table's applied epochs, so a commit whose
+        derived update died after the fact commit is never re-presented —
+        without this check the derived table silently diverges forever
+        (update_for_commit's epoch idempotence only covers RE-running an
+        update, not skipping one). Cheap when synced (the steady state):
+        manifest reads only, no Spark job. On a detected gap it recomputes
+        the keys changed since the derived watermark from the CURRENT
+        snapshot and merges under exactly the missed epoch ids (idempotent);
+        when the watermark snapshot has been expired from fact history — or
+        the table predates the watermark marker — it falls back to
+        :meth:`refresh_full` under those ids."""
+        missing, sv = _missed_epochs(self.source, self.table)
+        if missing is None:
+            return None
+        if sv is None:
+            return self.refresh_full(missing)
+        keys = list(self.KEY_COLS)
+        as_of = int(self.source.current_version())
+        feed = self.source.changes_between(sv)
+        touched = feed.select(*keys).distinct()
+        # current rows for the touched keys, NOT the raw feed rows: under
+        # MOR a key updated twice since the watermark has several feed rows,
+        # and a delete-then-reinsert needs the latest-wins fold — read() is
+        # the already-correct current-state fold
+        current = self.source.read().join(touched, keys, "left_semi")
+        updates = self._recompute(current, touched).withColumn(
+            "as_of_version", F.lit(as_of).cast("long")
+        )
+        gone = (
+            touched.join(updates.select(*keys), keys, "left_anti")
+            .withColumn("as_of_version", F.lit(as_of).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(True))
+        )
+        return self.table.merge_epochs(
+            updates.unionByName(gone, allowMissingColumns=True), missing,
+            extra_summary={"derived_from_version": as_of, "catch_up": True},
+            assume_deduped=True,
         )
 
     def read(self) -> DataFrame:
@@ -378,7 +477,10 @@ class DedupIndex:
 
     Maintenance per fact commit (same epoch ids -> idempotent on replay;
     band merge FIRST so a crash between the two merges replays
-    deterministically — the sig table still holds the old bands):
+    deterministically — the sig table still holds the old bands. A crash
+    BETWEEN the fact commit and this update is healed by :meth:`catch_up`,
+    which the pipeline runs at replay start — the fact's applied-epoch
+    discovery would otherwise never re-present the commit):
 
     1. touched docs = keys in the commit's new files (post-merge current
        rows, per the CleanCorpus contract); live docs exclude tombstones.
@@ -427,6 +529,29 @@ class DedupIndex:
             spark, f"{root}/sigs", key_cols=("repo", "path"),
             order_col="as_of_version", n_buckets=n_buckets,
         )
+        # attach adopts a pre-existing table's persisted layout — same
+        # fail-loudly guard as IncrementalDerived: under another order_col
+        # the gone-tombstones (keys only) would never win latest-wins, and
+        # a bands table not prefix-bucketed on ``band`` breaks the
+        # scan_prefixes probe contract (1-tuple band keys vs a full-key
+        # placement schema). Rebuild via refresh_full into a fresh root.
+        for t, want_place in ((self.bands, ("band",)), (self.sigs, None)):
+            if not t.exists():
+                continue
+            if t.order_col != "as_of_version":
+                raise ValueError(
+                    f"dedup index table at {t.root} is ordered by "
+                    f"{t.order_col!r}; this version maintains it ordered by "
+                    "as_of_version — rebuild it (refresh_full) into a fresh "
+                    "root"
+                )
+            if want_place and tuple(t.placement_cols) != want_place:
+                raise ValueError(
+                    f"dedup index table at {t.root} places rows by "
+                    f"{tuple(t.placement_cols)!r}; the band inverted index "
+                    f"requires prefix bucketing on {want_place!r} — rebuild "
+                    "it (refresh_full) into a fresh root"
+                )
 
     # -- signature / banding (bit-identical to the batch operator) --------
     def _sig_bands(self, rows: DataFrame) -> DataFrame:
@@ -474,6 +599,21 @@ class DedupIndex:
         live = new_rows
         if TOMBSTONE_COL in live.columns:
             live = live.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        sparse = (commit.get("staged_rows") or 0) <= self.probe_collect_limit
+        return self._maintain(
+            live, touched, epochs, as_of, sparse=sparse,
+            staged_rows=int(commit.get("staged_rows") or 0),
+            detect=self.detect_pairs,
+        )
+
+    def _maintain(
+        self, live: DataFrame, touched: DataFrame, epochs: list[int],
+        as_of: int, *, sparse: bool, staged_rows: int, detect: bool,
+    ) -> dict[str, Any]:
+        """Apply one maintenance round: (re)index ``live`` (the current
+        content of every ``touched`` doc; a touched doc absent from live was
+        CDC-deleted), tombstoning band/sig rows the recompute no longer
+        produces, all under ``epochs`` for idempotence."""
         new_sb = self._sig_bands(live).localCheckpoint(eager=True)
 
         # old band rows of every touched doc, via the sigs reverse map.
@@ -483,7 +623,6 @@ class DedupIndex:
         # driver round-trip of 10^5 keys AND probe every bucket anyway, so
         # they read the sigs table once and semi-join distributed — same
         # rows touched, zero driver materialization.
-        sparse = (commit.get("staged_rows") or 0) <= self.probe_collect_limit
         if not self.sigs.exists():
             old = self.spark.createDataFrame(
                 [], "repo string, path string, band string"
@@ -504,8 +643,10 @@ class DedupIndex:
             F.explode("bands").alias("band"), "repo", "path", "sig"
         )
         pairs_found = None
-        if self.detect_pairs:
-            pairs_found = self._detect_pairs(new_band_rows, as_of, sparse)
+        if detect:
+            pairs_found = self._detect_pairs(
+                new_band_rows, touched, as_of, sparse
+            )
 
         stamp = F.lit(as_of).cast("long")
         gone_bands = (
@@ -517,14 +658,15 @@ class DedupIndex:
         band_updates = new_band_rows.withColumn("as_of_version", stamp)
         # size hints keep a sparse epoch's staging exchange narrow (the
         # fact commit's row count is exact from its staged footers); a bulk
-        # epoch's estimate exceeds the wide cap and changes nothing
+        # epoch's estimate exceeds the wide cap and changes nothing. With no
+        # count available (catch_up), pass None — the merge sizes itself.
         n_bands = self.NUM_HASHES // self.BAND_SIZE
-        staged_rows = int(commit.get("staged_rows") or 0)
         r1 = self.bands.merge_epochs(
             band_updates.unionByName(gone_bands, allowMissingColumns=True),
             epochs, extra_summary={"derived_from_version": as_of},
             assume_deduped=True,
-            size_hint=max(1, staged_rows * n_bands * 256),
+            size_hint=max(1, staged_rows * n_bands * 256)
+            if staged_rows else None,
         )
         sig_updates = new_sb.select("repo", "path", "bands").withColumn(
             "as_of_version", stamp
@@ -539,7 +681,7 @@ class DedupIndex:
             sig_updates.unionByName(gone_sigs, allowMissingColumns=True),
             epochs, extra_summary={"derived_from_version": as_of},
             assume_deduped=True,
-            size_hint=max(1, staged_rows * 512),
+            size_hint=max(1, staged_rows * 512) if staged_rows else None,
         )
         _release_checkpoint(new_sb)
         return {
@@ -548,17 +690,24 @@ class DedupIndex:
         }
 
     def _detect_pairs(
-        self, new_band_rows: DataFrame, as_of: int, sparse: bool
+        self, new_band_rows: DataFrame, touched: DataFrame, as_of: int,
+        sparse: bool,
     ) -> int:
         """Near-dups the commit introduces: new docs vs the EXISTING index
         plus new-vs-new within the commit. A SPARSE commit probes only its
         band keys' buckets (scan_prefixes — O(probed buckets)); a BULK
         commit collides with most bands anyway, so it joins against the
         index read distributed (the band equi-join restricts to colliding
-        bands; no driver key round-trip). Written to
-        ``root/pairs/asof=<version>`` (overwrite -> replay-idempotent);
-        returns the pair count."""
+        bands; no driver key round-trip). Index rows of the commit's OWN
+        touched docs are superseded (updated content or CDC delete) and
+        dropped before the join — their current rows, if still live, sit in
+        the probe side — so the report never pairs against deleted or stale
+        content. A pair needs at least one NEW member (existing-vs-existing
+        was reported when its second member arrived), in EITHER id order.
+        Written to ``root/pairs/asof=<version>`` (overwrite ->
+        replay-idempotent); returns the pair count."""
         probe = new_band_rows.select("band", "repo", "path", "sig")
+        both = probe.withColumn("_new", F.lit(True))
         if self.bands.exists():
             if sparse:
                 band_keys = [
@@ -572,16 +721,19 @@ class DedupIndex:
                 existing = self.bands.read().select(
                     "band", "repo", "path", "sig"
                 )
-            both = probe.unionByName(existing).dropDuplicates(
-                ["band", "repo", "path"]
+            existing = existing.join(touched, ["repo", "path"], "left_anti")
+            both = both.unionByName(
+                existing.withColumn("_new", F.lit(False))
             )
-        else:
-            both = probe
-        a, b = both.alias("a"), probe.alias("b")
+        a, b = both.alias("a"), both.alias("b")
         ida = F.concat_ws(":", F.col("a.repo"), F.col("a.path"))
         idb = F.concat_ws(":", F.col("b.repo"), F.col("b.path"))
         cand = (
-            a.join(b, (F.col("a.band") == F.col("b.band")) & (ida < idb))
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band")) & (ida < idb)
+                & (F.col("a._new") | F.col("b._new")),
+            )
             .select(
                 ida.alias("id_a"), idb.alias("id_b"),
                 F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"),
@@ -604,7 +756,37 @@ class DedupIndex:
         pairs.write.mode("overwrite").parquet(out)
         return self.spark.read.parquet(out).count()
 
-    def refresh_full(self, epoch_id: int) -> dict[str, Any]:
+    def synced_to_version(self) -> int | None:
+        """FACT snapshot version the index last derived from (stamped on
+        the bands table — the first of the two merges, so a crash between
+        them leaves the watermark pointing at the interrupted round and
+        catch_up re-runs it)."""
+        return _synced_to_version(self.bands)
+
+    def catch_up(self) -> dict[str, Any] | None:
+        """Heal the crash window between a fact commit and
+        :meth:`update_for_commit` — same contract as
+        :meth:`IncrementalDerived.catch_up` (which see): no-op when synced,
+        re-derives the touched keys' current state under the missed epoch
+        ids when a gap is found, refresh_full when the watermark snapshot
+        expired. Per-epoch pair REPORTS are not rebuilt — they are
+        best-effort commit telemetry; the index itself (hence
+        ``pairs_full``) is fully repaired."""
+        missing, sv = _missed_epochs(self.source, self.bands)
+        if missing is None:
+            return None
+        if sv is None:
+            return self.refresh_full(missing)
+        as_of = int(self.source.current_version())
+        feed = self.source.changes_between(sv)
+        touched = feed.select("repo", "path").distinct()
+        live = self.source.read().join(touched, ["repo", "path"], "left_semi")
+        return self._maintain(
+            live, touched, missing, as_of,
+            sparse=False, staged_rows=0, detect=False,
+        )
+
+    def refresh_full(self, epoch_id: int | list[int]) -> dict[str, Any]:
         """Build/repair the whole index from the CURRENT fact snapshot —
         bootstrap for tables that predate the index, or recovery after a
         divergence. Same contract as the other derived tables: stale rows
@@ -631,8 +813,10 @@ class DedupIndex:
                 gone_bands, allowMissingColumns=True
             )
         r1 = self.bands.merge_epochs(
-            band_updates, [epoch_id],
-            extra_summary={"full_refresh": True}, assume_deduped=True,
+            band_updates, _as_epoch_list(epoch_id),
+            extra_summary={"full_refresh": True,
+                           "derived_from_version": as_of},
+            assume_deduped=True,
         )
         sig_updates = sb.select("repo", "path", "bands").withColumn(
             "as_of_version", stamp
@@ -649,8 +833,10 @@ class DedupIndex:
                 gone_sigs, allowMissingColumns=True
             )
         r2 = self.sigs.merge_epochs(
-            sig_updates, [epoch_id],
-            extra_summary={"full_refresh": True}, assume_deduped=True,
+            sig_updates, _as_epoch_list(epoch_id),
+            extra_summary={"full_refresh": True,
+                           "derived_from_version": as_of},
+            assume_deduped=True,
         )
         _release_checkpoint(sb)
         return {"bands": r1, "sigs": r2}

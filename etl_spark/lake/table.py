@@ -101,6 +101,17 @@ def _space_key(space: str) -> str:
     return "applied_epochs" if space == "batch" else f"applied_epochs_{space}"
 
 
+def _sorted_prefixes(prefixes: list[tuple], width: int) -> list[tuple]:
+    """Distinct probed prefixes in a deterministic order. None is a legal
+    key value (lookup supports it), so the sort key is None-safe: Nones
+    order after non-null values per position; the placeholder is never
+    compared against a real value because the null flag differs first."""
+    return sorted(
+        set(tuple(p[:width]) for p in prefixes),
+        key=lambda p: tuple((v is None, "" if v is None else v) for v in p),
+    )
+
+
 def _all_applied_epochs(manifest: dict[str, Any]) -> set[int]:
     """Applied epochs across ALL commit-id spaces, mapped into the row-level
     PROVENANCE domain: batch ids raw, stream ids offset by STREAM_EPOCH_BASE
@@ -949,7 +960,7 @@ class SnapshotTable:
         schema = T.StructType.fromJson(m["schema"])
         by_name = {f.name: f for f in schema.fields}
         pschema = T.StructType([by_name[c] for c in pcols])
-        uniq = sorted(set(tuple(p[: len(pcols)]) for p in prefixes))
+        uniq = _sorted_prefixes(prefixes, len(pcols))
         rows = (
             self.spark.createDataFrame(uniq, pschema)
             .withColumn(
@@ -996,7 +1007,7 @@ class SnapshotTable:
         df = self._read_files(files, schema)
         by_name = {f.name: f for f in schema.fields}
         pschema = T.StructType([by_name[c] for c in pcols])
-        uniq = sorted(set(tuple(p[: len(pcols)]) for p in prefixes))
+        uniq = _sorted_prefixes(prefixes, len(pcols))
         probe = F.broadcast(
             self.spark.createDataFrame(uniq, pschema).dropDuplicates(
                 list(pcols)

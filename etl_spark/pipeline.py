@@ -488,6 +488,15 @@ class IngestPipeline:
         logged = self.log.logged_epochs()
         for epoch in sorted(applied - logged):
             self._backfill_log(epoch)
+        # Heal crash-between-fact-commit-and-derived-update: pending-segment
+        # discovery runs off the FACT epochs, so a commit whose derived
+        # update died is never re-presented — each maintainer checks its
+        # own epoch watermark (manifest reads only when synced) and
+        # re-derives exactly the missed commits' keys if not. Also
+        # bootstraps a maintainer newly enabled on a table with history.
+        for maint in (self.clean_corpus, self.rollup, self.dedup_index):
+            if maint is not None:
+                maint.catch_up()
         pending = pending_segments(
             stream_root, applied, max_epoch=max_epoch
         )

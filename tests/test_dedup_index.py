@@ -145,3 +145,124 @@ def test_short_docs_index_like_the_batch_path(spark, tmpdir_path):
         F.col("path") == "tiny.py"
     ).count() == n_bands
     assert _inc_pairs(idx) == _batch_pairs(fact) == []
+
+
+def test_new_pairs_found_regardless_of_id_order(spark, tmpdir_path):
+    # the EXISTING member's id sorts after the new doc's: the pair must
+    # still be reported (regression: only new docs used to sit on the
+    # b side of the ida<idb join, so new-vs-existing pairs where the new
+    # id sorted first were silently dropped)
+    fact, idx = _mk(spark, tmpdir_path, detect_pairs=True)
+    c0 = fact.merge_epochs(spark.createDataFrame(
+        [("r9", "z.py", 1, BASE + " v1")], SCHEMA), [0])
+    assert idx.update_for_commit(c0)["new_pairs"] == 0
+    c1 = fact.merge_epochs(spark.createDataFrame(
+        [("r0", "a.py", 2, BASE + " v2")], SCHEMA), [1])
+    assert idx.update_for_commit(c1)["new_pairs"] == 1
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+
+
+def test_no_pairs_against_superseded_content(spark, tmpdir_path):
+    # one commit CDC-deletes x and inserts y ~ x's OLD content: the index
+    # still holds x's band rows when pairs are detected (the band merge
+    # lands after), but x is touched by the commit, so the report must not
+    # pair y against content that no longer exists
+    fact, idx = _mk(spark, tmpdir_path, detect_pairs=True)
+    c0 = fact.merge_epochs(spark.createDataFrame([
+        ("r1", "x.py", 1, BASE + " v1"),
+        ("r5", "other.py", 2, "completely different words entirely here"),
+    ], SCHEMA), [0])
+    idx.update_for_commit(c0)
+    c1 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "x.py", 3, None, True),
+         ("r2", "y.py", 4, BASE + " v1", False)],
+        SCHEMA + f", {TOMBSTONE_COL} boolean"), [1])
+    assert idx.update_for_commit(c1)["new_pairs"] == 0
+    assert _inc_pairs(idx) == _batch_pairs(fact) == []
+    # an UPDATE out of the family while z joins the OLD family: y's stale
+    # band rows are equally off-limits
+    c2 = fact.merge_epochs(spark.createDataFrame(
+        [("r2", "y.py", 5, "now something else entirely unrelated", False),
+         ("r0", "z.py", 6, BASE + " v1", False)],
+        SCHEMA + f", {TOMBSTONE_COL} boolean"), [2])
+    assert idx.update_for_commit(c2)["new_pairs"] == 0
+    assert _inc_pairs(idx) == _batch_pairs(fact) == []
+
+
+def test_catch_up_heals_missed_commit(spark, tmpdir_path):
+    # fact commits an epoch, the maintainer "crashes" before updating —
+    # replay discovery never re-presents the commit, so catch_up is the
+    # only healer
+    fact, idx = _mk(spark, tmpdir_path)
+    c0 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "a.py", 1, BASE + " v1")], SCHEMA), [0])
+    idx.update_for_commit(c0)
+    fact.merge_epochs(spark.createDataFrame(
+        [("r1", "b.py", 2, BASE + " v2")], SCHEMA), [1])
+    assert _inc_pairs(idx) != _batch_pairs(fact)  # diverged
+    out = idx.catch_up()
+    assert out is not None and not out["bands"].get("skipped")
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    assert idx.catch_up() is None  # synced again: manifest reads only
+
+
+def test_catch_up_bootstraps_on_enable(spark, tmpdir_path):
+    # index enabled on a fact table with history: catch_up refresh_fulls
+    # under the missed epoch ids
+    fact, idx = _mk(spark, tmpdir_path)
+    fact.merge_epochs(spark.createDataFrame([
+        ("r1", "a.py", 1, BASE + " v1"),
+        ("r1", "b.py", 2, BASE + " v2"),
+    ], SCHEMA), [0])
+    assert idx.catch_up() is not None
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    assert idx.catch_up() is None
+
+
+def test_pipeline_replay_catches_up_enabled_midlife(spark, tmpdir_path):
+    # two epochs ingested WITHOUT the index, then a pipeline with the index
+    # enabled replays the rest: replay()'s catch_up hook covers the gap
+    from etl_spark.datagen import change_stream, write_segments
+    from etl_spark.pipeline import IngestPipeline
+
+    root = f"{tmpdir_path}/s"
+    write_segments(change_stream(spark, 600, n_repos=5,
+                                 events_per_epoch=200, dup_pct=10), root)
+    p0 = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=4,
+                        count_input=False)
+    p0.replay(root, max_epoch=1)
+    p1 = IngestPipeline(spark, f"{tmpdir_path}/t", n_buckets=4,
+                        count_input=False, maintain_dedup_index=True)
+    p1.replay(root)
+    got = sorted(tuple(r) for r in p1.dedup_index.pairs_full().collect())
+    assert got == _batch_pairs(p1.table)
+
+
+def test_attach_rejects_foreign_layout(spark, tmpdir_path):
+    import pytest
+
+    fact, idx = _mk(spark, tmpdir_path)
+    # a pre-existing bands table with the wrong order_col must fail loudly
+    foreign = SnapshotTable(
+        spark, f"{tmpdir_path}/idx2/bands",
+        key_cols=("band", "repo", "path"), bucket_cols=("band",),
+        order_col="lsn", n_buckets=4,
+    )
+    foreign.merge_epochs(spark.createDataFrame(
+        [("0:x", "r1", "a.py", 1, "c")],
+        "band string, repo string, path string, lsn long, content string",
+    ), [0])
+    with pytest.raises(ValueError, match="ordered by"):
+        DedupIndex(spark, fact, f"{tmpdir_path}/idx2", n_buckets=4)
+    # and a bands table not prefix-bucketed on band breaks scan_prefixes
+    full = SnapshotTable(
+        spark, f"{tmpdir_path}/idx3/bands",
+        key_cols=("band", "repo", "path"), order_col="as_of_version",
+        n_buckets=4,
+    )
+    full.merge_epochs(spark.createDataFrame(
+        [("0:x", "r1", "a.py", 1)],
+        "band string, repo string, path string, as_of_version long",
+    ), [0])
+    with pytest.raises(ValueError, match="prefix bucketing"):
+        DedupIndex(spark, fact, f"{tmpdir_path}/idx3", n_buckets=4)

@@ -322,3 +322,41 @@ def test_clean_corpus_feeds_the_prep_operators_end_to_end(
     vocab = vocab_topk(corpus, k=5, text_col="content", min_count=2)
     assert vocab.where(F.col("rank") > 5).count() == 0
     assert vocab.count() > 0
+
+
+def test_derived_catch_up_heals_missed_commit(spark, stream, tmpdir_path):
+    """A crash between the fact commit and the derived update leaves the
+    maintainer permanently behind (replay discovery runs off fact epochs);
+    catch_up detects the epoch gap and re-derives exactly the missed
+    commits' keys — for the rollup AND the clean corpus."""
+    from etl_spark.derived import CleanCorpus
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/cu_t", n_buckets=8)
+    roll = RepoRollup(spark, pipe.table, f"{tmpdir_path}/cu_r", n_buckets=4)
+    cc = CleanCorpus(spark, pipe.table, f"{tmpdir_path}/cu_c", n_buckets=4)
+    stats = pipe.replay(stream)
+    assert len(stats) >= 2
+    for st in stats[:-1]:  # the last commit's maintenance "crashed"
+        roll.update_for_commit(st.commit)
+        cc.update_for_commit(st.commit)
+    for maint, fresh_root in ((roll, "cu_rf"), (cc, "cu_cf")):
+        out = maint.catch_up()
+        assert out is not None and not out.get("skipped")
+        full = type(maint)(spark, pipe.table,
+                           f"{tmpdir_path}/{fresh_root}", n_buckets=4)
+        full.refresh_full(999)
+        assert _canon(maint.read()) == _canon(full.read())
+        assert maint.catch_up() is None  # synced: manifest reads only
+
+
+def test_pipeline_replay_heals_derived_gap(spark, stream, tmpdir_path):
+    """replay() runs catch_up for active maintainers: a rollup enabled
+    mid-life (fact has history) is bootstrapped before new commits apply."""
+    p0 = IngestPipeline(spark, f"{tmpdir_path}/ph_t", n_buckets=8)
+    p0.replay(stream, max_epoch=1)
+    p1 = IngestPipeline(spark, f"{tmpdir_path}/ph_t", n_buckets=8,
+                        maintain_rollup=True)
+    p1.replay(stream)
+    full = RepoRollup(spark, p1.table, f"{tmpdir_path}/ph_rf", n_buckets=4)
+    full.refresh_full(999)
+    assert _canon(p1.rollup.read()) == _canon(full.read())

@@ -95,3 +95,20 @@ def test_prefix_layout_persists_through_lifecycle(spark, tmpdir_path):
     got = t3.scan_prefixes([("b0",)])
     assert got.count() == 4  # r0 updated + r3, r6, r9
     assert t3.lookup("b0", "r0", "p0").collect()[0]["content"] == "y"
+
+
+def test_scan_prefixes_null_prefix_value(spark, tmpdir_path):
+    # None is a legal key value (lookup has an isNull branch); the bulk
+    # probe must not crash sorting mixed None/str prefixes and must match
+    # null rows via the eqNullSafe semi-join
+    t = _mk(spark, tmpdir_path)
+    t.merge_epoch(_df(spark, [
+        ("b1", "r1", "p1", 1, "x"),
+        (None, "r2", "p2", 1, "y"),
+        ("b2", "r3", "p3", 1, "z"),
+    ]), 0)
+    got = t.scan_prefixes([("b1",), (None,)])
+    assert sorted(
+        ((r["band"], r["repo"]) for r in got.collect()),
+        key=lambda p: p[1],
+    ) == [("b1", "r1"), (None, "r2")]
