@@ -1380,8 +1380,10 @@ GEO_COVER_ZOOMS = (13, 15, 17)
 def q_geo_quadkey(spark, sf_dir):
     """Grid encoding (§2.7 grid row): lon/lat -> z21 tile -> quadkey int,
     rolled up by z13 ancestor (a 16-bit shift — quadkeys nest by prefix).
-    The whole plan is built-ins: the bit interleave is one higher-order
-    aggregate, so a 100 TB scan stays inside whole-stage codegen with a
+    The whole plan is built-ins: the bit interleave is the Morton
+    shift-or-mask ladder (functions/geo.quadkey_expr — a fixed chain of
+    codegen-friendly bit ops; the earlier aggregate-over-zoom form blocked
+    whole-stage codegen), so a 100 TB scan stays inside codegen with a
     single exchange for the final groupBy."""
     pts = synth_track_points(spark, sf_dir)
     tx, ty = tile_xy(F.col("lon"), F.col("lat"), GEO_QK_ZOOM)

@@ -149,7 +149,13 @@ def _dissolve_invalid_stop(trajs: list[list], stop: list) -> None:
             after = i
     if before is not None and after is not None and before != after:
         trajs[before] = trajs[before] + stop.copy() + trajs[after]
-        trajs.pop(after if after > before else before + 1)
+        # deviation (documented in SEMANTICS.md): the reference pops
+        # ``before + 1`` when after < before (utils.py:180-184), which
+        # removes an unrelated trajectory — or raises IndexError when
+        # ``before`` is last — if earlier dissolutions left the list out of
+        # temporal order. The in-place replacement above shifts no indices,
+        # so popping ``after`` is always the correct removal.
+        trajs.pop(after)
         return
     if before is not None:
         trajs[before].extend(stop)
@@ -169,8 +175,21 @@ def process_track(
 ) -> tuple[list[tuple], list[tuple]]:
     """The full 5-phase scan for ONE key's ordered points. Returns
     (trajectories, stops) as (ts_start, ts_end, n_points, wkb) tuples."""
+    def _sog_at(i: int) -> float | None:
+        # NULL SOG arrives as NaN through the Arrow/pandas boundary; the
+        # reference's `float(sog) if sog is not None else None` contract
+        # means missing SOG must fall back to the computed average speed —
+        # a NaN leaking through would make every stop comparison False and
+        # silently suppress stop detection for that vessel
+        if sogs is None:
+            return None
+        v = sogs[i]
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return float(v)
+
     pts = [
-        ((float(lo), float(la), float(t)), None if sogs is None else sogs[i])
+        ((float(lo), float(la), float(t)), _sog_at(i))
         for i, (lo, la, t) in enumerate(zip(lons, lats, tss))
     ]
     prev = None
@@ -277,7 +296,12 @@ def geo_sessionize(
     cols = [key, lon, lat, ts] + ([sog] if sog else [])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts])
+        # Spark delivers group rows in arbitrary partition order, and the
+        # identical-timestamp rule keeps whichever duplicate arrives first
+        # — sort with full tiebreak columns (stable mergesort, same
+        # discipline as operators/sessionize.py) so the emitted geometry is
+        # deterministic run to run
+        pdf = pdf.sort_values([ts, lon, lat], kind="mergesort")
         trajs, stops = process_track(
             pdf[lon].to_numpy(),
             pdf[lat].to_numpy(),

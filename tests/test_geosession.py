@@ -229,3 +229,60 @@ def test_operator_matches_process_track(spark):
         [("traj", *t) for t in trajs] + [("stop", *s) for s in stops]
     )
     assert got == want and len(got) == 2
+
+
+def test_nan_sog_falls_back_to_computed_speed():
+    # NULL SOG arrives as NaN through the Arrow boundary; the reference's
+    # contract (float(sog) if sog is not None else None) means a missing
+    # SOG must fall back to the computed average speed — a NaN leaking in
+    # would make every stop comparison False and suppress stop detection
+    lons, lats, tss = _track(STOP_LEG * 6)
+    nan = float("nan")
+    with_nan = gs.process_track(lons, lats, tss, [nan] * len(lons))
+    without = gs.process_track(lons, lats, tss, None)
+    assert with_nan == without
+    assert len(with_nan[1]) == 1  # the stop IS detected
+
+
+def test_nan_sog_in_operator(spark):
+    # end to end: a stationary vessel whose sog column is SQL NULL
+    lons, lats, tss = _track(STOP_LEG * 6)
+    rows = [(7, lo, la, t, None) for lo, la, t in zip(lons, lats, tss)]
+    df = spark.createDataFrame(
+        rows, "vessel_id long, lon double, lat double, ts_s long, sog double"
+    )
+    got = gs.geo_sessionize(df, sog="sog").collect()
+    assert [r.kind for r in got] == ["stop"]
+
+
+def test_duplicate_timestamps_deterministic(spark):
+    # two points share a timestamp: whichever sorts first by (ts, lon,
+    # lat) must win regardless of Spark's group delivery order
+    lons, lats, tss = _track([(500, 300)] * 12)
+    rows = [(7, lo, la, t) for lo, la, t in zip(lons, lats, tss)]
+    rows.append((7, rows[5][1] + 0.01, rows[5][2], rows[5][3]))  # dup ts
+    outs = []
+    for order in (rows, list(reversed(rows))):
+        df = spark.createDataFrame(
+            order, "vessel_id long, lon double, lat double, ts_s long"
+        ).repartition(4)
+        outs.append(sorted(
+            (r.kind, r.ts_start, r.ts_end, r.n_points, bytes(r.geom))
+            for r in gs.geo_sessionize(df).collect()
+        ))
+    assert outs[0] == outs[1]
+
+
+def test_bridge_dissolve_pops_correct_traj_when_after_precedes_before():
+    # direct exercise of the fixed pop: the "after" trajectory sits at a
+    # LOWER index than "before" — the reference's pop(before+1) would
+    # remove the wrong list entry (or raise IndexError with before last);
+    # the fix pops `after` and keeps the unrelated trajectory intact
+    p = [(i * 1e-4, 0.0, 1000.0 + 60 * i) for i in range(8)]  # ~11 m / 60 s
+    stop = [p[3], p[4]]
+    after_traj = [p[4], p[5], p[6]]   # starts at stop's end — index 0
+    before_traj = [p[0], p[1], p[2], p[3]]  # ends at stop's start — index 1
+    trajs = [after_traj, before_traj]
+    gs._dissolve_invalid_stop(trajs, stop)
+    assert len(trajs) == 1
+    assert trajs[0] == before_traj + stop + after_traj
