@@ -73,7 +73,11 @@ def _as_epoch_list(epoch_id: int | list[int]) -> list[int]:
 
 
 def _synced_to_version(table: SnapshotTable) -> int | None:
-    """Newest ``derived_from_version`` marker across retained snapshots."""
+    """Newest ``derived_from_version`` marker across retained snapshots —
+    informational provenance (the source version the last maintenance round
+    derived from). NOT the catch-up gate: a per-commit update only attests
+    its own epochs, so gap detection runs on epoch sets (see
+    :func:`_missed_epochs`)."""
     for v in reversed(table.versions()):
         s = (table.manifest(v) or {}).get("summary") or {}
         if "derived_from_version" in s:
@@ -81,16 +85,40 @@ def _synced_to_version(table: SnapshotTable) -> int | None:
     return None
 
 
+def _full_sync_version(table: SnapshotTable) -> int | None:
+    """Newest FULL-SYNC marker (``synced_to_version``): the source version
+    as of which the derived table reflected the ENTIRE snapshot — stamped
+    only by refresh_full and catch_up, never by per-commit updates (those
+    recompute only their own commit's keys, so they cannot attest a full
+    sync)."""
+    for v in reversed(table.versions()):
+        s = (table.manifest(v) or {}).get("summary") or {}
+        if "synced_to_version" in s:
+            return s["synced_to_version"]
+    return None
+
+
 def _missed_epochs(
     source: SnapshotTable, derived: SnapshotTable
 ) -> tuple[list[int] | None, int | None]:
-    """Fact epochs a derived maintainer missed: applied to the FACT after
-    the derived watermark but absent from the derived table — the signature
-    of a crash between the fact commit and the derived update (or of the
-    maintainer being enabled on a fact table with history). Returns
-    ``(None, _)`` when synced, else ``(missing_epochs, watermark)`` with
-    ``watermark=None`` meaning the gap is not change-feed-recoverable
-    (expired or absent marker) and the caller must refresh_full."""
+    """Fact epochs a derived maintainer missed — the signature of a crash
+    between a fact commit and its derived update, or of the maintainer
+    being enabled on a fact table with history.
+
+    Incorporated epochs = the derived table's own applied set (per-commit
+    updates merge under the fact epoch ids) plus everything applied at the
+    last FULL-SYNC marker (a refresh under a synthetic epoch id still
+    reflects those epochs' state). Gating on epoch SETS, not the provenance
+    watermark, is what makes out-of-order direct-API misses detectable: a
+    later commit's successful update moves ``derived_from_version`` past a
+    missed earlier commit, but the missed epoch stays absent from the set.
+
+    Returns ``(None, _)`` when synced (the steady state — manifest reads
+    only). Otherwise ``(missing, base)`` where ``base`` is the newest
+    retained fact snapshot predating every missing epoch — its change feed
+    covers all of them (the superset recompute over keys touched since is
+    idempotent) — or None when no such snapshot survives (or a full-sync
+    marker's snapshot expired), meaning the caller must refresh_full."""
     from etl_spark.lake.table import _all_applied_epochs
 
     m_now = source.manifest() if source.exists() else None
@@ -99,19 +127,27 @@ def _missed_epochs(
     mine: set[int] = set()
     if derived.exists():
         mine = _all_applied_epochs(derived.manifest())
-    sv = _synced_to_version(derived) if derived.exists() else None
-    new_epochs = _all_applied_epochs(m_now)
-    if sv is not None:
-        try:
-            new_epochs = new_epochs - _all_applied_epochs(
-                source.manifest(sv)
-            )
-        except FileNotFoundError:
-            sv = None  # watermark snapshot expired: O(table) repair
-    missing = sorted(new_epochs - mine)
+        fs = _full_sync_version(derived)
+        if fs is not None:
+            try:
+                mine |= _all_applied_epochs(source.manifest(fs))
+            except FileNotFoundError:
+                # expired full-sync snapshot: its epochs are a subset of
+                # today's, so treating them as not-incorporated can only
+                # ENLARGE the repair (falls through to refresh_full) —
+                # never miss one
+                pass
+    missing = _all_applied_epochs(m_now) - mine
     if not missing:
         return None, None
-    return missing, sv
+    for v in reversed(source.versions()):
+        try:
+            m_v = source.manifest(v)
+        except FileNotFoundError:
+            continue  # expired between the listing and the read
+        if not (_all_applied_epochs(m_v) & missing):
+            return sorted(missing), v
+    return sorted(missing), None
 
 
 class IncrementalDerived:
@@ -219,7 +255,8 @@ class IncrementalDerived:
         return self.table.merge_epochs(
             updates, _as_epoch_list(epoch_id),
             extra_summary={"full_refresh": True,
-                           "derived_from_version": as_of},
+                           "derived_from_version": as_of,
+                           "synced_to_version": as_of},
             assume_deduped=True,  # one row per key across both branches
         )
 
@@ -239,19 +276,19 @@ class IncrementalDerived:
         (update_for_commit's epoch idempotence only covers RE-running an
         update, not skipping one). Cheap when synced (the steady state):
         manifest reads only, no Spark job. On a detected gap it recomputes
-        the keys changed since the derived watermark from the CURRENT
-        snapshot and merges under exactly the missed epoch ids (idempotent);
-        when the watermark snapshot has been expired from fact history — or
-        the table predates the watermark marker — it falls back to
-        :meth:`refresh_full` under those ids."""
-        missing, sv = _missed_epochs(self.source, self.table)
+        the keys changed since the newest fact snapshot predating the gap
+        (see :func:`_missed_epochs`) from the CURRENT snapshot and merges
+        under exactly the missed epoch ids (idempotent); when no such
+        snapshot survives retention it falls back to :meth:`refresh_full`
+        under those ids."""
+        missing, base = _missed_epochs(self.source, self.table)
         if missing is None:
             return None
-        if sv is None:
+        if base is None:
             return self.refresh_full(missing)
         keys = list(self.KEY_COLS)
         as_of = int(self.source.current_version())
-        feed = self.source.changes_between(sv)
+        feed = self.source.changes_between(base)
         touched = feed.select(*keys).distinct()
         # current rows for the touched keys, NOT the raw feed rows: under
         # MOR a key updated twice since the watermark has several feed rows,
@@ -268,7 +305,11 @@ class IncrementalDerived:
         )
         return self.table.merge_epochs(
             updates.unionByName(gone, allowMissingColumns=True), missing,
-            extra_summary={"derived_from_version": as_of, "catch_up": True},
+            # catch_up restores the full-sync invariant (synced before the
+            # gap + every missing epoch re-derived = synced now), so it may
+            # stamp the full-sync marker; per-commit updates may not
+            extra_summary={"derived_from_version": as_of,
+                           "synced_to_version": as_of, "catch_up": True},
             assume_deduped=True,
         )
 
@@ -609,11 +650,17 @@ class DedupIndex:
     def _maintain(
         self, live: DataFrame, touched: DataFrame, epochs: list[int],
         as_of: int, *, sparse: bool, staged_rows: int, detect: bool,
+        full_sync: bool = False,
     ) -> dict[str, Any]:
         """Apply one maintenance round: (re)index ``live`` (the current
         content of every ``touched`` doc; a touched doc absent from live was
         CDC-deleted), tombstoning band/sig rows the recompute no longer
         produces, all under ``epochs`` for idempotence."""
+        summary = {"derived_from_version": as_of}
+        if full_sync:
+            # catch_up restores the full-sync invariant; per-commit
+            # updates only attest their own epochs (see _full_sync_version)
+            summary["synced_to_version"] = as_of
         new_sb = self._sig_bands(live).localCheckpoint(eager=True)
 
         # old band rows of every touched doc, via the sigs reverse map.
@@ -663,7 +710,7 @@ class DedupIndex:
         n_bands = self.NUM_HASHES // self.BAND_SIZE
         r1 = self.bands.merge_epochs(
             band_updates.unionByName(gone_bands, allowMissingColumns=True),
-            epochs, extra_summary={"derived_from_version": as_of},
+            epochs, extra_summary=summary,
             assume_deduped=True,
             size_hint=max(1, staged_rows * n_bands * 256)
             if staged_rows else None,
@@ -679,7 +726,7 @@ class DedupIndex:
         )
         r2 = self.sigs.merge_epochs(
             sig_updates.unionByName(gone_sigs, allowMissingColumns=True),
-            epochs, extra_summary={"derived_from_version": as_of},
+            epochs, extra_summary=summary,
             assume_deduped=True,
             size_hint=max(1, staged_rows * 512) if staged_rows else None,
         )

@@ -266,3 +266,23 @@ def test_attach_rejects_foreign_layout(spark, tmpdir_path):
     ), [0])
     with pytest.raises(ValueError, match="prefix bucketing"):
         DedupIndex(spark, fact, f"{tmpdir_path}/idx3", n_buckets=4)
+
+
+def test_catch_up_heals_out_of_order_miss(spark, tmpdir_path):
+    # commit N's update crashed but commit N+1's update ran (direct-API
+    # interleaving): the provenance watermark has moved PAST the gap, so
+    # gap detection must run on epoch sets, not the watermark
+    fact, idx = _mk(spark, tmpdir_path)
+    c0 = fact.merge_epochs(spark.createDataFrame(
+        [("r1", "a.py", 1, BASE + " v1")], SCHEMA), [0])
+    idx.update_for_commit(c0)
+    fact.merge_epochs(spark.createDataFrame(          # epoch 1: MISSED
+        [("r1", "b.py", 2, BASE + " v2")], SCHEMA), [1])
+    c2 = fact.merge_epochs(spark.createDataFrame(     # epoch 2: applied
+        [("r2", "c.py", 3, BASE + " v3")], SCHEMA), [2])
+    idx.update_for_commit(c2)
+    assert _inc_pairs(idx) != _batch_pairs(fact)  # b.py unindexed
+    out = idx.catch_up()
+    assert out is not None
+    assert _inc_pairs(idx) == _batch_pairs(fact)
+    assert idx.catch_up() is None
