@@ -286,3 +286,46 @@ def test_catch_up_heals_out_of_order_miss(spark, tmpdir_path):
     assert out is not None
     assert _inc_pairs(idx) == _batch_pairs(fact)
     assert idx.catch_up() is None
+
+
+def test_index_differential_with_random_missed_updates(spark, tmpdir_path):
+    # randomized lifecycle where some commits' maintenance "crashes" (the
+    # update is skipped) and later commits may still be applied on top of
+    # the gap: catch_up at random points must always restore index ==
+    # batch recompute. A per-commit update atop a gap is itself consistent
+    # (the sigs map is exactly as far behind as the band table), so only
+    # the GAP epochs need the healer — that is what this pins.
+    rng = random.Random(97)
+    fact, idx = _mk(spark, tmpdir_path)
+    pool = [(f"r{i % 3}", f"f{i}.py") for i in range(10)]
+    alive: set = set()
+    lsn = 0
+    for epoch in range(1, 7):
+        rows: dict = {}
+        for _ in range(rng.randint(2, 5)):
+            repo, path = rng.choice(pool)
+            lsn += 1
+            if (repo, path) in alive and rng.random() < 0.3:
+                rows[(repo, path)] = (repo, path, lsn, None, True)
+                alive.discard((repo, path))
+            else:
+                if rng.random() < 0.5:
+                    text = BASE + f" variant {rng.randint(1, 3)}"
+                else:
+                    text = " ".join(rng.choice(WORDS) for _ in range(12))
+                rows[(repo, path)] = (repo, path, lsn, text, False)
+                alive.add((repo, path))
+        c = fact.merge_epochs(
+            spark.createDataFrame(list(rows.values()),
+                                  SCHEMA + f", {TOMBSTONE_COL} boolean"),
+            [epoch],
+        )
+        if rng.random() < 0.4:
+            pass  # crash window: fact committed, maintenance never ran
+        else:
+            idx.update_for_commit(c)
+        if rng.random() < 0.5 or epoch == 6:
+            idx.catch_up()
+            assert _inc_pairs(idx) == _batch_pairs(fact), \
+                f"drift at epoch {epoch}"
+    assert idx.catch_up() is None
