@@ -16,6 +16,41 @@ import json
 import sys
 
 
+_DERIVED_ROOTS = {"rollup": "_rollup", "clean_corpus": "_clean",
+                  "dedup_index": "_dedup"}
+
+
+def _derived_status(spark, fact) -> dict:
+    """Sync state of each derived table living under the fact root —
+    the observability face of the replay-start catch-up healer: a non-zero
+    ``missing_epochs`` means a fact commit's derived update crashed (or
+    the maintainer was enabled on a table with history) and the NEXT
+    maintained replay will heal it. Manifest reads only, no Spark jobs."""
+    import os
+
+    from etl_spark.derived import _missed_epochs, _synced_to_version
+    from etl_spark.lake.table import SnapshotTable
+
+    out: dict = {}
+    for name, sub in _DERIVED_ROOTS.items():
+        # the dedup index holds TWO tables; its bands table carries the
+        # watermark/epoch state (the first-merged of the pair)
+        root = f"{fact.root}/{sub}"
+        probe = f"{root}/bands" if name == "dedup_index" else root
+        if not os.path.isdir(probe):
+            continue
+        d = SnapshotTable(spark, probe)
+        if not d.exists():
+            continue
+        missing, _ = _missed_epochs(fact, d)
+        out[name] = {
+            "synced": missing is None,
+            "missing_epochs": len(missing or []),
+            "derived_from_version": _synced_to_version(d),
+        }
+    return out
+
+
 def _add_spark_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
 
@@ -443,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
                     ).get("files_probe_pruned"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
+                    "derived": _derived_status(spark, t),
                 }
             )
         )

@@ -360,3 +360,25 @@ def test_pipeline_replay_heals_derived_gap(spark, stream, tmpdir_path):
     full = RepoRollup(spark, p1.table, f"{tmpdir_path}/ph_rf", n_buckets=4)
     full.refresh_full(999)
     assert _canon(p1.rollup.read()) == _canon(full.read())
+
+
+def test_derived_status_report(spark, stream, tmpdir_path):
+    """cli status's `derived` section: synced in steady state, flags the
+    epoch gap a crashed (or bypassed) maintainer leaves, clears after
+    catch_up — manifest reads only."""
+    from etl_spark.cli import _derived_status
+
+    pipe = IngestPipeline(spark, f"{tmpdir_path}/st_t", n_buckets=8,
+                          maintain_rollup=True)
+    pipe.replay(stream)
+    st = _derived_status(spark, pipe.table)
+    assert st["rollup"]["synced"] and st["rollup"]["missing_epochs"] == 0
+    pipe.table.merge_epochs(spark.createDataFrame(
+        [("rX", "pX", "c999999999999", "zz", 99)],
+        "repo string, path string, commit string, content string, epoch int",
+    ), [99])
+    st = _derived_status(spark, pipe.table)
+    assert not st["rollup"]["synced"]
+    assert st["rollup"]["missing_epochs"] == 1
+    pipe.rollup.catch_up()
+    assert _derived_status(spark, pipe.table)["rollup"]["synced"]
