@@ -161,7 +161,12 @@ def main(argv: list[str] | None = None) -> int:
     rb = sub.add_parser("rollback",
                         help="roll the table back to an earlier snapshot")
     rb.add_argument("--table", required=True)
-    rb.add_argument("--to", type=int, required=True, help="target version")
+    rbt = rb.add_mutually_exclusive_group(required=True)
+    rbt.add_argument("--to", type=int, help="target version")
+    rbt.add_argument("--to-ts", type=float,
+                     help="target instant (epoch seconds): rolls back to "
+                          "the newest snapshot committed at or before it "
+                          "(TIMESTAMP AS OF resolution)")
     _add_spark_args(rb)
 
     rbk = sub.add_parser(
@@ -322,7 +327,8 @@ def main(argv: list[str] | None = None) -> int:
         if not t.exists():
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
-        print(json.dumps(t.rollback(args.to)))
+        target = args.to if args.to is not None else t.version_as_of(args.to_ts)
+        print(json.dumps(t.rollback(target)))
         return 0
 
     if args.cmd == "rebucket":

@@ -552,6 +552,31 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    def version_as_of(self, ts: float) -> int:
+        """Newest RETAINED snapshot committed at or before ``ts`` (epoch
+        seconds) — Iceberg's ``TIMESTAMP AS OF`` resolution, completing the
+        time-travel face next to version-pinned :meth:`read`. Commit
+        timestamps are stamped inside the single linearizable
+        manifest-publish sequence, so ``committed_at`` is monotone across
+        versions (modulo wall-clock jumps, which Iceberg tolerates the same
+        way); the walk is newest-first and returns the first qualifying
+        snapshot. Raises ``FileNotFoundError`` when every retained snapshot
+        is newer than ``ts``: that history has expired (or the table did
+        not exist yet), and resolving to a LATER snapshot would silently
+        misreport what the table held at ``ts``."""
+        for v in reversed(self.versions()):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired between the listing and the read
+            ca = m.get("committed_at")
+            if ca is not None and ca <= ts:
+                return v
+        raise FileNotFoundError(
+            f"no retained snapshot of {self.root} is as old as ts={ts}; "
+            "that history has expired or predates the table"
+        )
+
     # ---- file-entry storage: inline list or grouped manifest files -----------
 
     GROUPS_DIR = "groups"
@@ -818,7 +843,8 @@ class SnapshotTable:
         return kept_base.unionByName(latest.select(*base_df.columns))
 
     def read(
-        self, version: int | None = None, *, include_deleted: bool = False
+        self, version: int | None = None, *, as_of_ts: float | None = None,
+        include_deleted: bool = False
     ) -> DataFrame:
         """Table state at ``version`` (default: current) — snapshot isolation
         gives time travel for free, like Iceberg's VERSION AS OF. Old files
@@ -826,7 +852,14 @@ class SnapshotTable:
         drives the scan). Live MOR delta files are folded in (latest per key
         wins) via a broadcast anti-join — one base scan, no base shuffle.
         Tombstoned keys (CDC deletes) are hidden unless ``include_deleted``.
+        ``as_of_ts`` (epoch seconds) is TIMESTAMP AS OF: the snapshot is
+        resolved via :meth:`version_as_of`; mutually exclusive with
+        ``version``.
         """
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")

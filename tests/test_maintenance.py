@@ -36,6 +36,27 @@ def test_time_travel(replayed):
     assert decode_epoch_ranges(t.manifest(3)["applied_epochs"]) == {0, 1, 2}
 
 
+def test_timestamp_as_of(replayed):
+    """TIMESTAMP AS OF resolution: version_as_of / read(as_of_ts=...)."""
+    import time
+
+    t = replayed.table
+    ca = {v: t.manifest(v)["committed_at"] for v in (1, 2, 3)}
+    assert ca[1] < ca[2] < ca[3]  # monotone under the publish sequence
+    # exact commit instant resolves to that snapshot; in-between instants
+    # resolve DOWN to the newest snapshot at-or-before them
+    assert t.version_as_of(ca[2]) == 2
+    assert t.version_as_of((ca[2] + ca[3]) / 2) == 2
+    assert t.version_as_of(time.time()) == 3
+    assert t.read(as_of_ts=ca[1]).count() == t.read(version=1).count()
+    # an instant older than all retained history must FAIL, not resolve to
+    # a later state
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(ca[1] - 60.0)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=ca[1])
+
+
 def test_history(replayed):
     h = replayed.table.history()
     assert [e["version"] for e in h] == [1, 2, 3]
@@ -197,6 +218,15 @@ def test_rollback_restores_earlier_state(spark, tmpdir_path):
     # replay after rollback re-applies the rolled-back epochs
     pipe.replay(stream)
     assert t.applied_epochs() == {0, 1, 2}
+    # CLI rollback --to-ts: "undo everything after the v1 commit instant"
+    from etl_spark.cli import main as cli_main
+
+    ts = t.manifest(1)["committed_at"]
+    assert cli_main(
+        ["rollback", "--table", str(t.root), "--to-ts", str(ts)]
+    ) == 0
+    t2 = type(t)(spark, str(t.root))  # fresh handle: adopt current layout
+    assert sorted(map(tuple, t2.read().collect())) == v1_rows
 
 
 def test_compact_defragments_buckets(spark, tmpdir_path):
