@@ -113,7 +113,28 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintain the near-dup MinHash-LSH index (stage 2: "
                         "band rows prefix-bucketed by band; per-epoch "
                         "new-pair report; O(commit footprint) per epoch)")
+    r.add_argument("--stage-as", default=None, metavar="NAME",
+                   help="write-audit-publish: park the commit as staged ref "
+                        "NAME instead of publishing (requires --mode "
+                        "catchup); audit with `wap --audit`, then "
+                        "`wap --publish` or `wap --abort`")
     _add_spark_args(r)
+
+    w = sub.add_parser(
+        "wap",
+        help="write-audit-publish staged commits: list (default), audit, "
+             "publish, or abort")
+    w.add_argument("--table", required=True)
+    wg = w.add_mutually_exclusive_group()
+    wg.add_argument("--audit", metavar="NAME",
+                    help="row-count + null-key audit of a staged commit's "
+                         "would-be state (read_staged)")
+    wg.add_argument("--publish", metavar="NAME",
+                    help="fast-forward publish (fails if the table moved "
+                         "past the staged base)")
+    wg.add_argument("--abort", metavar="NAME",
+                    help="drop the staged ref; its files fall to vacuum")
+    _add_spark_args(w)
 
     s = sub.add_parser("status", help="print table snapshot + lineage summary")
     s.add_argument("--table", required=True)
@@ -233,7 +254,8 @@ def main(argv: list[str] | None = None) -> int:
             compact_after_commit=args.compact_after_commit,
             rewrite_probe=args.rewrite_probe,
         )
-        stats = pipe.replay(args.stream, max_epoch=args.max_epoch, mode=args.mode)
+        stats = pipe.replay(args.stream, max_epoch=args.max_epoch,
+                            mode=args.mode, stage_as=args.stage_as)
         for st in stats:
             print(json.dumps(st.as_dict()))
         total = sum(s.events_read for s in stats)
@@ -389,6 +411,57 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "wap":
+        from etl_spark.lake.table import SnapshotTable, StalePublishError
+
+        t = SnapshotTable(spark, args.table)
+        if args.publish:
+            try:
+                print(json.dumps(t.publish_staged(args.publish)))
+                return 0
+            except (FileNotFoundError, StalePublishError) as err:
+                print(json.dumps({"error": str(err)}))
+                return 1
+        if args.abort:
+            try:
+                print(json.dumps(t.abort_staged(args.abort)))
+                return 0
+            except FileNotFoundError as err:
+                print(json.dumps({"error": str(err)}))
+                return 1
+        if args.audit:
+            try:
+                df = t.read_staged(args.audit)
+            except FileNotFoundError as err:
+                print(json.dumps({"error": str(err)}))
+                return 1
+            key_cols = t.staged_manifest(args.audit).get("key_cols") or []
+            null_keys = (
+                df.where(
+                    " OR ".join(f"`{c}` IS NULL" for c in key_cols)
+                ).count() if key_cols else 0
+            )
+            sm = t.staged_manifest(args.audit)
+            print(json.dumps({
+                "staged": args.audit,
+                "base_version": sm.get("base_version"),
+                "epochs": sm.get("staged_epochs"),
+                "rows": df.count(),
+                "null_key_rows": null_keys,
+            }))
+            return 0
+        out = []
+        for n in t.staged_refs():
+            sm = t.staged_manifest(n)
+            out.append({
+                "name": n,
+                "base_version": sm.get("base_version"),
+                "epochs": sm.get("staged_epochs"),
+                "staged_at": sm.get("committed_at"),
+            })
+        print(json.dumps({"table": args.table, "staged": out}))
+        return 0
+
     if args.cmd == "status":
         from etl_spark.checkpoint import CheckpointLog
         from etl_spark.lake.table import SnapshotTable
@@ -484,6 +557,10 @@ def main(argv: list[str] | None = None) -> int:
                     ).get("files_probe_pruned"),
                     "schema_cols": [f["name"] for f in m["schema"]["fields"]],
                     "lineage_rows": log.count(),
+                    # unpublished WAP refs: each one holds data files out of
+                    # vacuum's reach until published or aborted — an
+                    # operator should see a forgotten audit
+                    "staged_refs": t.staged_refs(),
                     "derived": _derived_status(spark, t),
                 }
             )

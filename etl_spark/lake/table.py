@@ -241,6 +241,20 @@ class LayoutDriftError(RuntimeError):
     streaming re-attach path) never match on message prose."""
 
 
+class StagedRefExistsError(RuntimeError):
+    """A write-audit-publish staging name is already taken on this table.
+    Staged refs are create-once: publish or abort the existing one first.
+    Typed so merge_epochs' optimistic-retry loop never mistakes the name
+    collision for a lost commit race (retrying could double-stage)."""
+
+
+class StalePublishError(RuntimeError):
+    """publish_staged found the table advanced past the staged commit's base
+    snapshot — the staged file list no longer reflects the current state, so
+    a fast-forward publish would silently drop the intervening commits.
+    Re-stage against the new base (abort, then merge with ``stage_as``)."""
+
+
 # Iceberg-compatible safe type promotions (lossless widenings). Old files
 # keep their narrow physical type; Spark's parquet reader upcasts on read
 # under the widened manifest schema (verified: int32->long, float->double).
@@ -779,6 +793,37 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
+    def _write_staged_manifest(
+        self, manifest: dict[str, Any], name: str, *,
+        base_version: int, epochs: list[int],
+    ) -> None:
+        """Park a fully-built manifest as WAP ref ``name`` instead of
+        publishing it. Same write-fsync-link discipline as
+        :meth:`_commit_manifest`; the create-once link makes double-staging
+        under one name impossible (:class:`StagedRefExistsError` — a typed
+        error so the optimistic-retry loop never re-runs the merge for what
+        is a naming conflict, not a lost race)."""
+        manifest["staged_as"] = name
+        manifest["staged_uuid"] = uuid.uuid4().hex
+        manifest["base_version"] = base_version
+        manifest["staged_epochs"] = sorted(epochs)
+        manifest["committed_at"] = time.time()
+        final = self._staged_path(name)
+        tmp = self.root / MANIFEST_DIR / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise StagedRefExistsError(
+                f"staged ref {name!r} already exists on {self.root}; "
+                "publish or abort it first"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
     # ---- read ----------------------------------------------------------------
 
     @staticmethod
@@ -863,6 +908,14 @@ class SnapshotTable:
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"table {self.root} has no committed snapshot")
+        return self._read_snapshot(m, include_deleted=include_deleted)
+
+    def _read_snapshot(
+        self, m: dict[str, Any], *, include_deleted: bool = False
+    ) -> DataFrame:
+        """The :meth:`read` body over an already-loaded manifest — shared
+        with :meth:`read_staged` so audit reads fold MOR deltas and hide
+        tombstones EXACTLY like a published read would."""
         schema = T.StructType.fromJson(m["schema"])
         base, deltas = self._split_kinds(self._files_of(m))
         if not base and not deltas:
@@ -1239,8 +1292,16 @@ class SnapshotTable:
         silently inexact."""
         referenced: set[str] = set()
         referenced_groups: set[str] = set()
-        for v in self.versions():
-            mv = self.manifest(v)
+        manifests = [self.manifest(v) for v in self.versions()]
+        # unpublished WAP refs are roots too: their files must survive until
+        # the staged commit is published or aborted, however long the audit
+        # takes — the grace window alone cannot protect a slow audit
+        for n in self.staged_refs():
+            try:
+                manifests.append(self.staged_manifest(n))
+            except FileNotFoundError:
+                continue  # published/aborted between the glob and the read
+        for mv in manifests:
             for g in mv.get("file_groups", []):
                 referenced_groups.add(os.path.realpath(g["path"]))
             for f in self._files_of(mv):
@@ -1331,6 +1392,105 @@ class SnapshotTable:
         # tripping the layout-drift guard
         self.n_buckets = m.get("n_buckets", self.n_buckets)
         return {"version": v, "rolled_back_to": version}
+
+    # ---- write-audit-publish (WAP) -------------------------------------------
+
+    def _staged_path(self, name: str):
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"staged ref name {name!r} must be non-empty [A-Za-z0-9._-]"
+            )
+        return self.root / MANIFEST_DIR / f"staged-{name}.json"
+
+    def staged_refs(self) -> list[str]:
+        """Names of unpublished staged commits (WAP refs) on this table."""
+        return sorted(
+            p.stem[len("staged-"):]
+            for p in (self.root / MANIFEST_DIR).glob("staged-*.json")
+        )
+
+    def staged_manifest(self, name: str) -> dict[str, Any]:
+        path = self._staged_path(name)
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no staged commit {name!r} on {self.root}"
+            ) from None
+
+    def read_staged(self, name: str, *, include_deleted: bool = False) -> DataFrame:
+        """Audit read of a staged commit: the state the table WOULD serve if
+        ``name`` were published — same MOR fold and tombstone rules as
+        :meth:`read`. The published table stays untouched; run the audit
+        checks here, then :meth:`publish_staged` or :meth:`abort_staged`."""
+        return self._read_snapshot(
+            self.staged_manifest(name), include_deleted=include_deleted
+        )
+
+    def publish_staged(self, name: str) -> dict[str, Any]:
+        """Fast-forward publish of a staged commit (Iceberg's WAP
+        cherry-pick, restricted to the conflict-free case): links the staged
+        manifest as the next version iff the table still sits at the staged
+        commit's base snapshot. An intervening commit raises
+        :class:`StalePublishError` — the staged file list is stale and
+        publishing it would silently drop that commit; abort and re-stage.
+
+        Crash-idempotent: the staged manifest carries a ``staged_uuid`` that
+        survives into the published manifest, so a re-run after a crash
+        between the version link and the staged-ref unlink recognizes its
+        own publish (uuid match) and finishes the cleanup instead of
+        failing."""
+        staged = self.staged_manifest(name)
+        base = staged.pop("base_version", 0)
+        suid = staged.get("staged_uuid")
+
+        def _already_published() -> dict[str, Any] | None:
+            m_cur = self.manifest()
+            if m_cur is not None and suid and m_cur.get("staged_uuid") == suid:
+                self._staged_path(name).unlink(missing_ok=True)
+                return {
+                    "version": m_cur["version"], "published": name,
+                    "already_published": True,
+                }
+            return None
+
+        cur = self.current_version() or 0
+        if cur != base:
+            done = _already_published()
+            if done:
+                return done
+            raise StalePublishError(
+                f"staged commit {name!r} was built on v{base} but the table "
+                f"is at v{cur}; abort and re-stage against the new base"
+            )
+        staged.pop("staged_as", None)
+        epochs = staged.pop("staged_epochs", None)
+        summary = staged.setdefault("summary", {})
+        summary["published_from"] = name
+        try:
+            v = self._commit_manifest(staged, base_version=base)
+        except FileExistsError:
+            done = _already_published()
+            if done:
+                return done
+            raise StalePublishError(
+                f"staged commit {name!r} lost the publish race: a concurrent "
+                f"commit took v{base + 1}; abort and re-stage"
+            ) from None
+        self._staged_path(name).unlink(missing_ok=True)
+        return {"version": v, "published": name, "epochs": epochs}
+
+    def abort_staged(self, name: str) -> dict[str, Any]:
+        """Drop a staged commit without publishing. Its data files become
+        unreferenced and fall to :meth:`vacuum` after the grace window."""
+        staged = self.staged_manifest(name)
+        n_files = (
+            sum(g["n_files"] for g in staged["file_groups"])
+            if "file_groups" in staged else len(staged.get("files", []))
+        )
+        self._staged_path(name).unlink(missing_ok=True)
+        return {"aborted": name, "files_released": n_files}
 
     def compact(
         self, *, above: int | None = None, purge_tombstones: bool = False
@@ -2064,8 +2224,18 @@ class SnapshotTable:
         merge_mode: str | None = None,
         size_hint: int | None = None,
         stamp_epoch: bool = False,
+        stage_as: str | None = None,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one or more epochs in a single commit.
+
+        ``stage_as``: write-audit-publish. The merge runs in full — data
+        files land in data/, the manifest is built — but instead of
+        publishing it as the next version, the manifest is parked as staged
+        ref ``stage_as`` (create-once; :class:`StagedRefExistsError` if
+        taken). The table keeps serving its current snapshot; audit the
+        staged state via :meth:`read_staged`, then :meth:`publish_staged`
+        (fast-forward, conflict-checked) or :meth:`abort_staged`. The
+        post-commit compaction hook never fires for a staged merge.
 
         ``stamp_epoch``: overwrite the rows' ``epoch`` column with the last
         epoch id this commit actually applies, resolved from the SAME
@@ -2103,13 +2273,15 @@ class SnapshotTable:
             # guarantees it. The fused arranged plan dedupes and bucket-
             # arranges in the same single shuffle the staging write needs.
             updates = self.arranged_updates(updates, size_bytes=size_hint)
+        if stage_as is not None:
+            self._staged_path(stage_as)  # validate the name before any work
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
                 out = self._merge_epochs_once(
                     updates, epoch_ids, extra_summary, epoch_space,
                     merge_mode or self.merge_mode, size_hint=size_hint,
-                    stamp_epoch=stamp_epoch,
+                    stamp_epoch=stamp_epoch, stage_as=stage_as,
                 )
                 break
             except FileExistsError as err:
@@ -2119,6 +2291,9 @@ class SnapshotTable:
                 f"merge of epochs {epoch_ids} lost the commit race "
                 f"{max_retries} times; giving up"
             ) from last_err
+        if out.get("staged"):
+            out.pop("_manifest", None)
+            return out  # unpublished: no post-commit maintenance to run
         return self._maybe_compact_after_commit(out)
 
     def _maybe_compact_after_commit(self, commit: dict[str, Any]) -> dict[str, Any]:
@@ -2170,6 +2345,7 @@ class SnapshotTable:
         mode: str = "cow",
         size_hint: int | None = None,
         stamp_epoch: bool = False,
+        stage_as: str | None = None,
     ) -> dict[str, Any]:
         # ONE manifest read: applied epochs, schema, file entries and the
         # commit's base_version all derive from the same snapshot. Two reads
@@ -2640,10 +2816,18 @@ class SnapshotTable:
             manifest, carried + new_files,
             carried_group_refs=carried_group_refs, prev=m,
         )
-        version = self._commit_manifest(
-            manifest, base_version=m["version"] if m else 0
-        )
+        if stage_as is not None:
+            version = None
+            self._write_staged_manifest(
+                manifest, stage_as,
+                base_version=m["version"] if m else 0, epochs=new_ids,
+            )
+        else:
+            version = self._commit_manifest(
+                manifest, base_version=m["version"] if m else 0
+            )
         return {
+            **({"staged": stage_as} if stage_as is not None else {}),
             "skipped": False,
             "epochs": new_ids,
             "version": version,

@@ -283,7 +283,8 @@ class IngestPipeline:
         )
 
     def _apply_batch(
-        self, segments: list[Segment], *, mode: str
+        self, segments: list[Segment], *, mode: str,
+        stage_as: str | None = None,
     ) -> EpochStats:
         """Clean + dedupe + merge one batch of segments in a single commit."""
         t0 = time.time()
@@ -301,6 +302,7 @@ class IngestPipeline:
                                "dedupe": strategy},
                 assume_deduped=True,  # dedupe_fn guarantees one row per key
                 size_hint=getattr(self, "_batch_bytes", None),
+                stage_as=stage_as,
             )
         finally:
             # the merge is the batch's one materialization — restore the
@@ -316,6 +318,16 @@ class IngestPipeline:
             else:
                 self.spark.conf.unset("spark.sql.files.maxPartitionBytes")
         stats.commit = commit
+        if commit.get("staged"):
+            # unpublished WAP commit: nothing is visible yet, so lineage and
+            # derived maintenance must NOT run — after publish_staged, the
+            # next replay()'s healers cover both (_backfill_log rebuilds
+            # lineage from row-level provenance; each maintainer's
+            # catch_up() re-derives the published epochs' keys)
+            stats.events_applied = commit.get("staged_rows") or 0
+            stats.extra["staged"] = commit["staged"]
+            stats.seconds = time.time() - t0
+            return stats
         if not commit.get("skipped"):
             self._log_lineage(commit)
             if self.clean_corpus is not None:
@@ -473,6 +485,7 @@ class IngestPipeline:
         *,
         max_epoch: int | None = None,
         mode: str = "incremental",
+        stage_as: str | None = None,
     ) -> list[EpochStats]:
         """Resume-safe full replay: apply every pending segment in LSN order.
 
@@ -481,7 +494,21 @@ class IngestPipeline:
         segments together and applies them in ONE commit — the bootstrap /
         backlog path: one table rewrite instead of N. Both modes are
         differential-tested to yield identical final state.
+
+        ``stage_as``: write-audit-publish — the (single) commit is parked as
+        a staged ref instead of publishing (see
+        :meth:`SnapshotTable.merge_epochs`); requires ``mode="catchup"``
+        because incremental mode would stage each pending epoch against the
+        SAME base snapshot (later epochs couldn't see earlier staged ones).
+        Lineage and derived maintenance are deferred to the first replay
+        after ``publish_staged`` (their crash healers cover exactly this
+        shape: a committed epoch with no lineage/derived update).
         """
+        if stage_as is not None and mode != "catchup":
+            raise ValueError(
+                "stage_as requires mode='catchup': incremental staging "
+                "would build every epoch on the same base snapshot"
+            )
         # Heal crash-between-manifest-and-log: backfill lineage for epochs the
         # table committed but the log never recorded.
         applied = self.table.applied_epochs()
@@ -503,5 +530,7 @@ class IngestPipeline:
         if not pending:
             return []
         if mode == "catchup":
-            return [self._apply_batch(pending, mode="catchup")]
+            return [
+                self._apply_batch(pending, mode="catchup", stage_as=stage_as)
+            ]
         return [self._apply_batch([seg], mode="incremental") for seg in pending]
