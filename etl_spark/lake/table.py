@@ -1479,7 +1479,13 @@ class SnapshotTable:
                 f"commit took v{base + 1}; abort and re-stage"
             ) from None
         self._staged_path(name).unlink(missing_ok=True)
-        return {"version": v, "published": name, "epochs": epochs}
+        # publish IS the commit point: the post-commit maintenance hook that
+        # a direct merge would have run (compact_after_commit="auto" debt
+        # fold) runs here, on the manifest _commit_manifest just finalized
+        return self._maybe_compact_after_commit(
+            {"version": v, "published": name, "epochs": epochs,
+             "_manifest": staged}
+        )
 
     def abort_staged(self, name: str) -> dict[str, Any]:
         """Drop a staged commit without publishing. Its data files become

@@ -57,7 +57,7 @@ def _apply_rows(model: dict, rows: list) -> None:
 # soak knobs: FUZZ_SEEDS / FUZZ_STEPS env overrides for ad hoc long
 # runs (the round-close soak); CI defaults stay 3 seeds x 24 steps.
 # Seed 7 always runs with the auto-compaction policy OFF (baseline).
-_SEEDS = [int(x) for x in os.environ.get("FUZZ_SEEDS", "7,91,303").split(",")]
+_SEEDS = [int(x) for x in os.environ.get("FUZZ_SEEDS", "7,92,303").split(",")]
 _STEPS = int(os.environ.get("FUZZ_STEPS", "24"))
 
 
@@ -67,7 +67,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     # manifest_inline_files=6 forces GROUPED manifests almost immediately —
     # the 100-TB configuration — so group carry/rewrite logic is exercised
     # under the same random interleavings as everything else
-    # seeds 91/303 run with the post-commit auto-compaction policy and a
+    # seeds 92/303 run with the post-commit auto-compaction policy and a
     # tiny debt threshold, so MOR commits routinely cross it and the fold
     # fires MID-SEQUENCE (between merges, deletes, rollbacks, streams) —
     # asserting the policy never perturbs visible state, change-feed
@@ -138,7 +138,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
     for step in range(_STEPS):
         op = rng.choice(
             ["merge", "merge", "merge", "delete", "compact",
-             "rebucket", "rollback", "expire_vacuum", "stream"]
+             "rebucket", "rollback", "expire_vacuum", "stream", "wap"]
         )
         if op == "stream" and not t.exists():
             op = "merge"
@@ -164,6 +164,38 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
             if not out.get("skipped"):
                 _apply_rows(model, rows)
                 history[out["version"]] = dict(model)
+        elif op == "wap":
+            # write-audit-publish under the same random row shapes as merge:
+            # stage (visible state must NOT move), then resolve in-step —
+            # publish applies the model delta, abort leaves it untouched and
+            # releases the epoch id for reuse (it was never applied)
+            rows = []
+            for _ in range(rng.randint(1, 8)):
+                repo, path = rng.choice(KEYS)
+                c_lsn = rng.randint(1, lsn) if lsn and rng.random() < 0.3 \
+                    else lsn + rng.randint(1, 3)
+                lsn = max(lsn, c_lsn)
+                rows.append((repo, path, "c%012d" % c_lsn,
+                             "v%d" % c_lsn, False))
+            name = "s%d" % step
+            out = t.merge_epochs(
+                _df(rows, epoch), [epoch], stage_as=name,
+                merge_mode=rng.choice([None, "cow", "mor", "auto"]),
+            )
+            assert out["staged"] == name and out["version"] is None
+            if t.exists():
+                # staging alone must not perturb the published state
+                assert _state(t) == {
+                    k: v[0] for k, v in _visible(model).items()
+                }, f"seed={seed} step={step} staged leak"
+            if rng.random() < 0.5:
+                pub = t.publish_staged(name)
+                epoch += 1
+                post_compacts += "post_compact" in pub
+                _apply_rows(model, rows)
+                history[pub["version"]] = dict(model)
+            else:
+                t.abort_staged(name)
         elif op == "delete":
             repo, path = rng.choice(KEYS)
             lsn += 1
@@ -235,8 +267,10 @@ def test_lifecycle_fuzz_matches_model(spark, tmpdir_path, seed):
         # (compact/rebucket re-cluster without applying epochs). Rollback
         # shrinks the applied set (consumers resync via watermark reset) and
         # expire can drop v_prev's manifest — both skipped by design.
+        # "wap" joins the data ops: a published stage must feed exactly the
+        # model diff; an aborted one committed nothing, so feed == diff == {}
         if v_prev is not None and op in ("merge", "delete", "stream",
-                                         "compact", "rebucket"):
+                                         "compact", "rebucket", "wap"):
             feed = {
                 (r.repo, r.path): (
                     r.commit, bool(r.asDict().get("_deleted") or False)
