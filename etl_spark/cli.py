@@ -120,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
                         "`wap --publish` or `wap --abort`")
     _add_spark_args(r)
 
+    tg = sub.add_parser(
+        "tag",
+        help="pin a snapshot under a stable name (expiry-protected); "
+             "list (default), create, or delete")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--version", type=int, default=None,
+                    help="snapshot to tag (default: current)")
+    tg.add_argument("--delete", action="store_true")
+    _add_spark_args(tg)
+
     w = sub.add_parser(
         "wap",
         help="write-audit-publish staged commits: list (default), audit, "
@@ -411,6 +422,24 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "tag":
+        from etl_spark.lake.table import SnapshotTable, StagedRefExistsError
+
+        t = SnapshotTable(spark, args.table)
+        try:
+            if args.delete:
+                if not args.name:
+                    raise ValueError("--delete requires --name")
+                print(json.dumps(t.delete_tag(args.name)))
+            elif args.name:
+                print(json.dumps(t.tag(args.name, args.version)))
+            else:
+                print(json.dumps({"table": args.table, "tags": t.tags()}))
+            return 0
+        except (FileNotFoundError, StagedRefExistsError, ValueError) as err:
+            print(json.dumps({"error": str(err)}))
+            return 1
+
     if args.cmd == "wap":
         from etl_spark.lake.table import SnapshotTable, StalePublishError
 
@@ -561,6 +590,7 @@ def main(argv: list[str] | None = None) -> int:
                     # vacuum's reach until published or aborted — an
                     # operator should see a forgotten audit
                     "staged_refs": t.staged_refs(),
+                    "tags": t.tags(),
                     "derived": _derived_status(spark, t),
                 }
             )

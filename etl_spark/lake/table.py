@@ -1265,6 +1265,12 @@ class SnapshotTable:
         at steady state). The newest snapshot never expires."""
         versions = self.versions()
         expired = versions[:-retain_last] if retain_last > 0 else versions[:-1]
+        # tagged snapshots are pinned: a tag is an explicit promise that
+        # this exact state stays readable (repro/audit), which count- or
+        # time-based retention must not quietly break
+        tagged = set(self.tags().values())
+        if tagged:
+            expired = [v for v in expired if v not in tagged]
         if older_than_s is not None:
             cutoff = time.time() - older_than_s
             keep = []
@@ -1497,6 +1503,64 @@ class SnapshotTable:
         )
         self._staged_path(name).unlink(missing_ok=True)
         return {"aborted": name, "files_released": n_files}
+
+    # ---- snapshot tags -------------------------------------------------------
+
+    def _tag_path(self, name: str):
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"tag name {name!r} must be non-empty [A-Za-z0-9._-]"
+            )
+        return self.root / MANIFEST_DIR / f"tag-{name}.json"
+
+    def tag(self, name: str, version: int | None = None) -> dict[str, Any]:
+        """Pin a snapshot under a stable name (Iceberg's tags): ``read(
+        version=tag_version(name))`` keeps serving it and
+        :meth:`expire_snapshots` will NOT expire it, however old it gets —
+        the audit/repro face of time travel ("the corpus we trained on").
+        Create-once per name (retag = delete + tag); the tagged version must
+        exist at tag time."""
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # raises if the snapshot is gone
+        final = self._tag_path(name)
+        tmp = self.root / MANIFEST_DIR / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps({"version": v, "tagged_at": time.time()}))
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise StagedRefExistsError(
+                f"tag {name!r} already exists on {self.root} "
+                f"(at v{self.tag_version(name)}); delete_tag it first"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return {"tag": name, "version": v}
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``{name: version}``."""
+        out: dict[str, int] = {}
+        for p in (self.root / MANIFEST_DIR).glob("tag-*.json"):
+            try:
+                with open(p) as fh:
+                    out[p.stem[len("tag-"):]] = json.load(fh)["version"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                continue  # deleted mid-scan / torn write: skip, never crash
+        return out
+
+    def tag_version(self, name: str) -> int:
+        path = self._tag_path(name)
+        try:
+            with open(path) as fh:
+                return json.load(fh)["version"]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no tag {name!r} on {self.root}"
+            ) from None
+
+    def delete_tag(self, name: str) -> dict[str, Any]:
+        v = self.tag_version(name)
+        self._tag_path(name).unlink(missing_ok=True)
+        return {"deleted_tag": name, "was_version": v}
 
     def compact(
         self, *, above: int | None = None, purge_tombstones: bool = False

@@ -229,6 +229,42 @@ def test_rollback_restores_earlier_state(spark, tmpdir_path):
     assert sorted(map(tuple, t2.read().collect())) == v1_rows
 
 
+def test_tags_pin_snapshots(spark, tmpdir_path):
+    """Tags: stable names for snapshots, protected from expire; delete
+    releases the pin. CLI surface included."""
+    from etl_spark.cli import main as cli_main
+    from etl_spark.lake.table import SnapshotTable, StagedRefExistsError
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    rows = lambda e: spark.createDataFrame(  # noqa: E731
+        [("r", f"p{e}", f"c00000000000{e}", "x")],
+        ["repo", "path", "commit", "content"])
+    for e in (1, 2, 3):
+        t.merge_epoch(rows(e), e)
+    v1_count = t.read(version=1).count()
+    assert t.tag("train-v1", 1) == {"tag": "train-v1", "version": 1}
+    with pytest.raises(StagedRefExistsError):
+        t.tag("train-v1", 2)  # create-once
+    with pytest.raises(FileNotFoundError):
+        t.tag("nope", 99)  # must point at a live snapshot
+    assert t.tags() == {"train-v1": 1}
+    # expire skips the tagged version but drops its untagged peer
+    assert t.expire_snapshots(retain_last=1) == [2]
+    t.vacuum(older_than_s=0)
+    assert t.read(version=1).count() == v1_count
+    # CLI: list, create (default = current version), delete
+    assert cli_main(["tag", "--table", str(t.root)]) == 0
+    assert cli_main(["tag", "--table", str(t.root), "--name", "rc"]) == 0
+    assert t.tags()["rc"] == 3
+    assert cli_main(["tag", "--table", str(t.root), "--name", "rc",
+                     "--delete"]) == 0
+    # untagging releases the version to normal retention
+    t.delete_tag("train-v1")
+    assert t.expire_snapshots(retain_last=1) == [1]
+    with pytest.raises(FileNotFoundError):
+        t.tag_version("train-v1")
+
+
 def test_compact_defragments_buckets(spark, tmpdir_path):
     """compact() rewrites fragmented buckets into few key-clustered files
     without changing table state or applied epochs."""
