@@ -120,6 +120,22 @@ def main(argv: list[str] | None = None) -> int:
                         "`wap --publish` or `wap --abort`")
     _add_spark_args(r)
 
+    ch = sub.add_parser(
+        "changes",
+        help="CDC-out: the change feed between two snapshots (rows applied "
+             "after --from up to --to; cost O(changed data), not O(table))")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from", dest="v_from", type=int, default=None,
+                    help="base snapshot (exclusive; default: table start). "
+                         "A consumer polls with its last-seen version here")
+    ch.add_argument("--from-tag", default=None,
+                    help="resolve the base snapshot from a tag instead")
+    ch.add_argument("--to", dest="v_to", type=int, default=None,
+                    help="end snapshot (inclusive; default: current)")
+    ch.add_argument("--limit", type=int, default=20,
+                    help="rows to print (count is always exact)")
+    _add_spark_args(ch)
+
     tg = sub.add_parser(
         "tag",
         help="pin a snapshot under a stable name (expiry-protected); "
@@ -420,6 +436,36 @@ def main(argv: list[str] | None = None) -> int:
             "epoch": args.epoch,
             "version": out.get("version"),
         }))
+        return 0
+
+    if args.cmd == "changes":
+        from etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if not t.exists():
+            print(json.dumps({"table": args.table, "exists": False}))
+            return 1
+        if args.v_from is not None and args.from_tag:
+            print(json.dumps({"error": "pass --from or --from-tag, not both"}))
+            return 1
+        try:
+            v_from = (
+                t.tag_version(args.from_tag) if args.from_tag else args.v_from
+            )
+            feed = t.changes_between(v_from, args.v_to)
+        except FileNotFoundError as err:
+            print(json.dumps({"error": str(err)}))
+            return 1
+        rows = feed.limit(args.limit + 1).collect()
+        print(json.dumps({
+            "table": args.table,
+            "from": v_from,
+            "to": args.v_to if args.v_to is not None else t.current_version(),
+            "rows": feed.count(),
+            "truncated": len(rows) > args.limit,
+        }))
+        for r in rows[:args.limit]:
+            print(json.dumps(r.asDict(), default=str))
         return 0
 
     if args.cmd == "tag":

@@ -265,6 +265,32 @@ def test_tags_pin_snapshots(spark, tmpdir_path):
         t.tag_version("train-v1")
 
 
+def test_changes_cli(spark, tmpdir_path, capsys):
+    """CDC-out CLI: feed between snapshots, tag-resolved base, error path."""
+    import json as _json
+
+    from etl_spark.cli import main as cli_main
+    from etl_spark.lake.table import SnapshotTable
+
+    t = SnapshotTable(spark, f"{tmpdir_path}/t", n_buckets=2)
+    for e in (1, 2, 3):
+        t.merge_epoch(
+            spark.createDataFrame(
+                [("r", f"p{e}", f"c00000000000{e}", "x")],
+                ["repo", "path", "commit", "content"]),
+            e)
+    t.tag("cons", 1)
+    assert cli_main(["changes", "--table", str(t.root), "--from", "1"]) == 0
+    head = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert head["rows"] == 2 and head["from"] == 1 and head["to"] == 3
+    assert head["rows"] == t.changes_between(1).count()
+    assert cli_main(["changes", "--table", str(t.root),
+                     "--from-tag", "cons"]) == 0
+    head = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert head["rows"] == 2 and head["from"] == 1
+    assert cli_main(["changes", "--table", str(t.root), "--from", "99"]) == 1
+
+
 def test_compact_defragments_buckets(spark, tmpdir_path):
     """compact() rewrites fragmented buckets into few key-clustered files
     without changing table state or applied epochs."""
