@@ -120,6 +120,20 @@ def main(argv: list[str] | None = None) -> int:
                         "`wap --publish` or `wap --abort`")
     _add_spark_args(r)
 
+    mi = sub.add_parser(
+        "mirror",
+        help="table-to-table CDC replication: one sync round from a source "
+             "table's change feed into a mirror (exactly-once, "
+             "rollback/expiry self-healing)")
+    mi.add_argument("--src", required=True)
+    mi.add_argument("--dst", required=True)
+    mi.add_argument("--buckets", type=int, default=None,
+                    help="mirror bucket count (default: source's)")
+    mi.add_argument("--verify", action="store_true",
+                    help="after the sync, probe row-count + watermark "
+                         "equality vs the source head")
+    _add_spark_args(mi)
+
     ch = sub.add_parser(
         "changes",
         help="CDC-out: the change feed between two snapshots (rows applied "
@@ -436,6 +450,23 @@ def main(argv: list[str] | None = None) -> int:
             "epoch": args.epoch,
             "version": out.get("version"),
         }))
+        return 0
+
+    if args.cmd == "mirror":
+        from etl_spark.lake.table import SnapshotTable
+        from etl_spark.replicate import Mirror
+
+        src = SnapshotTable(spark, args.src)
+        if not src.exists():
+            print(json.dumps({"src": args.src, "exists": False}))
+            return 1
+        mir = Mirror(spark, src, args.dst, n_buckets=args.buckets)
+        out = mir.sync()
+        out.pop("new_files", None)  # file-entry dump is noise on a CLI line
+        out.pop("staged_lineage", None)
+        print(json.dumps({k: v for k, v in out.items()}, default=str))
+        if args.verify:
+            print(json.dumps(mir.verify(), default=str))
         return 0
 
     if args.cmd == "changes":

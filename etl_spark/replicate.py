@@ -1,0 +1,188 @@
+"""Table-to-table CDC replication — the consumer face of the change feed.
+
+``Mirror`` keeps a downstream :class:`SnapshotTable` in sync with a source
+table by polling ``changes_between`` — the lakehouse analog of a replica
+tailing a primary's binlog, generalizing the reference's staged-consumer
+pattern (each stage incrementally consumes the previous stage's new rows,
+SURVEY §3.3) to cross-table replication:
+
+- **Incremental sync** reads only the feed between the consumer's recorded
+  source version and the source head — O(changed data), never O(table).
+  Tombstones flow through unchanged (a delete on the source deletes on the
+  mirror via the same latest-wins arbitration).
+- **Exactly-once** rides the destination table's applied-epoch machinery in
+  a dedicated ``mirror`` id space: epoch ids ARE source snapshot versions,
+  so a crashed/re-run sync is a metadata no-op and the consumer offset
+  needs no side store.
+- **Self-healing**: a source rollback (applied-epoch shrink or a retained
+  ``rollback_of`` marker inside the sync window) or an expired consumer
+  watermark (the feed base's manifest is gone) degrades to a FULL resync —
+  rebuild from the source's current state, tombstoning mirror keys the
+  source no longer has. A rollback whose marker expired before the next
+  sync poll and whose re-replay re-applied the same epoch ids is healed
+  only by the shrink check; document the operational rule: poll at least
+  as often as snapshot retention.
+
+Scale: the incremental path moves exactly the feed (one arranged shuffle on
+the destination's key space); the resync path is one full source read — the
+same cost as bootstrapping any replica.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.lake.table import (
+    TOMBSTONE_COL,
+    SnapshotTable,
+    _all_applied_epochs,
+)
+
+MIRROR_SPACE = "mirror"
+
+
+class Mirror:
+    """Replicate ``src`` into a SnapshotTable at ``dst_root``.
+
+    The destination adopts the source's key/order columns; its bucket count
+    is independent (a mirror may be laid out for a different read pattern).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src: SnapshotTable,
+        dst_root: str,
+        n_buckets: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.src = src
+        self.dst = SnapshotTable(
+            spark, dst_root, key_cols=src.key_cols, order_col=src.order_col,
+            n_buckets=n_buckets or src.n_buckets,
+        )
+
+    def synced_version(self) -> int | None:
+        """Newest source snapshot version this mirror has applied (the
+        consumer offset — lives in the destination manifest's ``mirror``
+        epoch space, no side store)."""
+        applied = self.dst.applied_epochs(MIRROR_SPACE)
+        return max(applied) if applied else None
+
+    # -- internals -------------------------------------------------------
+
+    def _needs_resync(self, v_from: int, v_to: int) -> str | None:
+        """Why the incremental feed can't be trusted, or None if it can."""
+        try:
+            m_from = self.src.manifest(v_from)
+        except FileNotFoundError:
+            return "watermark_expired"
+        m_to = self.src.manifest(v_to)
+        if _all_applied_epochs(m_from) - _all_applied_epochs(m_to):
+            return "applied_set_shrank"  # rolled back, not (fully) re-applied
+        for v in range(v_from + 1, v_to + 1):
+            try:
+                s = (self.src.manifest(v) or {}).get("summary") or {}
+            except FileNotFoundError:
+                continue  # expired intermediate: endpoint checks only
+            if "rollback_of" in s:
+                # a rollback + re-replay can re-apply the SAME epoch ids
+                # with DIFFERENT rows (the fix-and-replay pattern); the
+                # feed's epoch filter would hide the fix
+                return "rollback_in_window"
+        return None
+
+    def _tombstone_gone_keys(self, cur: DataFrame) -> DataFrame:
+        """Tombstones for mirror keys the source no longer has AT ALL (its
+        tombstone rows were purged). The synthetic tombstone must WIN
+        latest-wins against the mirror's incumbent: its order value is the
+        incumbent's, bumped — strings get a ``"~"`` suffix (sorts after
+        every alphanumeric), numerics get +1. A purged key that later
+        reappears on the source arrives with a fresh, strictly larger
+        order (monotone LSN contract) and wins back cleanly."""
+        keys = list(self.dst.key_cols)
+        oc = self.dst.order_col
+        mine = self.dst.read(include_deleted=True).select(*keys, oc)
+        gone = mine.join(cur.select(*keys), keys, "left_anti")
+        otype = dict(gone.dtypes)[oc]
+        bumped = (
+            F.concat(F.col(oc), F.lit("~")) if otype == "string"
+            else (F.col(oc) + F.lit(1)).cast(otype)
+        )
+        return gone.withColumn(oc, bumped).withColumn(
+            TOMBSTONE_COL, F.lit(True)
+        )
+
+    def _full_resync(self, v_to: int, epoch_ids: list[int],
+                     reason: str) -> dict[str, Any]:
+        cur = self.src.read(v_to, include_deleted=True)
+        updates = cur
+        if self.dst.exists():
+            gone = self._tombstone_gone_keys(cur)
+            # gate the union on actual gone keys: otherwise every resync of
+            # a delete-free source would graft a permanently-null _deleted
+            # column onto the mirror (schema drift for nothing). limit(1)
+            # short-circuits the probe.
+            if gone.limit(1).count():
+                updates = cur.unionByName(gone, allowMissingColumns=True)
+        out = self.dst.merge_epochs(
+            updates, epoch_ids, epoch_space=MIRROR_SPACE,
+            extra_summary={
+                "mirror_of": str(self.src.root),
+                "mirror_src_version": v_to,
+                "full_resync": reason,
+            },
+        )
+        return {**out, "full_resync": reason}
+
+    # -- the one public verb ---------------------------------------------
+
+    def sync(self) -> dict[str, Any]:
+        """One replication round: apply everything the source committed
+        since the last sync. Idempotent; safe to run on any schedule."""
+        v_to = self.src.current_version()
+        if v_to is None:
+            return {"skipped": True, "reason": "source_empty"}
+        v_from = self.synced_version()
+        if v_from is not None and v_from >= v_to:
+            return {"skipped": True, "reason": "up_to_date",
+                    "synced_version": v_from}
+        epoch_ids = list(range((v_from or 0) + 1, v_to + 1))
+        if v_from is None:
+            return self._full_resync(v_to, epoch_ids, "bootstrap")
+        reason = self._needs_resync(v_from, v_to)
+        if reason is not None:
+            return self._full_resync(v_to, epoch_ids, reason)
+        feed = self.src.changes_between(v_from, v_to)
+        out = self.dst.merge_epochs(
+            feed, epoch_ids, epoch_space=MIRROR_SPACE,
+            extra_summary={
+                "mirror_of": str(self.src.root),
+                "mirror_src_version": v_to,
+            },
+        )
+        return {**out, "synced_from": v_from, "synced_to": v_to}
+
+    def verify(self) -> dict[str, Any]:
+        """Cheap divergence probe: row counts + per-column commit watermark
+        equality between source head and mirror. Zero false alarms mid-sync
+        is NOT guaranteed (the source may commit while this reads); use
+        after a sync in a quiet window."""
+        s = self.src.read()
+        d = self.dst.read()
+        oc = self.src.order_col
+        s_n, s_max = s.agg(
+            F.count(F.lit(1)), F.max(oc)
+        ).first()
+        d_n, d_max = d.agg(
+            F.count(F.lit(1)), F.max(oc)
+        ).first()
+        return {
+            "rows_match": s_n == d_n,
+            "watermark_match": s_max == d_max,
+            "src_rows": s_n, "dst_rows": d_n,
+            "src_watermark": s_max, "dst_watermark": d_max,
+        }

@@ -1,0 +1,175 @@
+"""Mirror (table-to-table CDC replication): incremental sync equivalence,
+exactly-once offsets, delete propagation, rollback/expiry self-healing."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.lake.table import SnapshotTable
+from etl_spark.replicate import Mirror
+
+
+def _tbl(spark, root, **kw):
+    return SnapshotTable(spark, root, n_buckets=4, **kw)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["repo", "path", "commit", "content"])
+
+
+def _state(t, cols=None):
+    df = t.read()
+    return sorted(map(tuple, (df.select(*cols) if cols else df).collect()))
+
+
+def _same(mir):
+    """Mirror equivalence = equality projected on the SOURCE's columns: a
+    source rollback can revert the source schema, but the mirror's is
+    additive-forever (superset), like any evolved lakehouse table."""
+    cols = mir.src.read().columns
+    return _state(mir.src, cols) == _state(mir.dst, cols)
+
+
+def test_incremental_sync_tracks_source(spark, tmpdir_path):
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1"),
+                                ("r", "b", "c000000000001", "w1")]), 0)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst", n_buckets=2)
+    out = mir.sync()
+    assert out["full_resync"] == "bootstrap"
+    assert _same(mir)
+    assert mir.synced_version() == 1
+    # idempotent: nothing new -> no-op
+    assert mir.sync()["skipped"]
+    # two more source commits (update + new key), then ONE sync
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000002", "v2")]), 1)
+    src.merge_epoch(_df(spark, [("r", "c", "c000000000003", "x1")]), 2)
+    out = mir.sync()
+    assert "full_resync" not in out and out["synced_from"] == 1
+    assert _same(mir)
+    assert mir.synced_version() == 3
+    probe = mir.verify()
+    assert probe["rows_match"] and probe["watermark_match"]
+
+
+def test_delete_propagates(spark, tmpdir_path):
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1"),
+                                ("r", "b", "c000000000001", "w1")]), 0)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst")
+    mir.sync()
+    src.delete_epochs(
+        spark.createDataFrame([("r", "a", "c000000000009")],
+                              "repo string, path string, commit string"),
+        [1],
+    )
+    out = mir.sync()
+    assert "full_resync" not in out
+    assert _same(mir)
+    assert {r.path for r in mir.dst.read().collect()} == {"b"}
+    # the tombstone itself replicated (visible with include_deleted)
+    hidden = mir.dst.read(include_deleted=True).where(
+        F.col("_deleted")).collect()
+    assert [(r.repo, r.path) for r in hidden] == [("r", "a")]
+
+
+def test_rollback_triggers_full_resync(spark, tmpdir_path):
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000002", "v2")]), 1)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst")
+    mir.sync()
+    src.rollback(1)  # undo epoch 1: the mirror's v2 row is now wrong
+    # fix-and-replay epoch 1 with DIFFERENT content under a fresh commit
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000003", "v2fix")]), 1)
+    out = mir.sync()
+    assert out["full_resync"] in ("applied_set_shrank", "rollback_in_window")
+    assert _same(mir)
+    assert {r.content for r in mir.dst.read().collect()} == {"v2fix"}
+
+
+def test_expired_watermark_and_purged_tombstone(spark, tmpdir_path):
+    """Source expired past the consumer offset AND purged a tombstone the
+    mirror still holds a live row for: resync must tombstone the gone key
+    with a winning synthetic order."""
+    src = _tbl(spark, f"{tmpdir_path}/src", target_file_rows=4)
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1"),
+                                ("r", "b", "c000000000001", "w1")]), 0)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst")
+    mir.sync()
+    src.delete_epochs(
+        spark.createDataFrame([("r", "b", "c000000000002")],
+                              "repo string, path string, commit string"),
+        [1],
+    )
+    src.compact(above=0, purge_tombstones=True)
+    src.expire_snapshots(retain_last=1)
+    out = mir.sync()
+    assert out["full_resync"] == "watermark_expired"
+    assert _same(mir)
+    assert {r.path for r in mir.dst.read().collect()} == {"a"}
+    # a purged key REAPPEARING later on the source wins back on the mirror
+    src.merge_epoch(_df(spark, [("r", "b", "c000000000007", "w7")]), 9)
+    mir.sync()
+    assert _same(mir)
+    assert {r.path: r.content for r in mir.dst.read().collect()} == {
+        "a": "v1", "b": "w7"}
+
+
+def test_randomized_mirror_differential(spark, tmpdir_path):
+    """Random source op sequences (merge/delete/compact/rollback), syncing
+    at random points: the mirror must equal the source after every sync."""
+    rng = random.Random(4242)
+    src = _tbl(spark, f"{tmpdir_path}/src", target_file_rows=8)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst", n_buckets=2)
+    keys = [("r%d" % (i % 2), "p%02d" % i) for i in range(10)]
+    lsn, epoch = 0, 0
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "merge", "delete", "compact",
+                         "rollback", "sync"])
+        if op == "merge" or not src.exists():
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                repo, path = rng.choice(keys)
+                lsn += rng.randint(1, 3)
+                rows.append((repo, path, "c%012d" % lsn, "v%d" % lsn))
+            src.merge_epoch(_df(spark, rows), epoch)
+            epoch += 1
+        elif op == "delete":
+            repo, path = rng.choice(keys)
+            lsn += 1
+            src.delete_epochs(
+                spark.createDataFrame(
+                    [(repo, path, "c%012d" % lsn)],
+                    "repo string, path string, commit string"),
+                [epoch])
+            epoch += 1
+        elif op == "compact":
+            src.compact(above=0)
+        elif op == "rollback":
+            vs = src.versions()
+            if len(vs) > 1:
+                src.rollback(rng.choice(vs[:-1]))
+                # post-rollback epochs may re-apply ids; keep ours fresh
+                epoch += 1
+        elif op == "sync":
+            mir.sync()
+            assert _same(mir), f"step={step}"
+    mir.sync()
+    assert _same(mir)
+
+
+def test_mirror_cli(spark, tmpdir_path):
+    from etl_spark.cli import main as cli_main
+
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1")]), 0)
+    assert cli_main(["mirror", "--src", str(src.root),
+                     "--dst", f"{tmpdir_path}/dst", "--verify"]) == 0
+    assert cli_main(["mirror", "--src", f"{tmpdir_path}/nope",
+                     "--dst", f"{tmpdir_path}/d2"]) == 1
+    d = SnapshotTable(spark, f"{tmpdir_path}/dst")
+    assert d.read().count() == 1
