@@ -1286,6 +1286,38 @@ def q_cdc_stream_ingest(spark, sf_dir):
     )
 
 
+def q_cdc_mirror(spark, sf_dir):
+    """Table-to-table CDC replication at the correctness gate: replay the
+    ``cdc_replay_e2e`` stream into a source table in TWO phases, syncing a
+    :class:`etl_spark.replicate.Mirror` after each — a bootstrap full
+    resync at the half-way snapshot, then a pure incremental feed sync for
+    the remaining epochs — and return the REPLICA's final state. Oracle-
+    green proves the replication path (change-feed read → latest-wins
+    upsert under mirror-space epoch ids, different bucket count) lands the
+    byte-identical state the source itself serves."""
+
+    from etl_spark.datagen import write_segments
+    from etl_spark.pipeline import IngestPipeline
+    from etl_spark.replicate import Mirror
+
+    stream = _as_change_stream(_t(spark, sf_dir, "events")).withColumn(
+        "epoch",
+        F.pmod(F.xxhash64(F.col("commit")), F.lit(4)).cast("int"),
+    ).withColumn("lsn", F.expr("CAST(substring(commit, 2) AS LONG)"))
+    root = _scratch_dir("etl_spark_mirror_")
+    write_segments(stream, f"{root}/stream")
+    pipe = IngestPipeline(spark, f"{root}/table", n_buckets=16,
+                          count_input=False)
+    pipe.replay(f"{root}/stream", max_epoch=1)
+    mir = Mirror(spark, pipe.table, f"{root}/replica", n_buckets=8)
+    mir.sync()  # bootstrap resync at the half-way snapshot
+    pipe.replay(f"{root}/stream")
+    mir.sync()  # incremental: only the remaining epochs' feed
+    return mir.dst.read().select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
 def _replayed_dedup_pipe(spark, sf_dir, prefix):
     """Shared setup for the two dedup-index entries: replay the 4-epoch
     change stream into a scratch table with the incremental LSH index
@@ -1816,6 +1848,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here (its U2/U3 evidence now also carried by the literal
         # geo_polycover/geo_linecover) and stays in the bench
         "hier_cover": q_hier_cover,                  # sibling: geo_polycover
+        # round-5 continuation addition: table-to-table CDC replication —
+        # bootstrap resync + incremental feed sync, replica state checked
+        # against the SOURCE's oracle (etl_spark/replicate.py)
+        "cdc_mirror": q_cdc_mirror,
     }
 
 
@@ -2869,6 +2905,9 @@ def oracle_sql() -> dict[str, str]:
     # foreachBatch micro-batches must land the identical final state as
     # batch replay (one core, two drivers)
     out["cdc_stream_ingest"] = out["cdc_replay_e2e"]
+    # table-to-table replication: the REPLICA must serve the source's exact
+    # final state, so it answers the source's own oracle
+    out["cdc_mirror"] = out["cdc_replay_e2e"]
     # delete replay: the COW replay's winners minus the tombstoned fifth of
     # the key space (same md5 selection as q_cdc_deletes)
     out["cdc_deletes"] = out["cdc_replay_e2e"].replace(
