@@ -317,6 +317,51 @@ def bench_soak_10x(spark, n_events: int) -> dict:
     }
 
 
+def bench_mirror(spark, n_events: int) -> dict:
+    """Replication steady state: bootstrap a source + mirror (untimed),
+    land ONE sparse delta epoch on the source, then time the incremental
+    ``Mirror.sync`` — the O(changed-data) claim for the consumer path:
+    cost must track the delta (one feed read + one arranged commit on the
+    mirror), never the table."""
+    from etl_spark.replicate import Mirror
+
+    root = tempfile.mkdtemp(prefix="etl_spark_mirror_")
+    try:
+        n = max(10_000, n_events // 10)
+        base = change_stream(spark, n, n_repos=max(100, n // 10_000),
+                             events_per_epoch=n, dup_pct=0)
+        write_segments(base, f"{root}/stream")
+        pipe = IngestPipeline(spark, f"{root}/table", n_buckets=64,
+                              count_input=False)
+        pipe.replay(f"{root}/stream", mode="catchup")
+        mir = Mirror(spark, pipe.table, f"{root}/replica")
+        t0 = time.time()
+        mir.sync()  # bootstrap resync (full source read)
+        boot_s = round(time.time() - t0, 2)
+        delta = change_stream(spark, 300, n_repos=max(100, n // 10_000),
+                              events_per_epoch=n, dup_pct=0)
+        delta = (
+            delta.withColumn("lsn", F.col("lsn") + n)
+            .withColumn("commit", F.format_string("c%012d", F.col("lsn")))
+        )
+        (delta.drop("epoch").repartition(2).write.mode("overwrite")
+              .parquet(f"{root}/stream/epoch=1"))
+        pipe.replay(f"{root}/stream")
+        t0 = time.time()
+        out = mir.sync()
+        sync_s = round(time.time() - t0, 2)
+        return {
+            "bootstrap_events": n,
+            "bootstrap_sync_sec": boot_s,
+            "sparse_delta_events": 300,
+            "incremental_sync_sec": sync_s,
+            "incremental_was_full_resync": "full_resync" in out,
+            "replica_rows_written": out.get("rows_written"),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_replay(spark, n_events: int) -> dict:
     """Gen + full replay on a temp root; returns throughput stats.
 
@@ -412,6 +457,8 @@ def main() -> int:
     timings["cdc_sparse_epoch_scattered_mor"] = sparse["scattered_mor"]["seconds"]
     didx = bench_dedup_index(spark, int(REPLAY_EVENTS_PER_SF * sf))
     timings["dedup_index_sparse"] = didx["sparse_sec"]
+    mirr = bench_mirror(spark, int(REPLAY_EVENTS_PER_SF * sf))
+    timings["mirror_sync_sparse"] = mirr["incremental_sync_sec"]
     # 10x-files soak point (pruning counters at ~123k files); detail row
     # only — kept OUT of the headline total so round-over-round totals
     # stay comparable (set SPARK_GRAFT_NO_SOAK=1 to skip, e.g. sf>=1 runs)
@@ -432,6 +479,7 @@ def main() -> int:
         "replay": replay,
         "sparse_epoch": {**sparse, **soak},
         "dedup_index": didx,
+        "mirror": mirr,
     }
     detail_line = json.dumps(detail, separators=(",", ":"))
     print(detail_line)
