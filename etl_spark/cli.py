@@ -262,6 +262,10 @@ def main(argv: list[str] | None = None) -> int:
     _add_spark_args(dl)
 
     args = ap.parse_args(argv)
+    if args.cmd == "replay" and args.stage_as and args.mode != "catchup":
+        # statically known constraint: reject before a Spark session exists
+        # instead of surfacing pipeline.replay's ValueError as a traceback
+        ap.error("--stage-as requires --mode catchup")
 
     from etl_spark.session import get_spark
 
@@ -295,8 +299,23 @@ def main(argv: list[str] | None = None) -> int:
             compact_after_commit=args.compact_after_commit,
             rewrite_probe=args.rewrite_probe,
         )
-        stats = pipe.replay(args.stream, max_epoch=args.max_epoch,
-                            mode=args.mode, stage_as=args.stage_as)
+        try:
+            stats = pipe.replay(args.stream, max_epoch=args.max_epoch,
+                                mode=args.mode, stage_as=args.stage_as)
+        except Exception as err:
+            from etl_spark.lake.table import StagedRefExistsError
+
+            if not isinstance(err, StagedRefExistsError):
+                raise
+            # the resume-after-staged-crash shape: the ref is already there
+            # (failed fast, before any Spark work) — tell the operator the
+            # next verb instead of dumping a traceback
+            print(json.dumps({
+                "error": str(err),
+                "hint": f"wap --table {args.table} --publish (or --abort) "
+                        f"{args.stage_as}",
+            }))
+            return 1
         for st in stats:
             print(json.dumps(st.as_dict()))
         total = sum(s.events_read for s in stats)
@@ -390,9 +409,18 @@ def main(argv: list[str] | None = None) -> int:
         if not t.exists():
             print(json.dumps({"table": args.table, "exists": False}))
             return 1
-        target = args.to if args.to is not None else t.version_as_of(args.to_ts)
-        print(json.dumps(t.rollback(target)))
-        return 0
+        try:
+            target = (
+                args.to if args.to is not None
+                else t.version_as_of(args.to_ts)
+            )
+            print(json.dumps(t.rollback(target)))
+            return 0
+        except FileNotFoundError as err:
+            # unresolvable instant / expired snapshot: the JSON error line
+            # every sibling command emits, not a traceback
+            print(json.dumps({"error": str(err)}))
+            return 1
 
     if args.cmd == "rebucket":
         from etl_spark.lake.table import SnapshotTable
@@ -536,18 +564,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": str(err)}))
                 return 1
         if args.audit:
+            # ONE manifest read serves the whole audit: a second read would
+            # re-parse a potentially large staged manifest and race a
+            # concurrent publish/abort mid-audit
             try:
-                df = t.read_staged(args.audit)
+                sm = t.staged_manifest(args.audit)
             except FileNotFoundError as err:
                 print(json.dumps({"error": str(err)}))
                 return 1
-            key_cols = t.staged_manifest(args.audit).get("key_cols") or []
+            df = t._read_snapshot(sm)
+            key_cols = sm.get("key_cols") or []
             null_keys = (
                 df.where(
                     " OR ".join(f"`{c}` IS NULL" for c in key_cols)
                 ).count() if key_cols else 0
             )
-            sm = t.staged_manifest(args.audit)
             print(json.dumps({
                 "staged": args.audit,
                 "base_version": sm.get("base_version"),

@@ -1494,13 +1494,22 @@ class SnapshotTable:
         )
 
     def abort_staged(self, name: str) -> dict[str, Any]:
-        """Drop a staged commit without publishing. Its data files become
-        unreferenced and fall to :meth:`vacuum` after the grace window."""
+        """Drop a staged commit without publishing. Its NEW data files
+        become unreferenced and fall to :meth:`vacuum` after the grace
+        window. ``files_released`` counts only those — files the staged
+        manifest CARRIED from its base are still referenced by published
+        snapshots and are not reclaimable (counting them would overstate
+        freed space by the whole table)."""
         staged = self.staged_manifest(name)
-        n_files = (
-            sum(g["n_files"] for g in staged["file_groups"])
-            if "file_groups" in staged else len(staged.get("files", []))
-        )
+        mine = self._files_of(staged)
+        try:
+            base_paths = {
+                f["path"]
+                for f in self._files_of(self.manifest(staged["base_version"]))
+            } if staged.get("base_version") else set()
+            n_files = sum(1 for f in mine if f["path"] not in base_paths)
+        except FileNotFoundError:
+            n_files = len(mine)  # base expired: upper bound
         self._staged_path(name).unlink(missing_ok=True)
         return {"aborted": name, "files_released": n_files}
 
@@ -1521,6 +1530,14 @@ class SnapshotTable:
         Create-once per name (retag = delete + tag); the tagged version must
         exist at tag time."""
         v = self.current_version() if version is None else version
+        if v is None:
+            # manifest(None) means "current" and returns None on an empty
+            # table instead of raising — without this guard a tag on a
+            # never-committed root records {"version": null}, which pins
+            # nothing and floats to whatever becomes current
+            raise FileNotFoundError(
+                f"table {self.root} has no committed snapshot to tag"
+            )
         self.manifest(v)  # raises if the snapshot is gone
         final = self._tag_path(name)
         tmp = self.root / MANIFEST_DIR / f".tmp-{uuid.uuid4().hex}.json"
@@ -1792,6 +1809,87 @@ class SnapshotTable:
             "files_before": len(all_files),
             "files_after": len(new_files),
             "version": version,
+        }
+
+    def replace_all(
+        self,
+        updates: DataFrame,
+        epoch_ids: list[int],
+        *,
+        epoch_space: str = "batch",
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Commit ``updates`` as the table's ENTIRE new contents — no carry,
+        no latest-wins arbitration against incumbents (the INSERT OVERWRITE
+        / RTAS analog). The one writer verb that can LOWER a key's order
+        value or drop keys outright, which ``merge_epochs``' monotone-order
+        arbitration deliberately cannot — for consumers rebuilding from an
+        authoritative upstream state (``Mirror`` full resync: a source
+        fix-and-replay may re-issue a key under the SAME commit with
+        different content, and a purged key must simply vanish, not fight a
+        fabricated tombstone). The ``epoch_space`` applied set is RESET to
+        exactly ``epoch_ids``; other spaces carry over. Snapshot-isolated:
+        prior versions stay readable; a lost commit race re-links on the
+        new base (the contents don't depend on it)."""
+        import shutil
+
+        schema = T.StructType(
+            [f for f in updates.schema.fields if f.name != "_bucket"]
+        )
+        merged = (
+            updates if "_bucket" in updates.columns
+            else self.arranged_updates(updates)
+        )
+        staging, staged = self._stage_bucketed(merged, arranged=True)
+        try:
+            new_files = self._promote_all(staged)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        for _ in range(3):
+            m = self.manifest()
+            spaces = {
+                k: v for k, v in (m or {}).items()
+                if k.startswith("applied_epochs")
+            }
+            spaces[_space_key(epoch_space)] = encode_epoch_ranges(
+                set(int(e) for e in epoch_ids)
+            )
+            manifest = {
+                "schema": schema.jsonValue(),
+                **spaces,
+                "key_cols": list(self.key_cols),
+                "bucket_cols": (
+                    list(self.bucket_cols) if self.bucket_cols else None
+                ),
+                "order_col": self.order_col,
+                "n_buckets": self.n_buckets,
+                "max_files_per_bucket": self.max_files_per_bucket,
+                "target_file_rows": self.target_file_rows,
+                "merge_mode": self.merge_mode,
+                "fold_broadcast_rows": self.fold_broadcast_rows,
+                "compact_after_commit": self.compact_after_commit,
+                "rewrite_probe": self.rewrite_probe,
+                "summary": {**(extra_summary or {}), "replace_all": True},
+                "parent": m["version"] if m else None,
+            }
+            self._attach_files(manifest, new_files)
+            try:
+                version = self._commit_manifest(
+                    manifest, base_version=m["version"] if m else 0
+                )
+                break
+            except FileExistsError:
+                continue  # re-link on the new base; contents unchanged
+        else:
+            raise RuntimeError(
+                f"replace_all lost the commit race 3 times on {self.root}"
+            )
+        return {
+            "version": version,
+            "replaced": True,
+            "epochs": sorted(int(e) for e in epoch_ids),
+            "rows_written": sum(f["rows"] for f in new_files),
+            "files_after": len(new_files),
         }
 
     def fsck(self) -> dict[str, Any]:
@@ -2344,7 +2442,16 @@ class SnapshotTable:
             # arranges in the same single shuffle the staging write needs.
             updates = self.arranged_updates(updates, size_bytes=size_hint)
         if stage_as is not None:
-            self._staged_path(stage_as)  # validate the name before any work
+            # validate the name AND fail a taken ref in milliseconds, before
+            # the merge runs: without this, a re-run after a staged-but-
+            # crashed replay re-executes the whole clean/dedupe/merge job
+            # (hours at scale), promotes a second orphan file set, and only
+            # THEN hits the authoritative os.link conflict
+            if self._staged_path(stage_as).exists():
+                raise StagedRefExistsError(
+                    f"staged ref {stage_as!r} already exists on {self.root}; "
+                    "publish or abort it first"
+                )
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:

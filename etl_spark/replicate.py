@@ -17,10 +17,13 @@ SURVEY §3.3) to cross-table replication:
 - **Self-healing**: a source rollback (applied-epoch shrink or a retained
   ``rollback_of`` marker inside the sync window) or an expired consumer
   watermark (the feed base's manifest is gone) degrades to a FULL resync —
-  rebuild from the source's current state, tombstoning mirror keys the
-  source no longer has. A rollback whose marker expired before the next
-  sync poll and whose re-replay re-applied the same epoch ids is healed
-  only by the shrink check; document the operational rule: poll at least
+  the mirror is REPLACED with the source's current state
+  (``SnapshotTable.replace_all``), never merged: a fix-and-replay can
+  re-issue a key under the same order value with different content, and a
+  purged key must simply vanish — both beyond what latest-wins
+  arbitration can express. A rollback whose marker expired before the
+  next sync poll and whose re-replay re-applied the same epoch ids is
+  healed only by the shrink check; the operational rule: poll at least
   as often as snapshot retention.
 
 Scale: the incremental path moves exactly the feed (one arranged shuffle on
@@ -32,14 +35,10 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.lake.table import (
-    TOMBSTONE_COL,
-    SnapshotTable,
-    _all_applied_epochs,
-)
+from etl_spark.lake.table import SnapshotTable, _all_applied_epochs
 
 MIRROR_SPACE = "mirror"
 
@@ -95,41 +94,20 @@ class Mirror:
                 return "rollback_in_window"
         return None
 
-    def _tombstone_gone_keys(self, cur: DataFrame) -> DataFrame:
-        """Tombstones for mirror keys the source no longer has AT ALL (its
-        tombstone rows were purged). The synthetic tombstone must WIN
-        latest-wins against the mirror's incumbent: its order value is the
-        incumbent's, bumped — strings get a ``"~"`` suffix (sorts after
-        every alphanumeric), numerics get +1. A purged key that later
-        reappears on the source arrives with a fresh, strictly larger
-        order (monotone LSN contract) and wins back cleanly."""
-        keys = list(self.dst.key_cols)
-        oc = self.dst.order_col
-        mine = self.dst.read(include_deleted=True).select(*keys, oc)
-        gone = mine.join(cur.select(*keys), keys, "left_anti")
-        otype = dict(gone.dtypes)[oc]
-        bumped = (
-            F.concat(F.col(oc), F.lit("~")) if otype == "string"
-            else (F.col(oc) + F.lit(1)).cast(otype)
-        )
-        return gone.withColumn(oc, bumped).withColumn(
-            TOMBSTONE_COL, F.lit(True)
-        )
-
     def _full_resync(self, v_to: int, epoch_ids: list[int],
                      reason: str) -> dict[str, Any]:
+        """Rebuild the mirror AS the source's current state via
+        ``replace_all`` — never a merge. A merge's monotone-order
+        arbitration cannot express what a resync must: a source
+        fix-and-replay may re-issue a key under the SAME order value with
+        different content (latest-wins would keep the stale replica row),
+        and a key the source purged entirely must simply vanish (a
+        fabricated higher-order tombstone would out-arbitrate the key's
+        legitimate reappearance). Replacement has neither problem, and the
+        mirror-space applied set resets to exactly the synced range."""
         cur = self.src.read(v_to, include_deleted=True)
-        updates = cur
-        if self.dst.exists():
-            gone = self._tombstone_gone_keys(cur)
-            # gate the union on actual gone keys: otherwise every resync of
-            # a delete-free source would graft a permanently-null _deleted
-            # column onto the mirror (schema drift for nothing). limit(1)
-            # short-circuits the probe.
-            if gone.limit(1).count():
-                updates = cur.unionByName(gone, allowMissingColumns=True)
-        out = self.dst.merge_epochs(
-            updates, epoch_ids, epoch_space=MIRROR_SPACE,
+        out = self.dst.replace_all(
+            cur, epoch_ids, epoch_space=MIRROR_SPACE,
             extra_summary={
                 "mirror_of": str(self.src.root),
                 "mirror_src_version": v_to,

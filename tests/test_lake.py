@@ -525,3 +525,24 @@ def test_change_feed_diff_loads_only_changed_groups(spark, tmpdir_path):
     fb = {f["path"] for f in t._diff_new_files(m2, m3)}
     old2 = {f["path"] for f in t._files_of(m2)}
     assert fb == {f["path"] for f in t._files_of(m3) if f["path"] not in old2}
+
+
+def test_replace_all_overwrites_state(spark, tmpdir_path):
+    """replace_all: the one writer verb that can LOWER a key's order value
+    and drop keys outright (INSERT OVERWRITE analog); resets the epoch
+    space; merge arbitration continues from the replaced state."""
+    t = _tbl(spark, tmpdir_path)
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000005", "v5"),
+                              ("r", "b", "c000000000005", "w5")]), 0)
+    out = t.replace_all(
+        _df(spark, [("r", "a", "c000000000002", "LOW")]), [0, 1])
+    assert out["replaced"] and out["rows_written"] == 1
+    got = t.read().collect()
+    assert [(r.commit, r.content) for r in got] == [("c000000000002", "LOW")]
+    assert t.applied_epochs() == {0, 1}
+    assert t.fsck()["ok"]
+    # merges continue from the replaced state under normal arbitration
+    t.merge_epoch(_df(spark, [("r", "a", "c000000000003", "v3")]), 2)
+    assert {r.content for r in t.read().collect()} == {"v3"}
+    # the pre-replace snapshot is still time-travel readable
+    assert {r.content for r in t.read(version=1).collect()} == {"v5", "w5"}

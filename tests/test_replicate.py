@@ -93,8 +93,10 @@ def test_rollback_triggers_full_resync(spark, tmpdir_path):
 
 def test_expired_watermark_and_purged_tombstone(spark, tmpdir_path):
     """Source expired past the consumer offset AND purged a tombstone the
-    mirror still holds a live row for: resync must tombstone the gone key
-    with a winning synthetic order."""
+    mirror still holds a live row for: the resync REPLACES the mirror with
+    the source state, so the gone key simply vanishes — and can cleanly
+    reappear later under any order value (no synthetic tombstone to
+    out-arbitrate)."""
     src = _tbl(spark, f"{tmpdir_path}/src", target_file_rows=4)
     src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "v1"),
                                 ("r", "b", "c000000000001", "w1")]), 0)
@@ -117,6 +119,25 @@ def test_expired_watermark_and_purged_tombstone(spark, tmpdir_path):
     assert _same(mir)
     assert {r.path: r.content for r in mir.dst.read().collect()} == {
         "a": "v1", "b": "w7"}
+
+
+def test_resync_heals_same_order_fix(spark, tmpdir_path):
+    """The fix-and-replay shape a MERGE-based resync cannot express: the
+    source re-issues a key under the SAME commit value with different
+    content after a rollback. replace_all-based resync must serve the fix
+    (latest-wins would keep the stale replica row and verify() could not
+    even see the divergence — counts and watermarks both match)."""
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000001", "base")]), 0)
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000002", "bad")]), 1)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst")
+    mir.sync()
+    src.rollback(1)
+    src.merge_epoch(_df(spark, [("r", "a", "c000000000002", "fixed")]), 1)
+    out = mir.sync()
+    assert out["full_resync"] in ("applied_set_shrank", "rollback_in_window")
+    assert _same(mir)
+    assert [r.content for r in mir.dst.read().collect()] == ["fixed"]
 
 
 def test_randomized_mirror_differential(spark, tmpdir_path):
