@@ -489,12 +489,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"src": args.src, "exists": False}))
             return 1
         mir = Mirror(spark, src, args.dst, n_buckets=args.buckets)
-        out = mir.sync()
+        try:
+            out = mir.sync()
+        except ValueError as err:  # cross-sync refusal (wrong --src)
+            print(json.dumps({"error": str(err)}))
+            return 1
         out.pop("new_files", None)  # file-entry dump is noise on a CLI line
         out.pop("staged_lineage", None)
-        print(json.dumps({k: v for k, v in out.items()}, default=str))
+        print(json.dumps(out, default=str))
         if args.verify:
-            print(json.dumps(mir.verify(), default=str))
+            probe = mir.verify()
+            print(json.dumps(probe, default=str))
+            if not (probe["rows_match"] and probe["watermark_match"]):
+                # the flag exists to DETECT divergence — a scripted
+                # `mirror --verify && promote` must stop here
+                return 1
         return 0
 
     if args.cmd == "changes":

@@ -1501,15 +1501,17 @@ class SnapshotTable:
         snapshots and are not reclaimable (counting them would overstate
         freed space by the whole table)."""
         staged = self.staged_manifest(name)
-        mine = self._files_of(staged)
         try:
-            base_paths = {
-                f["path"]
-                for f in self._files_of(self.manifest(staged["base_version"]))
-            } if staged.get("base_version") else set()
-            n_files = sum(1 for f in mine if f["path"] not in base_paths)
+            # _diff_new_files reads only CHANGED manifest groups — the
+            # hand-rolled version paid O(all groups) of BOTH manifests for
+            # a count
+            base_m = (
+                self.manifest(staged["base_version"])
+                if staged.get("base_version") else None
+            )
+            n_files = len(self._diff_new_files(base_m, staged))
         except FileNotFoundError:
-            n_files = len(mine)  # base expired: upper bound
+            n_files = len(self._files_of(staged))  # base expired: upper bound
         self._staged_path(name).unlink(missing_ok=True)
         return {"aborted": name, "files_released": n_files}
 
@@ -1847,6 +1849,18 @@ class SnapshotTable:
             shutil.rmtree(staging, ignore_errors=True)
         for _ in range(3):
             m = self.manifest()
+            if (
+                m is not None
+                and m.get("n_buckets", self.n_buckets) != self.n_buckets
+            ):
+                # same guard as the merge path: a stale handle's replace
+                # would otherwise silently REVERT a concurrent rebucket
+                # (its manifest records this handle's old bucket count)
+                raise LayoutDriftError(
+                    f"table {self.root} was rebucketed to "
+                    f"{m['n_buckets']} buckets (this handle attached at "
+                    f"{self.n_buckets}); re-attach before writing"
+                )
             spaces = {
                 k: v for k, v in (m or {}).items()
                 if k.startswith("applied_epochs")

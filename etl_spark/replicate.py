@@ -7,9 +7,17 @@ pattern (each stage incrementally consumes the previous stage's new rows,
 SURVEY §3.3) to cross-table replication:
 
 - **Incremental sync** reads only the feed between the consumer's recorded
-  source version and the source head — O(changed data), never O(table).
-  Tombstones flow through unchanged (a delete on the source deletes on the
-  mirror via the same latest-wins arbitration).
+  source version and the source head — O(changed data) when the source
+  carries per-row ``epoch`` provenance (every pipeline table does): the
+  feed's epoch filter excludes rows merely REWRITTEN into new files, so a
+  source compaction costs the mirror nothing. On a table WITHOUT the
+  provenance column the feed degrades to file granularity — still correct
+  by latest-wins idempotence, but a source compaction re-ships every
+  rewritten file's rows. Tombstones flow through unchanged (a delete on
+  the source deletes on the mirror via the same latest-wins arbitration);
+  the ``epoch`` provenance itself is RE-STAMPED into the mirror's own id
+  domain (the synced source version — see ``_stamp_provenance``), so the
+  replica's own change feed stays exact for chained consumers.
 - **Exactly-once** rides the destination table's applied-epoch machinery in
   a dedicated ``mirror`` id space: epoch ids ARE source snapshot versions,
   so a crashed/re-run sync is a metadata no-op and the consumer offset
@@ -105,7 +113,9 @@ class Mirror:
         fabricated higher-order tombstone would out-arbitrate the key's
         legitimate reappearance). Replacement has neither problem, and the
         mirror-space applied set resets to exactly the synced range."""
-        cur = self.src.read(v_to, include_deleted=True)
+        cur = self._stamp_provenance(
+            self.src.read(v_to, include_deleted=True), v_to
+        )
         out = self.dst.replace_all(
             cur, epoch_ids, epoch_space=MIRROR_SPACE,
             extra_summary={
@@ -118,9 +128,48 @@ class Mirror:
 
     # -- the one public verb ---------------------------------------------
 
+    def _check_source_identity(self) -> None:
+        """A replica permanently records which source it mirrors
+        (``mirror_of`` in every sync commit's summary); syncing it from a
+        DIFFERENT source must fail loudly — depending on the two tables'
+        version numbers it would otherwise either wedge as a forever
+        ``up_to_date`` or latest-wins-contaminate the replica with foreign
+        rows, both silent."""
+        if not self.dst.exists():
+            return
+        for v in reversed(self.dst.versions()):
+            try:
+                s = (self.dst.manifest(v) or {}).get("summary") or {}
+            except FileNotFoundError:
+                continue
+            rec = s.get("mirror_of")
+            if rec is None:
+                continue
+            if rec != str(self.src.root):
+                raise ValueError(
+                    f"table {self.dst.root} mirrors {rec!r}, not "
+                    f"{str(self.src.root)!r}; refusing to cross-sync"
+                )
+            return
+
+    def _stamp_provenance(self, rows, v_to: int):
+        """Re-stamp the ``epoch`` provenance column (when the source has
+        one) with the LAST mirror-space applied id of this sync (the source
+        snapshot version). A table's CDC-out contract requires every row's
+        epoch provenance to lie inside its own applied-id sets — the same
+        invariant ``delete_epochs`` preserves for tombstones. The source's
+        epoch values live in the SOURCE's id domain; carrying them verbatim
+        would make the replica's own change feed drop or garble rows for
+        any downstream consumer chained off the mirror."""
+        if "epoch" not in rows.columns:
+            return rows
+        dtype = dict(rows.dtypes)["epoch"]
+        return rows.withColumn("epoch", F.lit(int(v_to)).cast(dtype))
+
     def sync(self) -> dict[str, Any]:
         """One replication round: apply everything the source committed
         since the last sync. Idempotent; safe to run on any schedule."""
+        self._check_source_identity()
         v_to = self.src.current_version()
         if v_to is None:
             return {"skipped": True, "reason": "source_empty"}
@@ -134,7 +183,9 @@ class Mirror:
         reason = self._needs_resync(v_from, v_to)
         if reason is not None:
             return self._full_resync(v_to, epoch_ids, reason)
-        feed = self.src.changes_between(v_from, v_to)
+        feed = self._stamp_provenance(
+            self.src.changes_between(v_from, v_to), v_to
+        )
         out = self.dst.merge_epochs(
             feed, epoch_ids, epoch_space=MIRROR_SPACE,
             extra_summary={

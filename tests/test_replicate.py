@@ -26,10 +26,12 @@ def _state(t, cols=None):
 
 
 def _same(mir):
-    """Mirror equivalence = equality projected on the SOURCE's columns: a
-    source rollback can revert the source schema, but the mirror's is
-    additive-forever (superset), like any evolved lakehouse table."""
-    cols = mir.src.read().columns
+    """Mirror equivalence = equality projected on the SOURCE's columns,
+    minus ``epoch``: provenance is re-stamped into the mirror's own id
+    domain by design (the CDC-out invariant — see _stamp_provenance), and
+    incremental syncs evolve the mirror's schema additively while a full
+    resync installs exactly the source's."""
+    cols = [c for c in mir.src.read().columns if c != "epoch"]
     return _state(mir.src, cols) == _state(mir.dst, cols)
 
 
@@ -180,6 +182,49 @@ def test_randomized_mirror_differential(spark, tmpdir_path):
             mir.sync()
             assert _same(mir), f"step={step}"
     mir.sync()
+    assert _same(mir)
+
+
+def test_sync_refuses_wrong_source(spark, tmpdir_path):
+    """A replica records its source; syncing from another table must fail
+    loudly instead of wedging as up_to_date or contaminating the state."""
+    a = _tbl(spark, f"{tmpdir_path}/a")
+    a.merge_epoch(_df(spark, [("r", "x", "c000000000001", "va")]), 0)
+    b = _tbl(spark, f"{tmpdir_path}/b")
+    b.merge_epoch(_df(spark, [("r", "y", "c000000000001", "vb")]), 0)
+    mir = Mirror(spark, a, f"{tmpdir_path}/dst")
+    mir.sync()
+    with pytest.raises(ValueError, match="refusing to cross-sync"):
+        Mirror(spark, b, f"{tmpdir_path}/dst").sync()
+    assert _same(mir)  # untouched
+
+
+def test_chained_feed_from_replica(spark, tmpdir_path):
+    """The staged-consumer chain: a consumer polling the REPLICA's change
+    feed sees exactly the synced deltas — possible only because mirrored
+    rows' epoch provenance is re-stamped into the mirror's applied-id
+    domain (source epochs would fall outside it and the feed's epoch-range
+    filter would drop or garble rows)."""
+    rows = lambda e, n: [  # noqa: E731 — source rows carry epoch provenance
+        ("r", f"p{e}_{i}", f"c00000000{e:02d}{i:02d}", "x", e)
+        for i in range(n)
+    ]
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        d, "repo string, path string, commit string, content string, "
+           "epoch long")
+    src = _tbl(spark, f"{tmpdir_path}/src")
+    src.merge_epoch(mk(rows(0, 3)), 0)
+    mir = Mirror(spark, src, f"{tmpdir_path}/dst")
+    mir.sync()
+    v_replica = mir.dst.current_version()
+    src.merge_epoch(mk(rows(1, 2)), 1)
+    src.merge_epoch(mk(rows(2, 4)), 2)
+    mir.sync()
+    feed = mir.dst.changes_between(v_replica)
+    assert feed.count() == 6  # exactly the two synced epochs' rows
+    assert {r.path for r in feed.collect()} == {
+        f"p{e}_{i}" for e, n in ((1, 2), (2, 4)) for i in range(n)
+    }
     assert _same(mir)
 
 
