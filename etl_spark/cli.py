@@ -598,7 +598,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         out = []
         for n in t.staged_refs():
-            sm = t.staged_manifest(n)
+            try:
+                sm = t.staged_manifest(n)
+            except FileNotFoundError:
+                continue  # published/aborted between the glob and the read
             out.append({
                 "name": n,
                 "base_version": sm.get("base_version"),
